@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship analytics query on sf0.001.
+``queries()`` aggregates every operator module's registry; ``oracle_sql()``
+returns the matching DuckDB SQL (omitted only for genuinely
+non-SQL-expressible ops, which the driver checks rows-only).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from akkastreamprocessnpmpackagedependencies_spark.fixtures import FIXTURES_DIR
+from akkastreamprocessnpmpackagedependencies_spark.operators import npm
+from akkastreamprocessnpmpackagedependencies_spark.operators.relational import REG as REL
+from akkastreamprocessnpmpackagedependencies_spark.operators.scalarfuncs import REG as SCAL
+from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import REG as TS
+
+_MODULES = [REL, SCAL, TS]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import pricing_summary
+
+    return pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _npm_dependency_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own query (hermetic): per (package, version), runtime
+    and dev dependency counts from the frozen registry fixtures. sf_dir is
+    unused — the fixture world is fixed-size by design."""
+    packages = spark.read.parquet(os.path.join(FIXTURES_DIR, "npm_packages.parquet"))
+    docs = spark.read.parquet(os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet"))
+    return npm.dependency_counts(packages, docs)
+
+
+_NPM_ORACLE = f"""
+    SELECT package, version, dependencies, "devDependencies"
+    FROM read_parquet('{os.path.join(FIXTURES_DIR, "npm_expected_counts.parquet")}')
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "npm_dependency_counts": _npm_dependency_counts,
+    }
+    for mod in _MODULES:
+        out.update(mod.queries)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {"npm_dependency_counts": _NPM_ORACLE}
+    for mod in _MODULES:
+        out.update(mod.oracles)
+    return out

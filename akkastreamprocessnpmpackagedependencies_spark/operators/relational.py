@@ -1,0 +1,477 @@
+"""Relational operator surface: scans, filters, projections, joins
+(inner/left/semi/anti, broadcast), hash aggregations (plain, distinct,
+rollup/cube/grouping sets), window functions (rank, lag, running frames),
+sorts/top-k, set operations, pivot.
+
+The reference implements none of these (SURVEY.md §2.8 — its one pipeline
+has a single fold aggregation); this module is the driver-mandated
+generalization, expressed declaratively so Catalyst does pushdown, pruning,
+join selection and AQE re-planning.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/supplier/customer) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table for dim enrichment;
+- fact-fact joins (orders x lineitem) shuffle on the join key; both sides
+  hash-partition on the same key so AQE can coalesce/skew-split;
+- every aggregate here is partial-aggregatable (map-side combine);
+- top-k is ORDER BY + LIMIT, which Spark executes as per-partition
+  TakeOrdered + driver merge of k rows — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+from .registry import Registry, dsum, sql_dsum
+
+REG = Registry()
+
+_REV = "l_extendedprice * (1.0 - l_discount)"
+
+
+def _revenue() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                             AS sum_qty,
+           {sql_dsum("l_extendedprice")}                               AS sum_base_price,
+           {sql_dsum(_REV)}                                            AS sum_disc_price,
+           {sql_dsum(_REV + " * (1.0 + l_tax)")}                       AS sum_charge,
+           sum(l_quantity) / count(*)                                  AS avg_qty,
+           {sql_dsum("l_extendedprice")} / count(*)                    AS avg_price,
+           {sql_dsum("l_discount")} / count(*)                         AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan + 2-key hash agg with 8 aggregates.
+    Filter + 7-column projection push into the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(_revenue()).alias("sum_disc_price"),
+            dsum(_revenue() * (F.lit(1.0) + F.col("l_tax"))).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@REG.add(
+    "forecast_revenue",
+    f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + global agg.
+    All three predicates reach the parquet reader as PushedFilters."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@REG.add(
+    "distinct_aggs",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg — Spark expands + re-aggregates."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@REG.add(
+    "rollup_qty",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@REG.add(
+    "cube_qty",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@REG.add(
+    "grouping_sets_qty",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@REG.add(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@REG.add(
+    "case_bucketing",
+    f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END                      AS bucket,
+           count(*)                                   AS n,
+           {sql_dsum("o_totalprice")}                 AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "top_unshipped_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into orders,
+    shuffle-join lineitem on orderkey, agg, top-10 (TakeOrdered, no global
+    sort). Deterministic tie-break on o_orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@REG.add(
+    "supplier_volume_by_nation",
+    f"""
+    SELECT r.r_name, n.n_name,
+           {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+                    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA')
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake dim chain. All three dims broadcast —
+    the 100 TB fact table never shuffles for enrichment."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(_revenue()).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@REG.add(
+    "priority_with_returns",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left-semi join (TPC-H Q4 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@REG.add(
+    "customers_without_big_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@REG.add(
+    "customer_order_counts",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-tolerant count (0 for order-less customers)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "top_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: rank inside the partition, never a global sort.
+    At scale this is one shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@REG.add(
+    "running_quantity_by_supplier",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_qty
+    FROM lineitem
+    """,
+)
+def running_quantity_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+@REG.add(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() + date arithmetic: days since the customer's previous order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).alias("gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "top_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — each partition
+    keeps k rows, driver merges k — O(k) memory at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def _building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def _frequent_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("custkey")
+    )
+
+
+_SET_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 5"
+
+
+@REG.add("set_intersect", f"({_SET_A}) INTERSECT ({_SET_B})")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _building_custkeys(spark, sf_dir).intersect(_frequent_custkeys(spark, sf_dir))
+
+
+@REG.add("set_except", f"({_SET_A}) EXCEPT ({_SET_B})")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _building_custkeys(spark, sf_dir).exceptAll(_frequent_custkeys(spark, sf_dir)).distinct()
+
+
+@REG.add("set_union", f"({_SET_A}) UNION ({_SET_B})")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _building_custkeys(spark, sf_dir).union(_frequent_custkeys(spark, sf_dir)).distinct()
