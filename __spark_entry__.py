@@ -15,11 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from akkastreamprocessnpmpackagedependencies_spark.fixtures import FIXTURES_DIR
 from akkastreamprocessnpmpackagedependencies_spark.operators import npm
+from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import REG as DEDUP
+from akkastreamprocessnpmpackagedependencies_spark.operators.multimodal import REG as MM
 from akkastreamprocessnpmpackagedependencies_spark.operators.relational import REG as REL
 from akkastreamprocessnpmpackagedependencies_spark.operators.scalarfuncs import REG as SCAL
+from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import REG as SIM
+from akkastreamprocessnpmpackagedependencies_spark.operators.textops import REG as TXT
 from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import REG as TS
 
-_MODULES = [REL, SCAL, TS]
+_MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, MM]
 
 
 def entry(spark: SparkSession) -> DataFrame:

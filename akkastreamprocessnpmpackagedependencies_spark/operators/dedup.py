@@ -1,0 +1,288 @@
+"""Deduplication operators over the ``documents`` table — the core
+training-data-pipeline surface: exact (hash-groupBy), MinHash+LSH,
+SimHash, and character-n-gram Jaccard near-dup.
+
+Scale design (100 TB):
+- exact dedup groups on sha256(text) — the shuffle key is 32 bytes, not the
+  document body; at scale add a length pre-key to short-circuit comparisons;
+- MinHash-LSH is the classic shingle -> minhash signature -> band ->
+  bucket-equi-join pipeline: candidate generation is an equi-join on band
+  keys (shuffle on a small key), never an all-pairs cross join; the
+  verification jaccard only runs on candidates;
+- SimHash pairs block on the top half of the fingerprint, so candidate
+  pairs co-locate in one shuffle;
+- all hashing is md5-hex (identical in Spark and DuckDB — see
+  functions/text.py), and jaccard is a ratio of integers, so every operator
+  here is exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    char_shingles,
+    minhash,
+    sql_char_shingles,
+    sql_minhash,
+    sql_word_shingles,
+    word_shingles,
+)
+from ..session import load_table
+from .registry import Registry
+
+REG = Registry()
+
+N_HASHES = 12
+N_BANDS = 4  # 4 bands x 3 rows; P(candidate) = 1-(1-j^3)^4 — ~0.98 at j=0.8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.7
+
+
+@REG.add(
+    "dedup_exact_hash",
+    """
+    SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text, keeping the
+    smallest doc_id. The group key is the 64-hex sha256, so the shuffle
+    moves 64 bytes per row, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@REG.add(
+    "dedup_exact_summary",
+    """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+           count(*) - count(DISTINCT text) AS n_dropped
+    FROM documents GROUP BY lang
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report per language partition."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dropped"),
+    )
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + minhash signature columns mh0..mhN over 3-word shingles."""
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    return sh.select(
+        "doc_id", "sh", *[minhash(F.col("sh"), h).alias(f"mh{h}") for h in range(N_HASHES)]
+    )
+
+
+def _sql_signature_cte() -> str:
+    mh = ", ".join(f"{sql_minhash('sh', h)} AS mh{h}" for h in range(N_HASHES))
+    return f"""
+    sig AS (
+      SELECT doc_id, sh, {mh}
+      FROM (SELECT doc_id, {sql_word_shingles('text')} AS sh FROM documents)
+    )"""
+
+
+@REG.add(
+    "minhash_signatures",
+    f"""
+    WITH {_sql_signature_cte()}
+    SELECT doc_id, {", ".join(f"mh{h}" for h in range(N_HASHES))} FROM sig
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (12 seeded md5-min hashes over
+    distinct 3-word shingles)."""
+    return _signatures(load_table(spark, sf_dir, "documents")).drop("sh")
+
+
+_BAND_KEYS_SQL = ", ".join(
+    "mh" + " || '|' || mh".join(str(b * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND))
+    for b in range(N_BANDS)
+)
+
+
+@REG.add(
+    "minhash_lsh_neardup",
+    f"""
+    WITH {_sql_signature_cte()},
+    bands AS (
+      SELECT doc_id, sh, b, CASE b
+        {" ".join(f"WHEN {b} THEN " + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) for b in range(N_BANDS))}
+      END AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: signature -> band keys ->
+    bucket equi-join for candidates -> exact shingle-jaccard verification.
+    The only join is on band keys; true jaccard runs on candidates only."""
+    sig = _signatures(load_table(spark, sf_dir, "documents"))
+    band_key = [
+        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key)).alias("b", "bkey"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_SIMHASH_BITS = 32
+# bit b of simhash = sign of sum over distinct tokens of (+1 if the b-th hex
+# digit of md5(token) has its high bit set else -1)
+
+
+def _sql_simhash() -> str:
+    return f"""
+    toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN strpos('89abcdef', substr(md5(tok), b + 1, 1)) > 0
+                      THEN 1 ELSE -1 END) AS v
+      FROM toks CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS b)
+      GROUP BY doc_id, b
+    ),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@REG.add(
+    "simhash_fingerprints",
+    f"WITH {_sql_simhash()} SELECT doc_id, simhash FROM sim",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over md5 digits of
+    the distinct token set. Explode(tokens x bits) -> two hash aggs —
+    fully distributed, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    bits = (
+        toks.select("doc_id", F.md5("tok").alias("h"))
+        .select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.col("h").substr(F.col("b") + 1, F.lit(1)).isin(*"89abcdef"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+@REG.add(
+    "simhash_candidate_pairs",
+    f"""
+    WITH {_sql_simhash()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b
+      ON (a.simhash >> {_SIMHASH_BITS // 2}) = (b.simhash >> {_SIMHASH_BITS // 2})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: block on the top 16 bits (equi-join —
+    the scale path), then keep pairs within hamming distance 6."""
+    sim = simhash_fingerprints(spark, sf_dir)
+    block = F.shiftright(F.col("simhash"), _SIMHASH_BITS // 2)
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), block.alias("blk"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), block.alias("blk"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@REG.add(
+    "chargram_jaccard_pairs",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, {sql_char_shingles('text')} AS g FROM documents
+    ),
+    keyed AS (SELECT doc_id, g, {sql_minhash('g', 99)} AS blk FROM grams),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g))::DOUBLE
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6
+    """,
+)
+def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup: candidates block on one minhash of
+    the gram set (pairs this misses are by definition below ~the threshold
+    with high probability); exact jaccard verifies."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", char_shingles(F.col("text")).alias("g"))
+    keyed = grams.select("doc_id", "g", minhash(F.col("g"), 99).alias("blk"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )

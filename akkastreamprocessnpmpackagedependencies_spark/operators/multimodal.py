@@ -1,0 +1,138 @@
+"""Multimodal column pattern: media as opaque ``binary`` payloads + a typed
+metadata struct, with decode / feature-extraction as Arrow-batched Pandas
+UDFs over ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual codec step is
+STUBBED two ways (per the driver contract):
+- ``decode_media_features`` — a deterministic fake decoder (pure function
+  of the bytes) so the full Spark plumbing (binary column, schema,
+  partitioning, Arrow batch shape) is real AND oracle-checkable;
+- ``decode_image_real`` — the production signature, raising
+  NotImplementedError until a codec (PIL/ffmpeg) is installed.
+
+Scale notes: payloads travel Arrow-batched (zero-copy per batch, never
+row-at-a-time); metadata-only queries never touch the payload column
+(parquet column pruning), which is the entire point of keeping metadata in
+separate typed columns at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .registry import Registry
+
+REG = Registry()
+
+
+def as_media(docs: DataFrame) -> DataFrame:
+    """Model documents as a multimodal table: opaque binary payload +
+    typed metadata struct (mime inferred from source, byte length)."""
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-"), F.col("source")).alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+@REG.add(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           'application/x-' || source  AS mime,
+           octet_length(encode(text))  AS n_bytes,
+           md5(text)                   AS payload_md5,
+           16 + octet_length(encode(text)) % 624        AS fake_width,
+           16 + (octet_length(encode(text)) * 7) % 464  AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the multimodal table: payload stats +
+    deterministic fake dimensions (stand-ins for decoded media headers).
+    The payload bytes feed md5/octet_length only — no decode."""
+    m = as_media(load_table(spark, sf_dir, "documents"))
+    nb = F.col("meta.n_bytes")
+    return m.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        nb.alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        (F.lit(16) + nb % 624).alias("fake_width"),
+        (F.lit(16) + (nb * 7) % 464).alias("fake_height"),
+    )
+
+
+_FEATURE_SCHEMA = "doc_id long, n_bytes long, mean_byte double, max_byte int, head_hex string"
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'codec': per-payload byte statistics. Stands in
+    for image decode / audio resample / frame sampling; the Arrow batch
+    shape and output schema are exactly what a real codec UDF would use."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "mean_byte": payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0),
+                "max_byte": payloads.map(lambda b: max(b) if len(b) else 0).astype("int32"),
+                "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+            }
+        )
+
+
+@REG.add(
+    "multimodal_decode_features",
+    """
+    WITH cp AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             list_transform(split(text, ''), ch -> unicode(ch)) AS cps,
+             text
+      FROM documents)
+    SELECT doc_id, n_bytes::BIGINT AS n_bytes,
+           list_sum(cps)::DOUBLE / n_bytes AS mean_byte,
+           list_max(cps)::INT              AS max_byte,
+           hex(encode(substr(text, 1, 8))) AS head_hex
+    FROM cp
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage: mapInPandas over the binary payload column,
+    Arrow-batched, emitting a typed feature row per media item. The oracle
+    recomputes the same byte statistics in SQL (payloads are ASCII text, so
+    code points == bytes), proving the UDF plumbing end to end."""
+    m = as_media(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    out = m.mapInPandas(_fake_decode, schema=_FEATURE_SCHEMA)
+    return out.withColumn("head_hex", F.upper("head_hex"))
+
+
+def decode_image_real(df: DataFrame) -> DataFrame:
+    """Production image-decode operator (width/height/channels via a real
+    codec). The container ships no imaging library; this is the declared
+    seam where one plugs in.
+
+    raises NotImplementedError until PIL/opencv is available.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - exercised in tests
+            raise NotImplementedError(
+                "image decode requires PIL; install an imaging codec to use decode_image_real"
+            ) from e
+        raise NotImplementedError("wire PIL decode here once the codec is present")
+
+    return df.mapInPandas(_decode, schema="doc_id long, width int, height int, channels int")

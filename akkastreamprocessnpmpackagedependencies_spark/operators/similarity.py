@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim):
+brute-force cosine top-k as the exact baseline, a sign-random-projection
+LSH bucketed variant as the scale path, and cosine near-dup pairs with
+IVF-style candidate blocking.
+
+Scale design (100 TB):
+- brute force broadcasts the (small) query set and streams the corpus once
+  — one pass, no shuffle of the corpus, per-partition top-k then a k-row
+  driver merge (TakeOrdered);
+- the LSH variant equi-joins on bucket id, so candidate generation touches
+  ~corpus/2^P vectors per query instead of all of them;
+- near-dup blocks on the label (an IVF-like coarse quantizer): the cross
+  join only happens inside a block.
+
+All similarity values are rounded to 6 dp in the output (cross-engine
+double folds can differ by 1 ulp; see functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.constants import LSH_PLANES
+from ..functions.vector import cosine, lsh_bucket, sql_cosine, sql_lsh_bucket
+from ..session import load_table
+from .registry import Registry
+
+REG = Registry()
+
+DIM = 64
+N_QUERIES = 3  # vec_id < 3 serve as the query set
+TOP_K = 10
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+
+
+_SQL_CORPUS = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+@REG.add(
+    "cosine_topk_bruteforce",
+    f"""
+    WITH e AS ({_SQL_CORPUS}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({sql_cosine('e.v', 'q.qv', DIM)}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {sql_cosine('e.v', 'q.qv', DIM)} DESC, e.vec_id) AS rank
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM scored WHERE rank <= {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the query vectors, scan the corpus
+    once, cosine per (query, vector), top-k per query."""
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("c"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"), "rank")
+    )
+
+
+@REG.add(
+    "cosine_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, v, {sql_lsh_bucket('v', LSH_PLANES, DIM)} AS bucket
+               FROM ({_SQL_CORPUS})),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({sql_cosine('e.v', 'q.qv', DIM)}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {sql_cosine('e.v', 'q.qv', DIM)} DESC, e.vec_id) AS rank
+      FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM scored WHERE rank <= {TOP_K}
+    """,
+)
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-random-projection bucket (4 hyperplanes ->
+    16 buckets), candidates = same-bucket equi-join, exact cosine re-rank
+    inside the bucket. At 100 TB the bucket id is the partition key and
+    each query only touches its bucket's partition."""
+    e = _corpus(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("v"), LSH_PLANES))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("c"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"), "rank")
+    )
+
+
+@REG.add(
+    "embedding_neardup_pairs",
+    f"""
+    WITH e AS ({_SQL_CORPUS})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_cosine('a.v', 'b.v', DIM)}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.v', 'b.v', DIM)} > 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with IVF-style blocking: the label column
+    acts as the coarse quantizer — all-pairs cosine only within a block,
+    an equi-join at scale instead of a corpus cross join."""
+    e = _corpus(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    c = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            c.alias("c"),
+        )
+        .filter(F.col("c") > 0.4)
+        .select("vec_a", "vec_b", F.round("c", 6).alias("cos_sim"))
+    )

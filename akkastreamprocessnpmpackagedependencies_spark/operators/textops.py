@@ -1,0 +1,159 @@
+"""Text-analysis operators over the ``documents`` table: language-ID
+heuristic, quality scoring, token counting, and document fingerprinting —
+the per-document stages of a training-data pipeline.
+
+Everything is built-in column expressions (codegen'd, no Python row path);
+ratios divide exact integers so outputs are engine-deterministic without
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, minhash, sql_char_shingles, sql_minhash
+from ..session import load_table
+from .registry import Registry
+
+REG = Registry()
+
+# Marker-token profiles for the n-gram/stopword language heuristic. The
+# synthetic corpus is an English-ish word soup, so the profiles are
+# demonstration-grade; the OPERATOR (per-language marker-hit argmax with a
+# deterministic tie-break) is the real deliverable, and the marker lists are
+# config. Languages follow the corpus labels: en de fr es zh.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "key", "order"],
+    "de": ["data", "row", "column"],
+    "es": ["table", "query", "scan"],
+    "fr": ["join", "merge", "sort"],
+    "zh": ["spark", "stream", "batch"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def _hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def _sql_hits(toks: str, markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+_LANGS = list(LANG_MARKERS)
+
+
+@REG.add(
+    "lang_id_heuristic",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_sql_hits('toks', LANG_MARKERS[lg])} AS s_{lg}" for lg in _LANGS)}
+      FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest({", ".join(f"s_{lg}" for lg in _LANGS)})
+             {" ".join(f"WHEN s_{lg} THEN '{lg}'" for lg in _LANGS)}
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: count hits per language profile, argmax
+    with first-language-wins tie-break (the CASE scans profiles in order)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_hits(toks, LANG_MARKERS[lg]).alias(f"s_{lg}") for lg in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANGS])
+    pred = F.when(F.col(f"s_{_LANGS[0]}") == best, _LANGS[0])
+    for lg in _LANGS[1:]:
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    return scored.select("doc_id", "labeled_lang", pred.alias("pred_lang"))
+
+
+@REG.add(
+    "text_quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)                                            AS n_tokens,
+           n_chars::DOUBLE / len(toks)                          AS avg_token_len,
+           {_sql_hits('toks', STOPWORDS)}::DOUBLE / len(toks)   AS stopword_ratio,
+           len(list_distinct(toks))::DOUBLE / len(toks)         AS lexical_diversity,
+           CASE WHEN len(toks) BETWEEN 20 AND 400
+                 AND {_sql_hits('toks', STOPWORDS)} > 0
+                THEN 1 ELSE 0 END                               AS quality_pass
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, stopword ratio, lexical diversity, and a
+    rule-based keep/drop gate — integer ratios, engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop = _hits(toks, STOPWORDS)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n).alias("avg_token_len"),
+        (stop.cast("double") / n).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("lexical_diversity"),
+        F.when(n.between(20, 400) & (stop > 0), 1).otherwise(0).alias("quality_pass"),
+    )
+
+
+@REG.add(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))     AS bpe_ish_tokens,
+           length(text)                                          AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | any other non-space char)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|\S"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@REG.add(
+    "doc_fingerprints",
+    f"""
+    WITH g AS (SELECT doc_id, text, {sql_char_shingles('text', 16)} AS grams FROM documents)
+    SELECT doc_id,
+           {sql_minhash('grams', 0)}  AS fp_min,
+           {sql_minhash('grams', 1)}  AS fp_min2,
+           md5(text)                  AS fp_full
+    FROM g
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min seeded-md5 over rolling 16-char
+    windows (2 seeds) + whole-document md5. Two docs sharing fp_min are
+    near-dup candidates; fp_full pins exact dups."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = char_shingles(F.col("text"), 16)
+    return d.select(
+        "doc_id",
+        minhash(grams, 0).alias("fp_min"),
+        minhash(grams, 1).alias("fp_min2"),
+        F.md5("text").alias("fp_full"),
+    )

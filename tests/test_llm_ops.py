@@ -1,0 +1,137 @@
+"""Tests for the LLM-data-pipeline operators: dedup, similarity search,
+text analysis, multimodal plumbing. sf0.001 for speed; the DuckDB oracle
+harness (tools/oracle_check.py) covers exact parity at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from akkastreamprocessnpmpackagedependencies_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
+from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+
+def test_minhash_lsh_finds_symmetric_neardups(spark, sf_dir):
+    pairs = dedup.minhash_lsh_neardup(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.doc_a < r.doc_b  # canonical orientation, no dupes
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.jaccard >= dedup.JACCARD_THRESHOLD
+
+
+def test_minhash_lsh_catches_high_jaccard_pairs(spark, sf_dir):
+    """LSH candidates must include every pair with jaccard >= 0.9 (with
+    4 bands x 3 rows the miss probability at j=0.9 is ~(1-0.729)^4 < 0.6% —
+    the fixed test data has no misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import word_shingles
+
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+        .collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_neardup(spark, sf_dir).collect()}
+    assert brute <= lsh
+
+
+def test_exact_dedup_consistency(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    hashed = dedup.dedup_exact_hash(spark, sf_dir)
+    assert hashed.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+    assert hashed.count() == d.select("text").distinct().count()
+
+
+def test_simhash_is_32bit(spark, sf_dir):
+    rows = dedup.simhash_fingerprints(spark, sf_dir).collect()
+    assert all(0 <= r.simhash < (1 << 32) for r in rows)
+
+
+def test_cosine_topk_ranks_descending(spark, sf_dir):
+    rows = similarity.cosine_topk_bruteforce(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    """LSH top-k neighbors must appear in the brute-force ranking with
+    cos_sim <= the brute-force best (it searches a subset)."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    lsh = similarity.cosine_topk_lsh(spark, sf_dir).collect()
+    assert len(lsh) > 0
+    brute_best = {}
+    for (q, _n), c in brute.items():
+        brute_best[q] = max(brute_best.get(q, -2.0), c)
+    for r in lsh:
+        assert r.cos_sim <= brute_best[r.query_id] + 1e-9
+
+
+def test_quality_scores_bounds(spark, sf_dir):
+    rows = textops.text_quality_scores(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 < r.lexical_diversity <= 1.0
+        assert r.quality_pass in (0, 1)
+
+
+def test_lang_id_predicts_known_language(spark, sf_dir):
+    rows = textops.lang_id_heuristic(spark, sf_dir).collect()
+    langs = set(textops.LANG_MARKERS)
+    assert all(r.pred_lang in langs for r in rows)
+
+
+def test_multimodal_payload_roundtrip(spark, sf_dir):
+    m = multimodal.as_media(load_table(spark, sf_dir, "documents"))
+    row = m.filter(F.col("doc_id") == 0).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.payload)
+    assert row.meta.mime.startswith("application/x-")
+
+
+def test_multimodal_decode_features_match_python(spark, sf_dir):
+    feats = {r.doc_id: r for r in multimodal.multimodal_decode_features(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").limit(50).collect()}
+    for doc_id, text in docs.items():
+        b = text.encode()
+        r = feats[doc_id]
+        assert r.n_bytes == len(b)
+        assert r.mean_byte == pytest.approx(sum(b) / len(b))
+        assert r.head_hex == b[:8].hex().upper()
+
+
+def test_decode_image_real_raises_without_codec(spark, sf_dir):
+    m = multimodal.as_media(load_table(spark, sf_dir, "documents")).limit(1)
+    out = multimodal.decode_image_real(m.select("doc_id", "payload"))
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
