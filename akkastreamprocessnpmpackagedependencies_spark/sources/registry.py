@@ -1,0 +1,137 @@
+"""Custom Python DataSource ``npmregistry``: the reference's rate-limited
+HTTP ingestion (reference: src/main/scala/Main.scala:32 ``throttle(1,
+3.second)``; src/main/scala/NpmPackage.scala:7-22 fetch) rebuilt as a
+first-class Spark source with offset-based replay.
+
+Design:
+- **Offsets are indices into the sorted package list** — every micro-batch
+  is a replayable slice, so a failed fetch is retried by the engine instead
+  of silently dropping the package (the reference loses data on any non-200:
+  NpmPackage.scala:9).
+- **Rate limiting happens in offset planning**: one ``read()`` call admits
+  at most ``rate`` packages, the Spark analogue of the per-element throttle
+  (micro-batch granularity — documented difference, SURVEY.md §2.4 F3).
+- **Hermetic by default**: docs come from the frozen fixture parquet
+  (``docs_path``). ``mode=live`` fetches https://registry.npmjs.org/<name>
+  (import-gated on ``requests``; politeness = the same rate option).
+- Batch reader partitions the package list evenly — at scale each executor
+  fetches its slice with its own connection, no driver bottleneck.
+
+Emitted schema matches the fixture docs table: name, status_code, doc.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+SCHEMA = "name string, status_code int, doc string"
+
+
+def _load_docs(options: dict) -> list[tuple[str, int, str]]:
+    """Resolve the (name, status, doc) universe once per reader.
+
+    Runs on executors inside reader methods — only stdlib + pyarrow, no
+    SparkSession access (data sources must be self-contained)."""
+    mode = (options.get("mode") or "fixture").lower()
+    packages_path = options.get("packages_path")
+    names: list[str] | None = None
+    if packages_path:
+        import gzip
+
+        opener = gzip.open if packages_path.endswith(".gz") else open
+        with opener(packages_path, "rt") as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    if mode == "live":  # pragma: no cover - no network in the test env
+        try:
+            import requests
+        except ImportError as e:
+            raise NotImplementedError("live mode needs the 'requests' package") from e
+        assert names is not None, "live mode requires packages_path"
+        out = []
+        for n in names:
+            r = requests.get(f"https://registry.npmjs.org/{n}", timeout=30)
+            out.append((n, r.status_code, r.text if r.status_code == 200 else None))
+        return out
+    docs_path = options.get("docs_path")
+    if docs_path:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(docs_path)
+        rows = list(zip(*(t.column(c).to_pylist() for c in ("name", "status_code", "doc"))))
+    else:
+        from ..fixtures import registry_docs
+
+        rows = registry_docs()
+    if names is not None:
+        wanted = set(names)
+        rows = [r for r in rows if r[0] in wanted]
+    return sorted(rows)  # deterministic offset order
+
+
+class NpmRegistryBatchReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.options = options
+        self.n_parts = int(options.get("numpartitions", 4))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        rows = _load_docs(self.options)
+        # contiguous slices; partition i owns rows [i*step, (i+1)*step)
+        yield from rows[partition.value :: self.n_parts]
+
+
+class NpmRegistryStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"index": n} into the sorted package universe. read()
+    admits at most ``rate`` rows per micro-batch; readBetweenOffsets
+    replays any committed slice exactly (checkpoint recovery)."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = options
+        self.rate = int(options.get("rate", 5))
+        self._rows: list[tuple] | None = None
+
+    def _universe(self) -> list[tuple]:
+        if self._rows is None:
+            self._rows = _load_docs(self.options)
+        return self._rows
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows = self._universe()
+        lo = start["index"]
+        hi = min(lo + self.rate, len(rows))
+        return iter(rows[lo:hi]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        rows = self._universe()
+        return iter(rows[start["index"] : end["index"]])
+
+
+class NpmRegistryDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "npmregistry"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> NpmRegistryBatchReader:
+        return NpmRegistryBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> NpmRegistryStreamReader:
+        return NpmRegistryStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(NpmRegistryDataSource)

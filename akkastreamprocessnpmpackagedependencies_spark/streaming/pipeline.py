@@ -1,0 +1,151 @@
+"""Streaming pipelines.
+
+The reference is a bounded stream folded to a single value emitted on
+completion (reference: src/main/scala/Main.scala:82-86 ``Flow.fold``; see
+SURVEY.md §1.5) — a batch job on streaming machinery. The honest Spark
+analogues implemented here:
+
+- ``streaming_dependency_counts``: the flagship query over the custom
+  ``npmregistry`` source in **complete** output mode — Spark's state store
+  replaces the reference's single mutable heap map
+  (AccumulatedDependencyCount.scala:4), which was its scale ceiling;
+- event-time operators over the ``events`` table: watermarked tumbling /
+  sliding / session windows, dedup-within-watermark, and a custom stateful
+  per-user counter via ``applyInPandasWithState`` — capabilities with no
+  reference counterpart (no timestamps exist there at all).
+
+Scale notes: streaming aggs shuffle once per micro-batch on the grouping
+key; the state store is partitioned the same way, so state lookups are
+local. Watermarks bound state size — without them a 100 TB stream's window
+state grows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.npm import accumulate_counts, count_dependencies, explode_versions, parse_registry
+from ..sources.registry import register
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_registry_stream(
+    spark: SparkSession, rate: int = 5, docs_path: str | None = None
+) -> DataFrame:
+    """readStream over the custom rate-limited registry source."""
+    register(spark)
+    reader = spark.readStream.format("npmregistry").option("rate", rate)
+    if docs_path:
+        reader = reader.option("docs_path", docs_path)
+    return reader.load()
+
+
+def streaming_dependency_counts(stream: DataFrame) -> DataFrame:
+    """The flagship pipeline on an unbounded source: same operator chain as
+    batch (shared code), with the fold expressed as a streaming aggregation.
+    Run with outputMode('complete') — emit-on-completion semantics for a
+    bounded replay, continuous refinement for a live one."""
+    ok = stream.filter(F.col("status_code") == 200)
+    return accumulate_counts(count_dependencies(explode_versions(parse_registry(ok))))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """File-stream over events parquet (ns timestamps read as long, then
+    converted — same convention as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling 1h window — append-safe: a window finalizes
+    (and its state is dropped) once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Native session windows (the streaming form of the batch
+    lag-gap-cumsum sessionization in operators/timeseries.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: state for an id is dropped once
+    the watermark passes it — bounded state, unlike a global distinct."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = "n long"
+_OUT_SCHEMA = "user_id long, n_events long"
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter whose state survives across micro-batches (the
+    idiom for operators Spark's built-in aggs can't express)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None):
+    """Start a memory-sink query (test/driver harness helper)."""
+    w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

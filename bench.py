@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via the noop sink (count() would let Catalyst
+prune unaggregated projections). One JVM-warmup action runs first so the
+measured numbers are steady-state, matching how a long-lived cluster runs.
+
+Baseline context (BASELINE.md): the reference is throttle-bound at 1
+package / 3 s (>= 57 s for its 20-package input) on a single thread; the
+hermetic flagship here is compute-bound and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "npm_dependency_counts",
+    "pricing_summary",
+    "forecast_revenue",
+    "top_unshipped_orders",
+    "supplier_volume_by_nation",
+    "priority_with_returns",
+    "top_orders_per_customer",
+    "running_quantity_by_supplier",
+    "events_tumbling_1h",
+    "events_sessionize",
+    "asof_purchase_signup",
+    "json_funcs",
+    "dedup_exact_hash",
+    "minhash_lsh_neardup",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "text_quality_scores",
+    "doc_fingerprints",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+    from akkastreamprocessnpmpackagedependencies_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup (not measured)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Streaming engine tests: custom registry source (batch + stream + replay),
+streaming flagship == batch flagship, event-time windows with watermarks,
+dedup-within-watermark, custom stateful operator, checkpoint restart."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from akkastreamprocessnpmpackagedependencies_spark import fetch, fixtures
+from akkastreamprocessnpmpackagedependencies_spark.operators import npm
+from akkastreamprocessnpmpackagedependencies_spark.schemas import PACKAGES_SCHEMA
+from akkastreamprocessnpmpackagedependencies_spark.sources.registry import (
+    NpmRegistryStreamReader,
+    register,
+)
+from akkastreamprocessnpmpackagedependencies_spark.streaming import pipeline as sp
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+# ---------------------------------------------------------------- source
+
+
+def test_registry_batch_source(spark, fixtures_dir):
+    register(spark)
+    df = (
+        spark.read.format("npmregistry")
+        .option("docs_path", os.path.join(fixtures_dir, "npm_registry_docs.parquet"))
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == len(fixtures.registry_docs())
+    assert {r.name for r in rows} == {n for n, _, _ in fixtures.registry_docs()}
+
+
+def test_stream_reader_rate_and_replay():
+    r = NpmRegistryStreamReader({"rate": "3"})
+    total = len(fixtures.registry_docs())
+    off = r.initialOffset()
+    seen = []
+    while True:
+        it, nxt = r.read(off)
+        batch = list(it)
+        assert len(batch) <= 3  # rate cap per micro-batch
+        if not batch:
+            assert nxt == off
+            break
+        seen.extend(batch)
+        # replay of the committed slice is exact (checkpoint recovery)
+        assert list(r.readBetweenOffsets(off, nxt)) == batch
+        off = nxt
+    assert len(seen) == total
+
+
+def test_streaming_flagship_matches_batch(spark, fixtures_dir, tmp_path):
+    stream = sp.read_registry_stream(
+        spark, rate=4, docs_path=os.path.join(fixtures_dir, "npm_registry_docs.parquet")
+    )
+    q = sp.run_to_memory(
+        sp.streaming_dependency_counts(stream),
+        "npm_stream",
+        "complete",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    _drain(q)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM npm_stream").collect())
+    assert got == fixtures.expected_counts()
+
+
+def test_http_enrich_fixture_mode(spark):
+    packages = spark.createDataFrame([(n,) for n in fixtures.package_names()], PACKAGES_SCHEMA)
+    enriched = fetch.http_enrich(packages)
+    out = npm.report(
+        npm.accumulate_counts(
+            npm.count_dependencies(
+                npm.explode_versions(
+                    npm.parse_registry(enriched.filter(F.col("status_code") == 200))
+                )
+            )
+        )
+    )
+    assert sorted(tuple(r) for r in out.collect()) == fixtures.expected_counts()
+
+
+# ------------------------------------------------------------ event time
+
+
+def _write_time_sliced(df, src: str, n_files: int = 4) -> None:
+    """Write df as n time-ordered files with strictly increasing mtimes —
+    the file stream source orders batches by modification time, so this
+    makes arrival order == event-time order (watermarks advance cleanly)."""
+    import time as _time
+
+    from pyspark.sql.window import Window as W
+
+    tiled = df.withColumn("_tile", F.ntile(n_files).over(W.orderBy("ts")))
+    for i in range(1, n_files + 1):
+        (
+            tiled.filter(F.col("_tile") == i)
+            .drop("_tile")
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # back to raw ns longs
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(0.05)
+
+
+def _events_stream(spark, sf_dir, tmp_path, n_files=4):
+    """Split events into time-ordered files so multiple micro-batches
+    advance the watermark."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    src = str(tmp_path / "events_src")
+    _write_time_sliced(load_events(spark, sf_dir), src, n_files)
+    return sp.read_events_stream(spark, src, max_files=1)
+
+
+def test_tumbling_watermark_append(spark, sf_dir, tmp_path):
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.tumbling_counts(ev), "tumbling_out", "append")
+    _drain(q)
+    emitted = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert emitted, "watermark never finalized any window"
+    # every emitted window must agree exactly with the batch computation
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        events_tumbling_1h,
+    )
+
+    batch = {
+        (r.window_start, r.event_type): r.n for r in events_tumbling_1h(spark, sf_dir).collect()
+    }
+    for k, n in emitted.items():
+        assert batch[k] == n
+
+
+def test_session_window_update(spark, sf_dir, tmp_path):
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.session_counts(ev), "session_out", "append")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert rows
+    assert all(r.session_end > r.session_start for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    # duplicate every event, write interleaved, stream-dedup on event_id
+    base = load_events(spark, sf_dir).orderBy("event_id").limit(500)
+    src = str(tmp_path / "dup_src")
+    _write_time_sliced(base.union(base), src)
+    ev = sp.read_events_stream(spark, src, max_files=1)
+    q = sp.run_to_memory(sp.dedup_within_watermark(ev), "dedup_out", "append")
+    _drain(q)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == 500
+
+
+def test_stateful_user_counts(spark, sf_dir, tmp_path):
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.stateful_user_counts(ev), "state_out", "update")
+    _drain(q)
+    # last emitted value per user == total batch count for that user
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    expected = {
+        r.user_id: r.n
+        for r in load_events(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    final = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM state_out GROUP BY user_id"
+        ).collect()
+    }
+    assert final == expected
+
+
+def test_checkpoint_restart_no_reprocessing(spark, fixtures_dir, tmp_path):
+    """Offsets persist in the checkpoint: a restarted query sees the
+    committed position and replays NOTHING (the reference, by contrast,
+    loses data permanently on any failure — NpmPackage.scala:9)."""
+    ck = str(tmp_path / "ck2")
+    out = str(tmp_path / "sink")
+    docs = os.path.join(fixtures_dir, "npm_registry_docs.parquet")
+    n_docs = len(fixtures.registry_docs())
+
+    def start():
+        stream = sp.read_registry_stream(spark, rate=4, docs_path=docs)
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    _drain(start())
+    assert spark.read.parquet(out).count() == n_docs  # exactly once
+
+    # restart from the same checkpoint: offsets committed, nothing replayed
+    _drain(start())
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == n_docs
+    assert sunk.select("name").distinct().count() == n_docs
