@@ -39,8 +39,31 @@ def char_shingles(text: Column, k: int = 4) -> Column:
 
 
 def minhash(shingles: Column, seed: int) -> Column:
-    """One minhash: lexicographic min of seeded md5 hex over the set."""
+    """One minhash: lexicographic min of seeded md5 hex over the set.
+    Simple but pays one md5 per (seed, shingle); prefer the affine family
+    below when computing many hashes per document."""
     return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+
+
+def base_hashes(shingles: Column) -> Column:
+    """32-bit base hash per shingle (md5 -> first 8 hex -> int mod P),
+    computed ONCE; the affine family below derives K minhashes from it with
+    two integer ops each instead of K md5 evaluations."""
+    from .constants import MINHASH_P
+
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P,
+    )
+
+
+def minhash_affine(bases: Column, coeff_idx: int) -> Column:
+    """min over shingles of (A*x + B) mod P — a classic universal-hash
+    minhash; A/B are committed literals shared with the SQL oracle."""
+    from .constants import MINHASH_COEFFS, MINHASH_P
+
+    a, b = MINHASH_COEFFS[coeff_idx]
+    return F.array_min(F.transform(bases, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
 
 
 def sql_word_shingles(text: str, k: int = 3) -> str:
@@ -60,3 +83,19 @@ def sql_char_shingles(text: str, k: int = 4) -> str:
 
 def sql_minhash(shingles: str, seed: int) -> str:
     return f"list_min(list_transform({shingles}, s -> md5('{seed}:' || s)))"
+
+
+def sql_base_hashes(shingles: str) -> str:
+    from .constants import MINHASH_P
+
+    return (
+        f"list_transform({shingles}, "
+        f"s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {MINHASH_P})"
+    )
+
+
+def sql_minhash_affine(bases: str, coeff_idx: int) -> str:
+    from .constants import MINHASH_COEFFS, MINHASH_P
+
+    a, b = MINHASH_COEFFS[coeff_idx]
+    return f"list_min(list_transform({bases}, x -> ({a} * x + {b}) % {MINHASH_P}))"

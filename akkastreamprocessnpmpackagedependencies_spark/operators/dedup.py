@@ -22,14 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    base_hashes,
     char_shingles,
-    minhash,
+    minhash_affine,
+    sql_base_hashes,
     sql_char_shingles,
-    sql_minhash,
+    sql_minhash_affine,
     sql_word_shingles,
     word_shingles,
 )
-from ..session import load_table
+from ..session import load_scaled, load_table
 from .registry import Registry
 
 REG = Registry()
@@ -77,19 +79,24 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + minhash signature columns mh0..mhN over 3-word shingles."""
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    """doc_id + minhash signature columns mh0..mhN over 3-word shingles.
+    One md5 per shingle (the base hash); the N signature hashes are affine
+    transforms of it — N x cheaper than N independent md5 passes."""
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).withColumn(
+        "bases", base_hashes(F.col("sh"))
+    )
     return sh.select(
-        "doc_id", "sh", *[minhash(F.col("sh"), h).alias(f"mh{h}") for h in range(N_HASHES)]
+        "doc_id", "sh", *[minhash_affine(F.col("bases"), h).alias(f"mh{h}") for h in range(N_HASHES)]
     )
 
 
 def _sql_signature_cte() -> str:
-    mh = ", ".join(f"{sql_minhash('sh', h)} AS mh{h}" for h in range(N_HASHES))
+    mh = ", ".join(f"{sql_minhash_affine('bases', h)} AS mh{h}" for h in range(N_HASHES))
     return f"""
     sig AS (
       SELECT doc_id, sh, {mh}
-      FROM (SELECT doc_id, {sql_word_shingles('text')} AS sh FROM documents)
+      FROM (SELECT doc_id, sh, {sql_base_hashes('sh')} AS bases
+            FROM (SELECT doc_id, {sql_word_shingles('text')} AS sh FROM documents))
     )"""
 
 
@@ -101,9 +108,9 @@ def _sql_signature_cte() -> str:
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (12 seeded md5-min hashes over
-    distinct 3-word shingles)."""
-    return _signatures(load_table(spark, sf_dir, "documents")).drop("sh")
+    """Per-document MinHash signature (12 affine minhashes over distinct
+    3-word shingles)."""
+    return _signatures(load_scaled(spark, sf_dir, "documents")).drop("sh", "bases")
 
 
 _BAND_KEYS_SQL = ", ".join(
@@ -140,7 +147,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH: signature -> band keys ->
     bucket equi-join for candidates -> exact shingle-jaccard verification.
     The only join is on band keys; true jaccard runs on candidates only."""
-    sig = _signatures(load_table(spark, sf_dir, "documents"))
+    sig = _signatures(load_scaled(spark, sf_dir, "documents"))
     band_key = [
         F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
         for b in range(N_BANDS)
@@ -197,7 +204,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-bit majority vote over md5 digits of
     the distinct token set. Explode(tokens x bits) -> two hash aggs —
     fully distributed, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_scaled(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     bits = (
         toks.select("doc_id", F.md5("tok").alias("h"))
@@ -256,7 +263,8 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grams AS (
       SELECT doc_id, {sql_char_shingles('text')} AS g FROM documents
     ),
-    keyed AS (SELECT doc_id, g, {sql_minhash('g', 99)} AS blk FROM grams),
+    keyed AS (SELECT doc_id, g,
+              {sql_minhash_affine(sql_base_hashes('g'), 12)} AS blk FROM grams),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.g, b.g))::DOUBLE
@@ -270,9 +278,9 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-4-gram Jaccard near-dup: candidates block on one minhash of
     the gram set (pairs this misses are by definition below ~the threshold
     with high probability); exact jaccard verifies."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_scaled(spark, sf_dir, "documents")
     grams = d.select("doc_id", char_shingles(F.col("text")).alias("g"))
-    keyed = grams.select("doc_id", "g", minhash(F.col("g"), 99).alias("blk"))
+    keyed = grams.select("doc_id", "g", minhash_affine(base_hashes(F.col("g")), 12).alias("blk"))
     a, b = keyed.alias("a"), keyed.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
     union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter

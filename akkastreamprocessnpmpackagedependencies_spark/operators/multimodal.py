@@ -80,14 +80,24 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic fake 'codec': per-payload byte statistics. Stands in
     for image decode / audio resample / frame sampling; the Arrow batch
     shape and output schema are exactly what a real codec UDF would use."""
+    import numpy as np
+
     for pdf in batches:
         payloads = pdf["payload"]
+
+        def stats(b) -> tuple[int, float, int]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if arr.size == 0:
+                return 0, 0.0, 0
+            return arr.size, float(arr.sum()) / arr.size, int(arr.max())
+
+        triples = payloads.map(stats)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "mean_byte": payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0),
-                "max_byte": payloads.map(lambda b: max(b) if len(b) else 0).astype("int32"),
+                "n_bytes": triples.map(lambda t: t[0]).astype("int64"),
+                "mean_byte": triples.map(lambda t: t[1]),
+                "max_byte": triples.map(lambda t: t[2]).astype("int32"),
                 "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
             }
         )
@@ -113,6 +123,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched, emitting a typed feature row per media item. The oracle
     recomputes the same byte statistics in SQL (payloads are ASCII text, so
     code points == bytes), proving the UDF plumbing end to end."""
+    # Deliberately NOT repartitioned: the fake codec is trivial, so Python
+    # worker fan-out overhead dominates locally. A real image/video codec is
+    # compute-bound — switch to load_scaled (or rely on natural file splits
+    # at scale) when plugging one in.
     m = as_media(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
     out = m.mapInPandas(_fake_decode, schema=_FEATURE_SCHEMA)
     return out.withColumn("head_hex", F.upper("head_hex"))

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.constants import LSH_PLANES
 from ..functions.vector import cosine, lsh_bucket, sql_cosine, sql_lsh_bucket
-from ..session import load_table
+from ..session import load_scaled
 from .registry import Registry
 
 REG = Registry()
@@ -35,7 +35,7 @@ TOP_K = 10
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_scaled(spark, sf_dir, "embeddings")
     return e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
 
 

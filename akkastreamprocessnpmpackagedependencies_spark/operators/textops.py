@@ -12,8 +12,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, minhash, sql_char_shingles, sql_minhash
-from ..session import load_table
+from ..functions.text import (
+    base_hashes,
+    char_shingles,
+    minhash_affine,
+    sql_base_hashes,
+    sql_char_shingles,
+    sql_minhash_affine,
+)
+from ..session import load_scaled, load_table
 from .registry import Registry
 
 REG = Registry()
@@ -137,23 +144,24 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "doc_fingerprints",
     f"""
-    WITH g AS (SELECT doc_id, text, {sql_char_shingles('text', 16)} AS grams FROM documents)
+    WITH g AS (SELECT doc_id, text,
+               {sql_base_hashes(sql_char_shingles('text', 16))} AS bases FROM documents)
     SELECT doc_id,
-           {sql_minhash('grams', 0)}  AS fp_min,
-           {sql_minhash('grams', 1)}  AS fp_min2,
-           md5(text)                  AS fp_full
+           {sql_minhash_affine('bases', 13)} AS fp_min,
+           {sql_minhash_affine('bases', 14)} AS fp_min2,
+           md5(text)                         AS fp_full
     FROM g
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprint: min seeded-md5 over rolling 16-char
-    windows (2 seeds) + whole-document md5. Two docs sharing fp_min are
-    near-dup candidates; fp_full pins exact dups."""
-    d = load_table(spark, sf_dir, "documents")
-    grams = char_shingles(F.col("text"), 16)
+    """Winnowing-style fingerprint: min affine-hash over rolling 16-char
+    windows (2 hash functions, one md5 pass) + whole-document md5. Two docs
+    sharing fp_min are near-dup candidates; fp_full pins exact dups."""
+    d = load_scaled(spark, sf_dir, "documents")
+    bases = base_hashes(char_shingles(F.col("text"), 16))
     return d.select(
         "doc_id",
-        minhash(grams, 0).alias("fp_min"),
-        minhash(grams, 1).alias("fp_min2"),
+        minhash_affine(bases, 13).alias("fp_min"),
+        minhash_affine(bases, 14).alias("fp_min2"),
         F.md5("text").alias("fp_full"),
     )

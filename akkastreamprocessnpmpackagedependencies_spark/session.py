@@ -62,6 +62,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_scaled(spark: SparkSession, sf_dir: str, name: str):
+    """Scan + repartition to full core parallelism — for operators whose
+    per-row COMPUTE dominates I/O (hashing, shingling, vector math). The
+    test parquet is a single row group, so the bare scan is one task; a
+    100 TB table has thousands of natural splits and this repartition
+    becomes a cheap no-op-ish rebalance. Do NOT use for scan-bound
+    relational queries — there the shuffle is pure cost."""
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str):
     """The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects. Read nanos as long (runtime-settable legacy
