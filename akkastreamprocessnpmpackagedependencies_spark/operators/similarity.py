@@ -32,6 +32,8 @@ REG = Registry()
 DIM = 64
 N_QUERIES = 3  # vec_id < 3 serve as the query set
 TOP_K = 10
+N_CENTROIDS = 8  # IVF coarse quantizer size (vec_id < 8 are the anchors)
+N_PROBE = 3  # IVF probe width: search the 3 nearest centroid cells
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +120,93 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"), "rank")
+    )
+
+
+@REG.add(
+    "cosine_topk_ivf",
+    f"""
+    WITH e AS ({_SQL_CORPUS}),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM ({_SQL_CORPUS})
+          WHERE vec_id < {N_CENTROIDS}),
+    asg AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.v', 'c.cv', DIM)} DESC,
+                                           c.centroid_id) AS rn
+        FROM e CROSS JOIN c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {sql_cosine('q.qv', 'c.cv', DIM)} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN c)
+      WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({sql_cosine('a.v', 'p.qv', DIM)}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {sql_cosine('a.v', 'p.qv', DIM)} DESC,
+                                         a.vec_id) AS rank
+      FROM asg a JOIN probe p
+        ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM scored WHERE rank <= {TOP_K}
+    """,
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (inverted-file index): a small deterministic
+    centroid set acts as the coarse quantizer; every corpus vector is
+    assigned to its nearest centroid once (broadcast join against K
+    centroids — one corpus pass, no shuffle), and a query probes only the
+    N_PROBE nearest cells. At 100 TB the assignment is a write-time
+    partition key (``partitionBy(centroid_id)``), so a probe reads
+    N_PROBE/K of the corpus — this is the classic IVF-Flat layout
+    (re-rank inside the cell is exact cosine)."""
+    e = _corpus(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # nearest-centroid assignment: argmax cosine over the broadcast centroids
+    aw = W.partitionBy("vec_id").orderBy(F.desc("csim"), "centroid_id")
+    asg = (
+        e.join(F.broadcast(cent))
+        .withColumn("csim", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pw = W.partitionBy("query_id").orderBy(F.desc("csim"), "centroid_id")
+    probe = (
+        q.join(F.broadcast(cent))
+        .withColumn("csim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        asg.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("c"),
+        )
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("c"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"), "rank")
     )

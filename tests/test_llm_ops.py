@@ -94,6 +94,29 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
         assert r.cos_sim <= brute_best[r.query_id] + 1e-9
 
 
+def test_ivf_topk_valid_ranking_and_partial_recall(spark, sf_dir):
+    """IVF probes a subset of cells, so its neighbors must (a) be ranked
+    correctly among themselves and (b) score no better than the brute-force
+    optimum; recall@k against brute force should be non-trivial."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = similarity.cosine_topk_ivf(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+    hits = sum((r.query_id, r.neighbor_id) in brute for r in ivf)
+    assert hits / len(ivf) >= 0.2  # probing 3/8 cells should recover some true NNs
+
+
 def test_quality_scores_bounds(spark, sf_dir):
     rows = textops.text_quality_scores(spark, sf_dir).collect()
     for r in rows:
