@@ -119,10 +119,10 @@ _BAND_KEYS_SQL = ", ".join(
 )
 
 
-@REG.add(
-    "minhash_lsh_neardup",
-    f"""
-    WITH {_sql_signature_cte()},
+def _sql_lsh_ctes() -> str:
+    """Signature -> band -> candidate -> verified-pair CTE chain, shared by
+    the pair query and the cluster query's oracle."""
+    return f"""{_sql_signature_cte()},
     bands AS (
       SELECT doc_id, sh, b, CASE b
         {" ".join(f"WHEN {b} THEN " + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) for b in range(N_BANDS))}
@@ -139,8 +139,17 @@ _BAND_KEYS_SQL = ", ".join(
                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
       FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
                   JOIN sig sb ON sb.doc_id = c.doc_b
-    )
-    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    lshpairs AS (
+      SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@REG.add(
+    "minhash_lsh_neardup",
+    f"""
+    WITH {_sql_lsh_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM lshpairs
     """,
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,6 +180,76 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@REG.add(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE {_sql_lsh_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM lshpairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph, so transitively-linked duplicates collapse to one keeper
+    (the minimum doc_id in the component) — the dedup end-game a pair list
+    alone doesn't give you.
+
+    Implementation is iterative min-label propagation on DataFrames: each
+    round every node takes the min of its own label and its neighbors'
+    labels; converged when no label changes. Near-dup components are almost
+    always tiny cliques, so this converges in 2-3 rounds. At 100 TB scale
+    the same loop holds (each round is one shuffle join + partial-agg), with
+    two standard upgrades: alternate large-star/small-star rounds for
+    O(log n) worst-case convergence on pathological chains, and checkpoint
+    every few rounds to truncate lineage. The DuckDB oracle computes the
+    same components with a recursive CTE."""
+    pairs = minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges.cache()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    labels.cache()
+    for _ in range(20):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        new = (
+            labels.select("id", "lbl")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        new.cache()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("is_keeper"),
     )
 
 

@@ -123,6 +123,61 @@ def distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "stats_moments",
+    f"""
+    SELECT l_returnflag, n, sum_qty, sum_qty2, sum_disc, sum_disc2, sum_cross,
+           median_qty,
+           sqrt((sum_qty2 - sum_qty * sum_qty / n) / (n - 1))   AS stddev_qty,
+           (sum_cross - sum_qty * sum_disc / n)
+             / sqrt((sum_qty2 - sum_qty * sum_qty / n)
+                    * (sum_disc2 - sum_disc * sum_disc / n))    AS corr_qty_disc
+    FROM (
+      SELECT l_returnflag,
+             count(*)                                            AS n,
+             sum(l_quantity)                                     AS sum_qty,
+             sum(l_quantity * l_quantity)                        AS sum_qty2,
+             {sql_dsum("l_discount")}                            AS sum_disc,
+             {sql_dsum("l_discount * l_discount")}               AS sum_disc2,
+             {sql_dsum("l_quantity * l_discount")}               AS sum_cross,
+             quantile_cont(l_quantity, 0.5)                      AS median_qty
+      FROM lineitem GROUP BY l_returnflag)
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev, correlation, exact median) computed
+    from exact raw moments. Spark's stddev/corr built-ins accumulate doubles
+    in shuffle order, which is not reproducible across engines — so the
+    moments are summed exactly (integer-valued doubles sum exactly; the
+    fractional terms go through the decimal convention in registry.py, kept
+    small enough that the decimal→double conversion is itself exact) and
+    the statistics derive from them with one deterministic double
+    expression. At scale this is also the right plan: raw moments are
+    partial-aggregatable (map-side combine), and the median is the only
+    sort-based term. Capabilities absent from the reference (SURVEY.md
+    §2.8)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sum_qty2"),
+        dsum("l_discount").alias("sum_disc"),
+        dsum(F.col("l_discount") * F.col("l_discount")).alias("sum_disc2"),
+        dsum(F.col("l_quantity") * F.col("l_discount")).alias("sum_cross"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+    )
+    n, sq, sq2 = F.col("n"), F.col("sum_qty"), F.col("sum_qty2")
+    sd, sd2, sx = F.col("sum_disc"), F.col("sum_disc2"), F.col("sum_cross")
+    return m.select(
+        "l_returnflag", "n", "sum_qty", "sum_qty2", "sum_disc", "sum_disc2",
+        "sum_cross", "median_qty",
+        F.sqrt((sq2 - sq * sq / n) / (n - F.lit(1))).alias("stddev_qty"),
+        ((sx - sq * sd / n) / F.sqrt((sq2 - sq * sq / n) * (sd2 - sd * sd / n))).alias(
+            "corr_qty_disc"
+        ),
+    )
+
+
+@REG.add(
     "rollup_qty",
     """
     SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n

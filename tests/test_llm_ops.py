@@ -51,6 +51,24 @@ def test_minhash_lsh_catches_high_jaccard_pairs(spark, sf_dir):
     assert brute <= lsh
 
 
+def test_neardup_clusters_cover_pairs(spark, sf_dir):
+    """Connected components: both endpoints of every LSH pair land in the
+    same cluster, the cluster id is the component minimum, and exactly one
+    keeper exists per cluster."""
+    pairs = dedup.minhash_lsh_neardup(spark, sf_dir).collect()
+    clusters = {r.doc_id: r for r in dedup.neardup_clusters(spark, sf_dir).collect()}
+    for p in pairs:
+        assert clusters[p.doc_a].cluster_id == clusters[p.doc_b].cluster_id
+    by_cluster: dict[int, list] = {}
+    for r in clusters.values():
+        assert r.cluster_id <= r.doc_id
+        assert r.is_keeper == (r.doc_id == r.cluster_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_keeper for m in members) == 1
+
+
 def test_exact_dedup_consistency(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
