@@ -1,0 +1,127 @@
+"""Generalized source/sink surface: schema-on-read text/CSV/JSON sources
+(including transparent .gz, the reference's file format — reference:
+src/main/scala/Main.scala:20-24 reads a gzipped line file), and the
+scale-path sinks: partitioned parquet (partition pruning at read time) and
+bucketed tables (shuffle-free co-located joins).
+
+Scale design (100 TB):
+- every reader takes an explicit ``StructType`` — schema inference is a
+  full extra pass over the data and is banned from the hot path;
+- ``write_partitioned`` is the standard layout for fact tables: low-
+  cardinality partition columns become directories, so a filtered read
+  plans only the matching files (PartitionFilters, zero I/O for the rest);
+- ``write_bucketed`` pre-shuffles ONCE at write time: two tables bucketed
+  on the same key x bucket count join with no Exchange on either side —
+  the repeated-join amortization Spark offers in place of co-located
+  storage;
+- ``compact`` controls output file count/size (the small-files problem):
+  AQE-coalesced shuffle writes or an explicit repartition to target file
+  sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line source (plain or .gz by extension — gzip decode, UTF-8 decode
+    and line split are all inside the scan). One column: ``value``.
+    Replaces the reference's FileIO → gunzip → utf8 → split-lines chain
+    (src/main/scala/Main.scala:20-24) with a single declarative scan.
+    A .gz file is non-splittable so it scans as one task — identical
+    serial semantics to the reference; at scale store many files."""
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """CSV scan with a declared schema (no inference pass)."""
+    return spark.read.options(header="true", **options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """JSON-lines scan with a declared schema, PERMISSIVE by default —
+    absent keys become nulls, the engine-level version of the reference's
+    swallow-and-continue JSON handling (src/main/scala/Version.scala:10-12)."""
+    return spark.read.options(mode="PERMISSIVE", **options).schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet sink. ``partition_cols`` must be low-cardinality
+    (each distinct combination is a directory); a read filtered on them
+    prunes whole directories before any I/O. ``max_records_per_file``
+    bounds file size without an extra shuffle."""
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def compact(df: DataFrame, target_partitions: int) -> DataFrame:
+    """Bound output file count before a write. Uses ``coalesce`` (narrow,
+    no shuffle) when shrinking; ``repartition`` only when growing."""
+    n = df.rdd.getNumPartitions()
+    if target_partitions < n:
+        return df.coalesce(target_partitions)
+    if target_partitions > n:
+        return df.repartition(target_partitions)
+    return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: the write shuffles on
+    ``bucket_col`` once; every later equi-join or aggregation on that key
+    between same-bucketed tables runs with NO Exchange (the physical plan
+    shows SortMergeJoin directly over the scans). This is the 100 TB answer
+    to repeated fact-fact joins."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def scan_has_partition_filter(df: DataFrame, col: str) -> bool:
+    """True if the physical scan prunes on ``col`` via PartitionFilters —
+    the assertion that a partitioned layout actually short-circuits I/O."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line and col in line.split("PartitionFilters", 1)[1].split("]", 1)[0]:
+            return True
+    return False
+
+
+def plan_exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)
+
+
+def gzip_lines_roundtrip_count(spark: SparkSession, path: str) -> int:
+    """Convenience: number of non-empty lines in a (possibly gzipped) text
+    file — the reference's source stage as one expression."""
+    return read_lines(spark, path).filter(F.length(F.trim("value")) > 0).count()

@@ -1,0 +1,105 @@
+"""Source/sink surface tests: schema-on-read CSV/JSON round-trips, gzip
+line source, partitioned-parquet pruning, bucketed-join shuffle
+elimination, output compaction."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from akkastreamprocessnpmpackagedependencies_spark.sources import io as sio
+from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    sio.write_csv(nation, path)
+    back = sio.read_csv(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert _rows(back) == _rows(nation)
+
+
+def test_json_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_json")
+    sio.write_json(region, path)
+    back = sio.read_json(spark, path, region.schema)
+    assert _rows(back) == _rows(region)
+
+
+def test_json_permissive_missing_keys_are_null(spark, tmp_path):
+    """Absent JSON keys surface as nulls, not errors — the reference
+    swallows the exception instead (src/main/scala/Version.scala:10-12)."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2}\n')
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    rows = {r.a: r.b for r in sio.read_json(spark, str(p), schema).collect()}
+    assert rows == {1: "x", 2: None}
+
+
+def test_gzip_line_source(spark, tmp_path):
+    """The reference's exact source shape: gzipped file, one name per line
+    (src/main/resources/packages.txt.gz)."""
+    p = tmp_path / "packages.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("Base64\nabab\nalex\n")
+    df = sio.read_lines(spark, str(p))
+    assert [r.value for r in df.collect()] == ["Base64", "abab", "alex"]
+    assert sio.gzip_lines_roundtrip_count(spark, str(p)) == 3
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    l = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "lineitem_part")
+    sio.write_partitioned(l, path, ["l_returnflag"])
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    assert sio.scan_has_partition_filter(pruned, "l_returnflag")
+    expect = l.filter(F.col("l_returnflag") == "R").count()
+    assert pruned.count() == expect
+    # directory layout: one dir per flag value
+    dirs = {d for d in os.listdir(path) if d.startswith("l_returnflag=")}
+    got = {r.l_returnflag for r in l.select("l_returnflag").distinct().collect()}
+    assert dirs == {f"l_returnflag={v}" for v in got}
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    sio.write_bucketed(orders, "b_orders", "o_custkey", n_buckets=4)
+    sio.write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", n_buckets=4
+    )
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    joined = bo.join(bc.hint("merge"), "o_custkey").groupBy("c_mktsegment").count()
+    # same join on the raw (unbucketed) frames shuffles both sides
+    raw = (
+        orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey").hint("merge"), "o_custkey"
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sio.plan_exchange_count(joined) < sio.plan_exchange_count(raw)
+    assert _rows(joined) == _rows(raw)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_compact_controls_file_count(spark, sf_dir, tmp_path):
+    l = load_table(spark, sf_dir, "lineitem").repartition(8)
+    out = str(tmp_path / "compacted")
+    sio.compact(l, 2).write.mode("overwrite").parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 2
