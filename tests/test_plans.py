@@ -1,0 +1,70 @@
+"""Physical-plan audits: assertions that the headline queries keep the
+plan shape that survives a 100x scale-up — filters and projections pushed
+into the parquet scan, dimension joins broadcast, aggregates partial
+(map-side combine), top-k without a global sort. These are the properties
+the DataFrame code buys over hand-wired dataflow (SURVEY.md §4); the tests
+pin them so a refactor can't silently regress into a shuffle-heavy plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akkastreamprocessnpmpackagedependencies_spark.operators import relational
+from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(relational.pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan schema must not include unused wide columns
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read
+    assert "l_quantity" in read
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    plan = _plan(relational.supplier_volume_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact table (lineitem) side must not hash-partition for a dim join
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_aggregates_are_partial(spark, sf_dir):
+    plan = _plan(relational.pricing_summary(spark, sf_dir))
+    # partial_ aggregate before the exchange = map-side combine
+    assert "partial_" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(relational.top_orders_global(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_plan_as_semi_anti(spark, sf_dir):
+    plan = _plan(relational.customers_without_big_orders(spark, sf_dir))
+    assert "LeftAnti" in plan or "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    df = relational.pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark operators inside a WholeStageCodegen span; both
+    # the partial and final aggregate must be inside one
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_scan_prunes_to_projection(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_returnflag").filter(
+        F.col("l_returnflag") == "R"
+    )
+    plan = _plan(df)
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" in read and "l_extendedprice" not in read
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
