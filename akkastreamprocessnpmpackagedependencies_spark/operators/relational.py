@@ -495,6 +495,59 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "window_rank_variants",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           ntile(4)       OVER w AS quartile,
+           cume_dist()    OVER w AS cdist,
+           lead(o_orderkey, 1, -1) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family (rank / dense_rank / percent_rank / ntile /
+    cume_dist / lead / first_value) in one pass: a single shuffle on the
+    partition key serves all seven functions. The order key is tie-broken
+    by o_orderkey so every function is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+        F.first_value("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@REG.add("approx_sketches")  # no oracle: sketch outputs are algorithm-specific
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB workhorses where exact answers cost a
+    full shuffle: HyperLogLog++ distinct counts and quantile sketches,
+    grouped per return flag. Both are partial-aggregatable, so the sketch
+    (not the data) crosses the wire. No DuckDB oracle — sketch estimates
+    are algorithm-specific (driver records the rows-only check); the pytest
+    asserts the estimates land within the documented error bounds of the
+    exact answers."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 def _building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "customer")

@@ -140,3 +140,74 @@ def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", "ts", "signup_ts")
     )
+
+
+@REG.add(
+    "events_value_rolling_1h",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_value_1h
+    FROM events
+    """,
+)
+def events_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the sum of ``value`` over the
+    trailing hour of events (frame bounded by event time, not row count).
+    Spark's range frame orders on a numeric column, so the timestamp
+    becomes epoch seconds and the frame is [-3600, 0] inclusive — the same
+    closed interval DuckDB's RANGE INTERVAL frame uses. The summed term
+    goes through the decimal convention (registry.py) because a window sum
+    accumulates in frame order. One shuffle on user_id serves every frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("rolling_value_1h"),
+    )
+
+
+@REG.add(
+    "events_error_context_5m",
+    """
+    SELECT e.event_id, e.user_id, e.ts, count(c.event_id) AS n_context
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_id <> e.event_id
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE
+     AND c.ts <= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def events_error_context_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: for every error event, how many events the
+    same user produced in the preceding 5 minutes. The equality on user_id
+    makes this a hash equi-join with a residual range predicate — the plan
+    shuffles both sides on user_id once and never degenerates into the
+    cross product a pure range join would be. At 100 TB, bucketing both
+    sides on user_id removes even that shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    ctx = e.select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    joined = err.join(
+        ctx,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_id") != F.col("e_id"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("e_id").alias("event_id"),
+        F.col("e_user").alias("user_id"),
+        F.col("e_ts").alias("ts"),
+    ).agg(F.count("c_id").alias("n_context"))

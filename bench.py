@@ -30,12 +30,17 @@ HEADLINE = [
     "priority_with_returns",
     "top_orders_per_customer",
     "running_quantity_by_supplier",
+    "stats_moments",
+    "window_rank_variants",
     "events_tumbling_1h",
     "events_sessionize",
+    "events_value_rolling_1h",
     "asof_purchase_signup",
     "json_funcs",
     "dedup_exact_hash",
     "minhash_lsh_neardup",
+    "neardup_clusters",
+    "cosine_topk_ivf",
     "simhash_fingerprints",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
