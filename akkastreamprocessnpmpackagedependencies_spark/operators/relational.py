@@ -548,6 +548,50 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side gets a deterministic per-row
+    salt (hash of the whole row, mod n_salts) and the smaller side is
+    replicated once per salt value, so one hot key's rows spread across
+    n_salts reducers instead of one. Value-identical to the plain join.
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    is the escape hatch when one key is so hot a single split still spills,
+    or when the skewed stage is a sort/agg AQE can't re-plan."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
+@REG.add(
+    "skew_salted_join",
+    f"""
+    SELECT o_orderpriority,
+           {sql_dsum(_REV)} AS revenue,
+           count(*)         AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join executed through the salting path (8 salts) and
+    aggregated — the oracle is the PLAIN join, proving salting changes the
+    physical distribution and nothing else."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(_revenue()).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
 def _building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "customer")

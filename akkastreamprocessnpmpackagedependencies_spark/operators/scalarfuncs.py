@@ -179,3 +179,45 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_k_gt50"),
     )
+
+
+@REG.add(
+    "json_corrupt_tolerant",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS j
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(j)
+                  THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END AS k
+      FROM raw)
+    SELECT event_type, count(*) AS n_rows, count(k) AS n_valid,
+           count(*) - count(k) AS n_corrupt, sum(k) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+)
+def json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerance, engine-level: every 7th props payload is
+    truncated into invalid JSON, and PERMISSIVE ``from_json`` turns it into
+    a null struct instead of failing the job — the declarative version of
+    the reference's swallow-the-exception error model
+    (reference: src/main/scala/NpmPackage.scala:17-19,
+    src/main/scala/Version.scala:10-12). Valid/corrupt/aggregate counts per
+    event type prove nulls propagate without poisoning the aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    j = F.when(F.col("event_id") % 7 == 0, F.col("props").substr(1, 3)).otherwise(
+        F.col("props")
+    )
+    k = F.from_json(j, "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").alias("n_valid"),
+            (F.count("*") - F.count("k")).alias("n_corrupt"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

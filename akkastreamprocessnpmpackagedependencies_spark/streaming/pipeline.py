@@ -143,6 +143,32 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_recent_signup(
+    purchases: DataFrame, signups: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchase events matched to a signup by the
+    same user within the trailing ``horizon``. Both sides carry watermarks
+    and the join condition bounds signup_ts to [purchase_ts - horizon,
+    purchase_ts], so Spark can expire buffered rows from the join state —
+    the unbounded-state trap of stream-stream joins is exactly what the
+    time bound exists to prevent."""
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = signups.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    return p.join(
+        s,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "signup_ts")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None):
     """Start a memory-sink query (test/driver harness helper)."""
     w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)

@@ -214,3 +214,41 @@ def test_checkpoint_restart_no_reprocessing(spark, fixtures_dir, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == n_docs
     assert sunk.select("name").distinct().count() == n_docs
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Inner stream-stream join with a time-bound: the emitted match set
+    must equal the batch join over the same data."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    joined = sp.purchases_with_recent_signup(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+    )
+    q = sp.run_to_memory(joined, "ss_join_out", "append", checkpoint=str(tmp_path / "ssck"))
+    _drain(q)
+    got = sorted(
+        (r.purchase_id, r.user_id, r.purchase_ts, r.signup_ts)
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    )
+    e = load_events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    want = sorted(
+        (r.purchase_id, r.p_user, r.purchase_ts, r.signup_ts)
+        for r in p.join(
+            s,
+            (F.col("p_user") == F.col("s_user"))
+            & (F.col("signup_ts") <= F.col("purchase_ts"))
+            & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
