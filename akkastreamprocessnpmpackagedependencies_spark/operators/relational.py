@@ -592,6 +592,72 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "idle_rich_customers",
+    f"""
+    SELECT c_nationkey, count(*) AS n_cust, {sql_dsum("c_acctbal")} AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+            SELECT {sql_dsum("c_acctbal")} / count(*)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
+    GROUP BY c_nationkey
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance) feeding a
+    filter, plus an anti join (customers with no large order). The scalar side
+    is a 1-row aggregate broadcast into the predicate; the anti join
+    shuffles on custkey. The average is dsum/count so the threshold is
+    bit-identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum("c_acctbal") / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_totalprice") > 250000.0),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+@REG.add(
+    "top_revenue_suppliers",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {sql_dsum(_REV)} AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar MAX subquery over it,
+    keeping every supplier tied at the maximum. The revenue view computes
+    once and feeds both the max and the final filter (Spark reuses the
+    exchange); the max is a 1-row broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey")).agg(dsum(_revenue()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def _building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "customer")
