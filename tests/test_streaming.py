@@ -252,3 +252,35 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """File sink + checkpoint: draining the stream writes each event once;
+    restarting the query against the same checkpoint re-writes nothing."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    src = str(tmp_path / "sink_src")
+    _write_time_sliced(load_events(spark, sf_dir), src, 3)
+    out, ck = str(tmp_path / "sink_out"), str(tmp_path / "sink_ck")
+
+    def start():
+        return (
+            sp.read_events_stream(spark, src, max_files=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    _drain(q)
+    n_events = load_events(spark, sf_dir).count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_events
+    assert first.select("event_id").distinct().count() == n_events
+    # restart on the same checkpoint: nothing new to process, no duplicates
+    q2 = start()
+    _drain(q2)
+    again = spark.read.parquet(out)
+    assert again.count() == n_events
