@@ -1,0 +1,70 @@
+"""Regenerate PLANS.md: the formatted physical plan of each headline
+query at sf0.01, as reviewable evidence that the plans have the shapes the
+scale design claims (pushdown, broadcast, partial agg, TakeOrdered).
+
+Usage: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+SHOWCASE = [
+    ("npm_dependency_counts", "flagship: fixture join -> from_json -> explode -> agg"),
+    ("pricing_summary", "filtered scan + hash agg; filter/pruning pushed to parquet"),
+    ("supplier_volume_by_nation", "dim joins broadcast; fact never shuffles for dims"),
+    ("top_unshipped_orders", "semi join + broadcast + TakeOrdered top-k"),
+    ("skew_salted_join", "fact-fact join via explicit salting"),
+    ("top_orders_per_customer", "window rank partitioned on the join key"),
+    ("minhash_lsh_neardup", "shingle -> signature -> band equi-join -> verify"),
+    ("cosine_topk_ivf", "IVF ANN: broadcast centroids, probe-cell join"),
+    ("neardup_clusters", "iterative label propagation (per-round plan)"),
+    ("events_value_rolling_1h", "time-RANGE window frame"),
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from akkastreamprocessnpmpackagedependencies_spark.session import get_spark
+
+    spark = get_spark("plans", shuffle_partitions=8)
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — formatted physical plans of showcase queries (sf0.01)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. What to look for:",
+        "`PushedFilters`/`ReadSchema` on scans (pushdown + pruning),",
+        "`BroadcastHashJoin` on dimension joins, `partial_` aggregates before",
+        "every exchange (map-side combine), `TakeOrderedAndProject` for top-k,",
+        "codegen stage markers `(n)` fusing narrow chains.",
+        "",
+    ]
+    for name, why in SHOWCASE:
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), "formatted"
+        )
+        tree, _, details = plan.partition("\n\n(1) ")
+        # keep the operator tree plus every scan's pushdown/pruning details
+        scans = [
+            blk
+            for blk in ("(1) " + details).split("\n\n")
+            if blk.strip() and "Scan parquet" in blk.splitlines()[0]
+        ] if details else []
+        tree_lines = tree.rstrip().splitlines()
+        if len(tree_lines) > 120:  # iterative plans repeat per round; the head shows the shape
+            tree_lines = tree_lines[:120] + [f"... [{len(tree_lines) - 120} more lines]"]
+        body = "\n".join(tree_lines) + ("\n\n" + "\n\n".join(scans[:4]) if scans else "")
+        out.append(f"## {name}\n\n{why}\n\n```\n{body}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
