@@ -155,8 +155,12 @@ def _sql_lsh_ctes() -> str:
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH: signature -> band keys ->
     bucket equi-join for candidates -> exact shingle-jaccard verification.
-    The only join is on band keys; true jaccard runs on candidates only."""
-    sig = _signatures(load_scaled(spark, sf_dir, "documents"))
+    The only join is on band keys; true jaccard runs on candidates only.
+    The signature frame feeds four plan branches (both self-join sides,
+    both verification probes), so it is persisted — the in-memory stand-in
+    for the signature TABLE a 100 TB pipeline would materialize once and
+    reuse across every dedup pass."""
+    sig = _signatures(load_scaled(spark, sf_dir, "documents")).persist()
     band_key = [
         F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
         for b in range(N_BANDS)

