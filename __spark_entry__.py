@@ -22,8 +22,9 @@ from akkastreamprocessnpmpackagedependencies_spark.operators.scalarfuncs import 
 from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import REG as SIM
 from akkastreamprocessnpmpackagedependencies_spark.operators.textops import REG as TXT
 from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import REG as TS
+from akkastreamprocessnpmpackagedependencies_spark.operators.udx import REG as UDX
 
-_MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, MM]
+_MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, MM, UDX]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,136 @@
+"""User-defined extension surfaces: Python UDTF (table function), grouped
+Pandas transform (``applyInPandas``, the batch UDAF idiom), and the pure-SQL
+entry point over registered views.
+
+The reference has no registration surface at all (SURVEY.md §2.8) — its
+"functions" are hard-wired Scala lambdas. These operators prove the engine
+exposes every Spark extension point a user would reach for when the
+built-ins run out, while the docstrings spell out the cost model (Arrow
+batches, one Python worker per core — never row-at-a-time pickling).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from ..session import load_table
+from .registry import Registry
+
+REG = Registry()
+
+
+@udtf(returnType="sent_idx int, sentence string, n_chars int")
+class SplitSentences:
+    """UDTF: one input document -> N sentence rows. Lateral-joined per row,
+    executed in an Arrow-batched Python worker."""
+
+    def eval(self, text: str):  # noqa: A002
+        if text is None:
+            return
+        for i, raw in enumerate(text.split(".")):
+            s = raw.strip()
+            if s:
+                yield i, s, len(s)
+
+
+@REG.add(
+    "udtf_sentences",
+    """
+    SELECT doc_id, sent_idx, sentence, length(sentence) AS n_chars
+    FROM (
+      SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_idx,
+             trim(unnest(parts)) AS sentence
+      FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents)
+    )
+    WHERE sentence <> ''
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Python UDTF applied laterally over documents: sentence
+    split with positional index. The DuckDB oracle reproduces it with
+    unnest + generate_subscripts, proving the UDTF path end to end."""
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+@REG.add(
+    "grouped_median_pandas",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           quantile_cont(length(text), 0.5) AS median_len,
+           min(length(text))::BIGINT AS min_len,
+           max(length(text))::BIGINT AS max_len
+    FROM documents GROUP BY lang
+    """,
+)
+def grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas — the batch form of a
+    UDAF: each language group arrives as one Arrow-backed pandas frame and
+    returns one summary row. numpy's linear-interpolation median matches
+    SQL quantile_cont exactly. At 100 TB the shuffle key (lang) is low-
+    cardinality, so this pattern needs a salting pre-agg if groups exceed
+    executor memory — documented limit of whole-group UDAFs vs the
+    streaming partial aggregation built-ins get for free."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select("lang", F.length("text").alias("n"))
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(n)],
+                "median_len": [float(np.percentile(n, 50))],
+                "min_len": [int(n.min())],
+                "max_len": [int(n.max())],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        summarize, "lang string, n_docs long, median_len double, min_len long, max_len long"
+    )
+
+
+@REG.add(
+    "sql_api_revenue_by_nation",
+    """
+    SELECT n_name, {dsum} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """.format(
+        dsum="CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+    ),
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point: tables registered as temp views, query
+    expressed as one ANSI SQL string via ``spark.sql`` — same Catalyst
+    plan as the DataFrame form (the two APIs are front-ends to one
+    optimizer). The oracle is literally the same SQL."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
