@@ -150,3 +150,89 @@ def decode_image_real(df: DataFrame) -> DataFrame:
         raise NotImplementedError("wire PIL decode here once the codec is present")
 
     return df.mapInPandas(_decode, schema="doc_id long, width int, height int, channels int")
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame_md5 string"
+_N_FRAMES = 4
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for video frame sampling: N evenly-spaced
+    byte offsets per payload, an 8-byte 'frame' hashed at each. Real
+    ffmpeg-style sampling drops into this exact shape (1 row in -> N frame
+    rows out, Arrow-batched)."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, offs, hashes = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = max(len(b), 1)
+            for i in range(_N_FRAMES):
+                off = (i * n) // _N_FRAMES
+                ids.append(doc_id)
+                idxs.append(i)
+                offs.append(off)
+                hashes.append(hashlib.md5(b[off : off + 8]).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_off": offs, "frame_md5": hashes}
+        )
+
+
+@REG.add(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id, f AS frame_idx,
+           (f * length(text)) // {_N_FRAMES} AS frame_off,
+           md5(substr(text, 1 + (f * length(text)) // {_N_FRAMES}, 8)) AS frame_md5
+    FROM documents
+    CROSS JOIN (SELECT unnest(range({_N_FRAMES}))::INT AS f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the multimodal table: one payload row fans out
+    to N frame rows inside a single mapInPandas pass (no explode shuffle —
+    the fan-out happens in the Arrow batch). The oracle recomputes the
+    deterministic fake frames in SQL. At 100 TB the payload column never
+    leaves the executor that scanned it; only the (small) frame features
+    come back."""
+    m = as_media(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return m.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+
+
+@REG.add(
+    "multimodal_resize_plan",
+    """
+    SELECT doc_id,
+           16 + octet_length(encode(text)) % 624        AS src_w,
+           16 + (octet_length(encode(text)) * 7) % 464  AS src_h,
+           CASE WHEN 16 + octet_length(encode(text)) % 624 >=
+                     16 + (octet_length(encode(text)) * 7) % 464
+                THEN 224
+                ELSE ((224 * (16 + octet_length(encode(text)) % 624))
+                      // (16 + (octet_length(encode(text)) * 7) % 464))::INT
+           END AS dst_w,
+           CASE WHEN 16 + octet_length(encode(text)) % 624 >=
+                     16 + (octet_length(encode(text)) * 7) % 464
+                THEN ((224 * (16 + (octet_length(encode(text)) * 7) % 464))
+                      // (16 + octet_length(encode(text)) % 624))::INT
+                ELSE 224
+           END AS dst_h
+    FROM documents
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning (aspect-preserving, long side -> 224): pure column
+    arithmetic over the metadata, no payload touched — the planning half
+    of a resize pipeline runs JVM-side; only the pixel transform (stubbed
+    behind decode_image_real) needs Python."""
+    m = multimodal_metadata(spark, sf_dir).select("doc_id", "fake_width", "fake_height")
+    w, h = F.col("fake_width"), F.col("fake_height")
+    long_w = w >= h
+    return m.select(
+        "doc_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        F.when(long_w, F.lit(224)).otherwise((F.lit(224) * w).cast("long") / h).cast("int").alias("dst_w"),
+        F.when(long_w, ((F.lit(224) * h).cast("long") / w).cast("int")).otherwise(F.lit(224)).alias("dst_h"),
+    )
