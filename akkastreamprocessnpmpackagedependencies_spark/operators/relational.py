@@ -658,6 +658,75 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "promo_revenue_ratio",
+    f"""
+    SELECT 100.0 * promo / total AS promo_pct, promo, total
+    FROM (
+      SELECT {sql_dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE 0.0 END")} AS promo,
+             {sql_dsum(_REV)} AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01')
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional aggregation ratio. The
+    part side broadcasts (dim), the month filter pushes into the lineitem
+    scan, and both the conditional and total revenue come out of ONE agg
+    pass — no second scan for the denominator."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = j.agg(
+        dsum(
+            F.when(F.col("p_type").like("PROMO%"), _revenue()).otherwise(F.lit(0.0))
+        ).alias("promo"),
+        dsum(_revenue()).alias("total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct"),
+        "promo",
+        "total",
+    )
+
+
+@REG.add(
+    "order_priority_by_quarter",
+    """
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter, o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY date_trunc('quarter', o_orderdate), o_orderpriority
+    """,
+)
+def order_priority_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: time-bucketed (quarter) priority counts with a
+    conditional tally — date_trunc bucketing plus CASE aggregation in one
+    partial-aggregatable pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("quarter", "o_orderdate").alias("quarter"), "o_orderpriority"
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+        )
+    )
+
+
 def _building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "customer")
