@@ -429,18 +429,22 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
            sum(l_quantity) OVER (PARTITION BY l_suppkey
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS running_qty
     FROM lineitem
     """,
 )
 def running_quantity_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-frame window (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    """Running-frame window (ROWS UNBOUNDED PRECEDING..CURRENT). The sort
+    key ends with l_quantity because (l_orderkey, l_linenumber) is NOT
+    unique in the synthetic data: rows still tied after the full key have
+    equal quantities, so every tie order yields the same output multiset —
+    without that column the running sum is nondeterministic across runs."""
     l = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return l.select(

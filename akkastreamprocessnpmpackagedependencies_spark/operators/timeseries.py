@@ -157,15 +157,18 @@ def events_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, the sum of ``value`` over the
     trailing hour of events (frame bounded by event time, not row count).
     Spark's range frame orders on a numeric column, so the timestamp
-    becomes epoch seconds and the frame is [-3600, 0] inclusive — the same
-    closed interval DuckDB's RANGE INTERVAL frame uses. The summed term
-    goes through the decimal convention (registry.py) because a window sum
-    accumulates in frame order. One shuffle on user_id serves every frame."""
+    becomes epoch MICROseconds (seconds-level unix_timestamp would widen
+    the frame to whole-second boundaries and over-include neighbors in
+    dense data) and the frame is [-3600s, 0] inclusive — the same closed
+    interval DuckDB's RANGE INTERVAL frame evaluates at full timestamp
+    precision. The summed term goes through the decimal convention
+    (registry.py) because a window sum accumulates in frame order. One
+    shuffle on user_id serves every frame."""
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id", "user_id", "ts",
