@@ -103,3 +103,23 @@ def test_compact_controls_file_count(spark, sf_dir, tmp_path):
     sio.compact(l, 2).write.mode("overwrite").parquet(out)
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 2
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format Spark ships natively."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == nation.schema
+    assert _rows(back) == _rows(nation)
+
+
+def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
+    """zstd/snappy/gzip parquet writes all round-trip; at 100 TB the codec
+    choice is a scan-throughput vs storage trade made per table."""
+    region = load_table(spark, sf_dir, "region")
+    for codec in ("zstd", "snappy", "gzip"):
+        path = str(tmp_path / f"region_{codec}")
+        region.write.mode("overwrite").option("compression", codec).parquet(path)
+        assert _rows(spark.read.parquet(path)) == _rows(region)
