@@ -32,6 +32,8 @@ HEADLINE = [
     "priority_with_returns",
     "top_orders_per_customer",
     "running_quantity_by_supplier",
+    "skew_salted_join",
+    "promo_revenue_ratio",
     "stats_moments",
     "window_rank_variants",
     "events_tumbling_1h",
@@ -46,9 +48,13 @@ HEADLINE = [
     "simhash_fingerprints",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "embedding_centroids",
     "text_quality_scores",
     "doc_fingerprints",
+    "udtf_sentences",
+    "grouped_median_pandas",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
 ]
 
 
