@@ -221,3 +221,28 @@ def json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+@REG.add(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             p_retailprice          AS retailprice
+      FROM part)
+    UNPIVOT (value FOR metric IN (size, retailprice))
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns -> (key, metric, value) long
+    form, the inverse of pivot_linestatus. Narrow transformation, no
+    shuffle — each input row emits its metric rows in place."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
