@@ -766,3 +766,53 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add("set_union", f"({_SET_A}) UNION ({_SET_B})")
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _building_custkeys(spark, sf_dir).union(_frequent_custkeys(spark, sf_dir)).distinct()
+
+
+@REG.add(
+    "price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
+           CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10k-wide buckets) via floor division + hash
+    agg — the one-pass distribution profile (no sort, fully
+    partial-aggregatable). min/max per bucket surface as exact
+    DECIMAL(18,2) so the comparison is representation-independent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.floor(F.col("l_extendedprice") / 10000.0).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").cast("decimal(18,2)").alias("lo"),
+            F.max("l_extendedprice").cast("decimal(18,2)").alias("hi"),
+        )
+    )
+
+
+@REG.add(
+    "deterministic_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/16 sample: hash the key, keep one hex-prefix class.
+    Unlike rand()-based TABLESAMPLE this is stable across engines, runs,
+    and partitionings — the property a 100 TB eval-split or debug-slice
+    actually needs (membership is a pure function of the key, so the same
+    rows appear in every downstream job that repeats the predicate)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -214,3 +214,68 @@ def events_error_context_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_user").alias("user_id"),
         F.col("e_ts").alias("ts"),
     ).agg(F.count("c_id").alias("n_context"))
+
+
+@REG.add(
+    "events_hourly_gapfill",
+    f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n, {sql_dsum("value")} AS vsum
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(date_trunc('hour', min_ts),
+                                    date_trunc('hour', max_ts),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT user_id, min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events GROUP BY user_id)
+    )
+    SELECT s.user_id, s.hour,
+           coalesce(h.n, 0) AS n_events,
+           last_value(h.vsum IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vsum_ff
+    FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-to-grid with gap filling: a per-user hourly spine
+    (sequence between the user's first and last event hour), left-joined
+    to the hourly aggregate; silent hours surface as zero-count rows and
+    the value sum carries forward (last-observation). The spine generates
+    from a tiny min/max agg — never a driver loop — so at 100 TB it is one
+    groupBy plus an explode; the join shuffles on (user_id), the window
+    reuses that partitioning. The classic time-series densification the
+    reference (and bare SQL GROUP BY) cannot express without a calendar
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("vsum"))
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", "min_ts"),
+                    F.date_trunc("hour", "max_ts"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id", "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last("vsum", ignorenulls=True).over(w).alias("vsum_ff"),
+    )
