@@ -284,3 +284,31 @@ def test_streaming_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     _drain(q2)
     again = spark.read.parquet(out)
     assert again.count() == n_events
+
+
+def test_foreachbatch_dynamic_overwrite_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the stream from scratch into the same directory must not
+    duplicate rows: each batch dynamically overwrites only the hour
+    partitions it carries."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    src = str(tmp_path / "fb_src")
+    _write_time_sliced(load_events(spark, sf_dir), src, 3)
+    out = str(tmp_path / "fb_out")
+
+    def run(ck: str):
+        q = (
+            sp.write_hourly_partitions(sp.read_events_stream(spark, src, max_files=1), out)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        _drain(q)
+
+    run("ck1")
+    n_events = load_events(spark, sf_dir).count()
+    assert spark.read.parquet(out).count() == n_events
+    # fresh checkpoint -> full replay -> same partitions overwritten, no dupes
+    run("ck2")
+    back = spark.read.parquet(out)
+    assert back.count() == n_events
+    assert back.select("event_id").distinct().count() == n_events
