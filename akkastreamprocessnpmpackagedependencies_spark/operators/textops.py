@@ -165,3 +165,38 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_affine(bases, 14).alias("fp_min2"),
         F.md5("text").alias("fp_full"),
     )
+
+
+@REG.add(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           norm AS norm_text,
+           md5(norm) AS norm_hash,
+           length(norm) AS norm_len
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents)
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the step before any exact/near dedup:
+    lowercase, strip non-alphanumerics, collapse whitespace, trim; the md5
+    of the normalized form is the dedup key that catches
+    case/punctuation-variant duplicates raw sha256 misses. Pure JVM-side
+    regexp (both engines use the same ASCII character classes); one narrow
+    projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -312,3 +312,38 @@ def test_foreachbatch_dynamic_overwrite_idempotent(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n_events
     assert back.select("event_id").distinct().count() == n_events
+
+
+def test_builtin_rate_source_feeds_windowed_agg(spark, tmp_path):
+    """The built-in rate source (timestamped synthetic rows) drives the
+    same windowed aggregation operators as the file/custom sources — the
+    third source family (custom DataSource, files, rate)."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withColumn("event_type", (F.col("value") % 3).cast("string"))
+    )
+    agg = (
+        stream.withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "1 second"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_out")
+        .option("checkpointLocation", str(tmp_path / "rck"))
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 30
+    while _t.time() < deadline:
+        if spark.sql("SELECT count(*) FROM rate_out").first()[0] > 0:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    rows = spark.sql("SELECT * FROM rate_out").collect()
+    assert len(rows) > 0
+    assert all(r.n > 0 for r in rows)
