@@ -403,6 +403,48 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "topk_per_customer_agg",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITHOUT a window sort: collect each customer's
+    orders into an array inside the hash aggregate, sort the (small)
+    per-key array, keep k, re-explode with the rank. Value-identical to
+    the row_number version (same oracle). Against the window form this
+    trades the full partition SORT for a per-group array sort bounded by
+    group size — right when groups are small relative to partitions. For
+    huge groups the full-scale variant replaces collect_list with a UDAF
+    whose partial state is capped at k, making the map side shrink every
+    group to k before the shuffle; collect_list alone does not truncate
+    its partials."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = o.groupBy("o_custkey").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("o_totalprice")).alias("neg_price"), "o_orderkey"))
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return packed.select(
+        "o_custkey", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "o_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        (-F.col("t.neg_price")).alias("o_totalprice"),
+        (F.col("pos") + 1).alias("rn"),
+    )
+
+
+@REG.add(
     "top_orders_per_customer",
     """
     SELECT * FROM (

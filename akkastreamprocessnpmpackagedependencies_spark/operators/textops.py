@@ -200,3 +200,29 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.length(norm).alias("norm_len"),
     )
+
+
+@REG.add(
+    "dedup_normalized_hash",
+    """
+    SELECT norm_hash, min(doc_id) AS keeper_id, count(*) AS n_variants
+    FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS norm_hash
+      FROM documents)
+    GROUP BY norm_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_normalized_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup composition: groups whose NORMALIZED hash
+    collides (case/punctuation variants of the same text) with the keeper
+    id — duplicates invisible to raw exact dedup. Same shuffle shape as
+    dedup_exact_hash: the 32-hex key moves, never the document."""
+    groups = (
+        text_normalize(spark, sf_dir)
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_variants"))
+    )
+    return groups.filter(F.col("n_variants") > 1)

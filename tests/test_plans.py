@@ -68,3 +68,17 @@ def test_scan_prunes_to_projection(spark, sf_dir):
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "l_returnflag" in read and "l_extendedprice" not in read
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """All three equi-join strategies are reachable: broadcast (default for
+    small dims), shuffle-hash (no sort, good when one side is modest and
+    skew-free), sort-merge (the large-large default)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    sh = _plan(o.join(c.hint("shuffle_hash"), "o_custkey"))
+    assert "ShuffledHashJoin" in sh
+    sm = _plan(o.join(c.hint("merge"), "o_custkey"))
+    assert "SortMergeJoin" in sm
+    bc = _plan(o.join(F.broadcast(c), "o_custkey"))
+    assert "BroadcastHashJoin" in bc
