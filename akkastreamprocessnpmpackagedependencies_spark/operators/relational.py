@@ -858,3 +858,51 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@REG.add(
+    "price_outliers_iqr",
+    f"""
+    WITH r AS (
+      SELECT l_orderkey, {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS order_rev
+      FROM lineitem GROUP BY l_orderkey),
+    q AS (
+      SELECT quantile_cont(order_rev, 0.25) AS q1,
+             quantile_cont(order_rev, 0.75) AS q3
+      FROM r)
+    SELECT count(*)                                  AS n_outliers,
+           CAST(min(r.order_rev) AS DECIMAL(18,2))   AS min_outlier,
+           CAST(max(r.order_rev) AS DECIMAL(18,2))   AS max_outlier
+    FROM r CROSS JOIN q
+    WHERE r.order_rev > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR r.order_rev < q.q1 - 1.5 * (q.q3 - q.q1)
+    """,
+)
+def price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection on a DERIVED distribution: per-order revenue
+    (sum over the order's line items — right-skewed because item counts
+    vary) against the classic [q1 - 1.5*IQR, q3 + 1.5*IQR] fences. Three
+    stages in one plan: partial-aggregatable revenue rollup, a one-row
+    exact-quantile frame broadcast back, and the fence filter. Per-order
+    revenue goes through the decimal sum so the quantile inputs are
+    bit-identical across engines. Classic data-cleaning gate before
+    training-data export."""
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.groupBy("l_orderkey").agg(dsum(_revenue()).alias("order_rev"))
+    q = r.agg(
+        F.percentile("order_rev", 0.25).alias("q1"),
+        F.percentile("order_rev", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        r.join(F.broadcast(q))
+        .filter(
+            (F.col("order_rev") > F.col("q3") + 1.5 * iqr)
+            | (F.col("order_rev") < F.col("q1") - 1.5 * iqr)
+        )
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.min("order_rev").cast("decimal(18,2)").alias("min_outlier"),
+            F.max("order_rev").cast("decimal(18,2)").alias("max_outlier"),
+        )
+    )

@@ -226,3 +226,35 @@ def dedup_normalized_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_variants"))
     )
     return groups.filter(F.col("n_variants") > 1)
+
+
+@REG.add(
+    "stratified_sample",
+    """
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+    FROM (
+      SELECT lang, doc_id,
+             strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               AS h16
+      FROM documents)
+    WHERE h16 < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 ELSE 2 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (en 8/16,
+    de 4/16, rest 2/16) via the hash-prefix class of the key — the
+    training-mix rebalance (downsample dominant languages) as a pure
+    filter: reproducible across engines/runs/partitionings, no shuffle,
+    no rand() state."""
+    d = load_table(spark, sf_dir, "documents")
+    h16 = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 1), 16, 10).cast("int")
+    rate = (
+        F.when(F.col("lang") == "en", 8).when(F.col("lang") == "de", 4).otherwise(2)
+    )
+    return (
+        d.select("lang", "doc_id", h16.alias("h16"), rate.alias("rate"))
+        .filter(F.col("h16") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )
