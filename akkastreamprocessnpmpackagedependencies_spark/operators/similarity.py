@@ -279,3 +279,80 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "mv"))), lambda s: s["mv"]
         ).alias("centroid"),
     )
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid by squared euclidean distance (broadcast join over
+    K centroids + one argmin window per vector)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        e.join(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id", "d2")
+    )
+
+
+def _update(asg: DataFrame) -> DataFrame:
+    """Mean vector per cluster, coordinate-wise through the exact decimal
+    sum (same pattern as embedding_centroids)."""
+    x = asg.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+    m = x.groupBy("centroid_id", "dim").agg(
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mv")
+    )
+    return m.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))), lambda s: s["mv"]
+        ).alias("cv")
+    )
+
+
+def kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
+):
+    """Full Lloyd k-means over the embedding corpus: deterministic init
+    (first k vectors), assign = broadcast argmin over K centroids (one
+    corpus pass per round, no shuffle for the join; one window shuffle on
+    vec_id), update = coordinate-wise exact mean. Returns (assignments,
+    inertia_per_iter). Every round is two jobs regardless of data size —
+    the 100 TB cost model is iters x (scan + one shuffle), with centroids
+    always broadcast-small. Iterative driver loop like neardup_clusters;
+    checkpoint every few rounds at scale to truncate lineage."""
+    e = _corpus(spark, sf_dir).select("vec_id", "v")
+    e.cache()
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    inertia = []
+    asg = None
+    for _ in range(iters):
+        asg = _assign(e, cent)
+        asg.cache()
+        inertia.append(asg.agg(F.sum("d2")).first()[0])
+        cent = _update(asg)
+    e.unpersist()
+    return asg, inertia
+
+
+@REG.add("kmeans_clusters")  # rows-only: iterative, not SQL-expressible
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster summary after KMEANS_ITERS Lloyd rounds: size and mean
+    squared distance. Driver records a rows-only check (iterative
+    algorithms are exempt from the SQL oracle); the pytest asserts Lloyd's
+    invariants instead — full partition of the corpus and non-increasing
+    inertia."""
+    asg, _ = kmeans_fit(spark, sf_dir)
+    return asg.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("d2"), 4).alias("mean_d2"),
+    )

@@ -176,3 +176,19 @@ def test_decode_image_real_raises_without_codec(spark, sf_dir):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    """Lloyd's algorithm: assignments partition the corpus into k clusters
+    and inertia is non-increasing across iterations."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_scaled
+
+    asg, inertia = similarity.kmeans_fit(spark, sf_dir)
+    n_vec = load_scaled(spark, sf_dir, "embeddings").count()
+    rows = asg.collect()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    assert {r.centroid_id for r in rows} <= set(range(similarity.K_CLUSTERS))
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a + 1e-6
+    summary = similarity.kmeans_clusters(spark, sf_dir).collect()
+    assert sum(r.n_members for r in summary) == n_vec
