@@ -39,6 +39,7 @@ HEADLINE = [
     "events_tumbling_1h",
     "events_sessionize",
     "events_value_rolling_1h",
+    "events_hourly_gapfill",
     "asof_purchase_signup",
     "json_funcs",
     "dedup_exact_hash",
@@ -50,6 +51,7 @@ HEADLINE = [
     "cosine_topk_lsh",
     "embedding_centroids",
     "text_quality_scores",
+    "text_normalize",
     "doc_fingerprints",
     "udtf_sentences",
     "grouped_median_pandas",
