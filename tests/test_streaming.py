@@ -347,3 +347,23 @@ def test_builtin_rate_source_feeds_windowed_agg(spark, tmp_path):
     rows = spark.sql("SELECT * FROM rate_out").collect()
     assert len(rows) > 0
     assert all(r.n > 0 for r in rows)
+
+
+def test_sliding_window_update_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sliding windows (1h width, 30m hop) in update mode: final
+    state equals the batch sliding aggregation."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        events_sliding_1h_30m,
+    )
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.sliding_counts(ev), "sliding_out", "update")
+    _drain(q)
+    got = {}
+    for r in spark.sql("SELECT * FROM sliding_out").collect():
+        got[(r.window_start, r.event_type)] = r.n  # last update wins
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in events_sliding_1h_30m(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -25,6 +25,8 @@ SHOWCASE = [
     ("cosine_topk_ivf", "IVF ANN: broadcast centroids, probe-cell join"),
     ("neardup_clusters", "iterative label propagation (per-round plan)"),
     ("events_value_rolling_1h", "time-RANGE window frame"),
+    ("events_hourly_gapfill", "spine generation + gap-fill + carry-forward"),
+    ("topk_per_customer_agg", "per-group top-k via bounded array agg (no window sort)"),
 ]
 
 
