@@ -46,3 +46,25 @@ def test_window_rank_variants_internal_consistency(spark, sf_dir):
         assert {r.quartile for r in rs} <= {1, 2, 3, 4}
         for r in rs:
             assert abs(r.prnk - (r.rnk - 1) / (n - 1)) < 1e-12
+
+
+def test_observation_metrics_on_pricing_summary(spark, sf_dir):
+    """df.observe() attaches accumulator-style metrics to a query without a
+    second scan — the monitoring hook a production pipeline exports
+    (row counts, sums) alongside its result."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_stats")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum("l_quantity").alias("qty_total"),
+    )
+    out = observed.groupBy("l_returnflag").count().collect()
+    assert len(out) > 0
+    got = obs.get
+    assert got["rows_scanned"] == l.count()
+    assert got["qty_total"] == l.agg(F.sum("l_quantity")).first()[0]
