@@ -326,7 +326,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: block on the top 16 bits (equi-join —
-    the scale path), then keep pairs within hamming distance 6."""
+    the scale path), then keep pairs within hamming distance 6.
+
+    Scale note: 32 bits with a 16-bit block is sized for this corpus. At
+    billions of documents, widen to 64-bit fingerprints (two md5-derived
+    bits per hex digit) with 32-bit blocks, or rotate-and-block B times
+    for guaranteed recall at hamming k — the pipeline shape (fingerprint
+    -> block equi-join -> hamming filter) is unchanged; only the constants
+    and the blocking column grow."""
     sim = simhash_fingerprints(spark, sf_dir)
     block = F.shiftright(F.col("simhash"), _SIMHASH_BITS // 2)
     a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), block.alias("blk"))
