@@ -991,3 +991,51 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@REG.add(
+    "customer_churn_full_outer",
+    """
+    SELECT coalesce(a.c, b.c) AS c_custkey,
+           coalesce(a.n, 0)   AS n_1996,
+           coalesce(b.n, 0)   AS n_1997,
+           CASE WHEN a.c IS NULL THEN 'new'
+                WHEN b.c IS NULL THEN 'churned'
+                ELSE 'retained' END AS status
+    FROM (SELECT o_custkey AS c, count(*) AS n FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01' GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS c, count(*) AS n FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01' GROUP BY o_custkey) b
+      ON a.c = b.c
+    """,
+)
+def customer_churn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: year-over-year customer activity reconciliation —
+    rows survive from either side, null sides classify churned/new/
+    retained. Both inputs pre-aggregate before the join, so the outer join
+    runs on one row per customer per year, not raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    a, b = year(1996).alias("a"), year(1997).alias("b")
+    return a.join(b, F.col("a.c") == F.col("b.c"), "full_outer").select(
+        F.coalesce(F.col("a.c"), F.col("b.c")).alias("c_custkey"),
+        F.coalesce(F.col("a.n"), F.lit(0)).alias("n_1996"),
+        F.coalesce(F.col("b.n"), F.lit(0)).alias("n_1997"),
+        F.when(F.col("a.c").isNull(), "new")
+        .when(F.col("b.c").isNull(), "churned")
+        .otherwise("retained")
+        .alias("status"),
+    )
