@@ -82,3 +82,31 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "SortMergeJoin" in sm
     bc = _plan(o.join(F.broadcast(c), "o_custkey"))
     assert "BroadcastHashJoin" in bc
+
+
+def test_salted_join_distributes_on_composite_key(spark, sf_dir):
+    """The salted join must shuffle on (key, salt), not key alone — that
+    composite hash is what spreads a hot key across reducers."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+        skew_salted_join,
+    )
+
+    plan = _plan(skew_salted_join(spark, sf_dir))
+    join_line = next(line for line in plan.splitlines() if "HashJoin" in line or "SortMergeJoin" in line)
+    # the equi-join keys are (l_orderkey, _salt) — the composite key is what
+    # spreads a hot l_orderkey across reducers (at test scale the replicated
+    # side broadcasts; at scale the same keys hash-partition both sides)
+    assert "l_orderkey" in join_line and "_salt" in join_line
+
+
+def test_ivf_broadcasts_centroids_never_shuffles_corpus_for_assignment(spark, sf_dir):
+    """IVF assignment joins the corpus against broadcast centroids — the
+    corpus must not hash-partition for that join (only the window argmin
+    and probe join shuffle)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    plan = _plan(cosine_topk_ivf(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2  # centroids + probe set
