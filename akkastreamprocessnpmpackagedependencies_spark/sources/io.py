@@ -125,3 +125,22 @@ def gzip_lines_roundtrip_count(spark: SparkSession, path: str) -> int:
     """Convenience: number of non-empty lines in a (possibly gzipped) text
     file — the reference's source stage as one expression."""
     return read_lines(spark, path).filter(F.length(F.trim("value")) > 0).count()
+
+
+def write_sorted_for_zone_maps(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int = 4, mode: str = "overwrite"
+) -> None:
+    """Range-cluster rows across and within output files so parquet
+    min/max statistics (zone maps) become selective: ``repartitionByRange``
+    gives each file a disjoint slice of the sort-key range (one range
+    shuffle), ``sortWithinPartitions`` orders rows inside it (narrow, no
+    shuffle), and a reader filtering on the sort column skips every file
+    and row group whose range misses the predicate. Without the range
+    step every file spans the whole key range and the stats prune
+    nothing."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -123,3 +123,36 @@ def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
         path = str(tmp_path / f"region_{codec}")
         region.write.mode("overwrite").option("compression", codec).parquet(path)
         assert _rows(spark.read.parquet(path)) == _rows(region)
+
+
+def test_sorted_write_produces_selective_zone_maps(spark, sf_dir, tmp_path):
+    """Row-group min/max stats after a sorted write must be dramatically
+    narrower than after an unsorted write — the layout property that lets
+    a filtered scan skip row groups entirely at 100 TB."""
+    import pyarrow.parquet as pq
+
+    l = load_table(spark, sf_dir, "lineitem").repartition(4)
+    sorted_path, raw_path = str(tmp_path / "zm_sorted"), str(tmp_path / "zm_raw")
+    sio.write_sorted_for_zone_maps(l, sorted_path, ["l_shipdate"])
+    l.write.mode("overwrite").parquet(raw_path)
+
+    def avg_range_us(path):
+        spans, total = [], 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+                )
+                st = col.statistics
+                spans.append((st.max - st.min).total_seconds())
+                total += 1
+        return sum(spans) / total
+
+    # range-clustered files each cover ~1/4 of the date range; unsorted
+    # files all span ~the whole range
+    assert avg_range_us(sorted_path) < 0.5 * avg_range_us(raw_path)
