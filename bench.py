@@ -29,6 +29,8 @@ HEADLINE = [
     "forecast_revenue",
     "top_unshipped_orders",
     "supplier_volume_by_nation",
+    "local_supplier_revenue",
+    "returned_item_customers",
     "priority_with_returns",
     "top_orders_per_customer",
     "running_quantity_by_supplier",
