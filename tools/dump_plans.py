@@ -18,6 +18,7 @@ SHOWCASE = [
     ("npm_dependency_counts", "flagship: fixture join -> from_json -> explode -> agg"),
     ("pricing_summary", "filtered scan + hash agg; filter/pruning pushed to parquet"),
     ("supplier_volume_by_nation", "dim joins broadcast; fact never shuffles for dims"),
+    ("local_supplier_revenue", "six-table join: 3 broadcasts + one fact-fact shuffle"),
     ("top_unshipped_orders", "semi join + broadcast + TakeOrdered top-k"),
     ("skew_salted_join", "fact-fact join via explicit salting"),
     ("top_orders_per_customer", "window rank partitioned on the join key"),
