@@ -19,6 +19,8 @@ from ..functions.text import (
     sql_base_hashes,
     sql_char_shingles,
     sql_minhash_affine,
+    sql_word_shingles,
+    word_shingles,
 )
 from ..session import load_scaled, load_table
 from .registry import Registry
@@ -257,4 +259,107 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h16") < F.col("rate"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@REG.add(
+    "pii_scan",
+    r"""
+    WITH seeded AS (
+      SELECT lang,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or https://example.com/d/'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))) AS n_emails,
+           sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS n_urls,
+           sum(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]'))) AS n_ssn_like,
+           sum(CASE WHEN regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
+                    THEN 1 ELSE 0 END) AS n_docs_with_email
+    FROM seeded GROUP BY lang
+    """,
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-pattern screening rollup — the hygiene gate before
+    training-data export: per language, occurrence counts of email-,
+    URL- and SSN-shaped substrings plus how many documents carry at least
+    one email. Patterns stay in the regex subset RE2 (DuckDB) and Java
+    (Spark) evaluate identically — no backslash classes, no bounded
+    repetition. One scan, partial-aggregatable; at 100 TB the per-doc
+    flags would also be WRITTEN back as columns so downstream filters
+    prune on them."""
+    d = load_table(spark, sf_dir, "documents")
+    # every 13th document gets a deterministic synthetic email + URL so the
+    # scan exercises real matches on the otherwise-clean synthetic corpus
+    d = d.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    url = r"https?://[^ ]+"
+    ssn = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    n = lambda p: F.size(F.regexp_extract_all("text", F.lit(p), 0))  # noqa: E731
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n(email)).alias("n_emails"),
+        F.sum(n(url)).alias("n_urls"),
+        F.sum(n(ssn)).alias("n_ssn_like"),
+        F.sum(F.when(F.regexp_like("text", F.lit(email)), 1).otherwise(0)).alias(
+            "n_docs_with_email"
+        ),
+    )
+
+
+N_PROBE_DOCS = 20  # doc_id < 20 play the held-out benchmark set
+CONTAM_K = 5  # gram width for containment detection
+
+
+@REG.add(
+    "contamination_ngram_hits",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {sql_word_shingles('text', CONTAM_K)} AS grams FROM documents),
+    probes AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < {N_PROBE_DOCS}),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= {N_PROBE_DOCS})
+    SELECT c.doc_id, count(DISTINCT c.gram) AS n_gram_hits
+    FROM corpus c JOIN probes p ON c.gram = p.gram
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any
+    5-word-gram with the held-out probe set (docs 0..N_PROBE_DOCS). The
+    decontamination pass every training-data pipeline runs before export —
+    expressed as a gram equi-join (shuffle on the gram hash), NEVER a
+    substring scan of every (doc, probe) pair. At 100 TB the probe gram
+    set is small enough to broadcast, making this one corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", word_shingles(F.col("text"), CONTAM_K).alias("grams"))
+    probes = (
+        g.filter(F.col("doc_id") < N_PROBE_DOCS)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") >= N_PROBE_DOCS).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(probes), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_gram_hits"))
     )
