@@ -363,3 +363,33 @@ def contamination_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_gram_hits"))
     )
+
+
+@REG.add(
+    "vocab_top_terms",
+    """
+    SELECT term, n_docs, total_occurrences
+    FROM (
+      SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS total_occurrences,
+             row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, term) AS rn
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term)
+    WHERE rn <= 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: the 50 terms with the highest document
+    frequency (plus raw occurrence counts) — the report that feeds
+    stopword lists and tokenizer-vocab decisions. Explode -> two-level
+    hash agg (term, then term x doc distinct) -> global top-50; the final
+    ordering only ever sees one row per term."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("total_occurrences")
+    )
+    return (
+        counts.orderBy(F.desc("n_docs"), "term")
+        .limit(50)
+        .select("term", "n_docs", "total_occurrences")
+    )

@@ -192,3 +192,17 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
         assert b <= a + 1e-6
     summary = similarity.kmeans_clusters(spark, sf_dir).collect()
     assert sum(r.n_members for r in summary) == n_vec
+
+
+def test_pii_scan_detects_all_seeded_docs(spark, sf_dir):
+    """Every 13th document carries synthetic PII; the scan must count
+    exactly those documents per language."""
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        r.lang: r.n
+        for r in d.filter(F.col("doc_id") % 13 == 0).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.lang: r.n_docs_with_email for r in textops.pii_scan(spark, sf_dir).collect()}
+    for lang, n in want.items():
+        assert got[lang] == n
+    assert all(v == 0 for lang, v in got.items() if lang not in want)
