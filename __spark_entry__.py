@@ -28,10 +28,11 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, MM, UDX]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import pricing_summary
-
-    return pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's own query — per (package, version) runtime
+    and dev dependency counts over the hermetic registry fixtures
+    (reference: src/main/scala/Main.scala end-to-end). Driver checks
+    rows>0 and schema stability."""
+    return _npm_dependency_counts(spark, "/root/testdata/sf0.001")
 
 
 def _npm_dependency_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
