@@ -26,6 +26,42 @@ from akkastreamprocessnpmpackagedependencies_spark.operators.udx import REG as U
 
 _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, MM, UDX]
 
+# The driver's correctness gate consumes registry entries IN ORDER (round 1
+# stopped at exactly 50), so ordering is evidence policy: the queries that
+# most need a fresh driver row come first — the whole LLM-pipeline surface
+# (dedup / similarity / text / multimodal / UDF demos: unchecked in r1)
+# plus every query whose code or oracle changed this round. Relational
+# queries already proven green in CORRECTNESS_r01.json rotate to the tail.
+_PRIORITY = [
+    "npm_dependency_counts",
+    # r1-unchecked: dedup + similarity + text + multimodal + udx + gapfill
+    *["dedup_exact_hash", "dedup_exact_summary", "minhash_signatures",
+      "minhash_lsh_neardup", "neardup_clusters", "simhash_fingerprints",
+      "simhash_candidate_pairs", "chargram_jaccard_pairs"],
+    *["cosine_topk_bruteforce", "cosine_topk_lsh", "cosine_topk_ivf",
+      "embedding_neardup_pairs", "embedding_centroids", "kmeans_clusters"],
+    *["lang_id_heuristic", "text_quality_scores", "token_counts",
+      "doc_fingerprints", "text_normalize", "dedup_normalized_hash",
+      "stratified_sample", "pii_scan", "contamination_ngram_hits",
+      "vocab_top_terms"],
+    *["multimodal_metadata", "multimodal_decode_features",
+      "multimodal_frame_sample", "multimodal_resize_plan"],
+    *["udtf_sentences", "grouped_median_pandas", "sql_api_revenue_by_nation"],
+    "events_hourly_gapfill",
+    # r1-red or changed this round: need confirmation rows
+    *["order_priority_by_quarter", "set_except", "price_histogram",
+      "approx_sketches", "price_outliers_iqr", "json_funcs",
+      "json_corrupt_tolerant", "date_funcs", "events_sessionize"],
+    # r1-green rotation fill to slot 50
+    *["events_tumbling_1h", "events_sliding_1h_30m", "asof_purchase_signup",
+      "string_funcs", "math_funcs", "array_funcs", "map_funcs"],
+]
+
+
+def _ordered(items: dict) -> dict:
+    head = {k: items[k] for k in _PRIORITY if k in items}
+    return head | {k: v for k, v in items.items() if k not in head}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's own query — per (package, version) runtime
@@ -56,11 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for mod in _MODULES:
         out.update(mod.queries)
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {"npm_dependency_counts": _NPM_ORACLE}
     for mod in _MODULES:
         out.update(mod.oracles)
-    return out
+    return _ordered(out)

@@ -257,58 +257,76 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 32
-# bit b of simhash = sign of sum over distinct tokens of (+1 if the b-th hex
-# digit of md5(token) has its high bit set else -1)
+_SIMHASH_BITS = 64
+# 64-bit SimHash from the first 16 hex digits of md5(token): bit b of the
+# fingerprint = sign of the sum over distinct tokens of (+1 if bit (b % 4)
+# of hex digit (b // 4) is set, else -1). Emitted as two unsigned 32-bit
+# halves (simhash_hi = bits 32..63, simhash_lo = bits 0..31) stored in
+# BIGINT — no sign-bit arithmetic on either engine, and the hi half IS the
+# 32-bit blocking key the candidate join needs.
+
+# Spark-side: one pure column expression per document — md5 once per token,
+# a 64-wide +/-1 accumulator folded with aggregate/zip_with, then the two
+# halves packed. NO shuffle and NO row blowup (the old form exploded
+# tokens x bits: a 64x shuffle amplification this removes entirely).
+_SPARK_SIMHASH = """
+aggregate(
+  transform(array_distinct(split(text, ' ')), t -> md5(t)),
+  array_repeat(0, 64),
+  (acc, h) -> zip_with(
+      acc,
+      transform(sequence(0, 63), b ->
+        CASE WHEN (shiftright(
+                     CAST(conv(substr(h, (b div 4) + 1, 1), 16, 10) AS INT),
+                     b % 4) & 1) = 1
+             THEN 1 ELSE -1 END),
+      (a, c) -> a + c)
+)
+"""
 
 
 def _sql_simhash() -> str:
+    # DuckDB mirror keeps the legible explode form (oracle-side cost at
+    # sf0.01 is irrelevant); strpos over the hex alphabet decodes a digit.
     return f"""
     toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
     bits AS (
       SELECT doc_id, b,
-             sum(CASE WHEN strpos('89abcdef', substr(md5(tok), b + 1, 1)) > 0
+             sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                            >> (b % 4)) & 1 = 1
                       THEN 1 ELSE -1 END) AS v
       FROM toks CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS b)
       GROUP BY doc_id, b
     ),
     sim AS (
       SELECT doc_id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS simhash_hi,
+             CAST(sum(CASE WHEN v > 0 AND b < 32  THEN (1::BIGINT << b)        ELSE 0 END) AS BIGINT) AS simhash_lo
       FROM bits GROUP BY doc_id
     )"""
 
 
 @REG.add(
     "simhash_fingerprints",
-    f"WITH {_sql_simhash()} SELECT doc_id, simhash FROM sim",
+    f"WITH {_sql_simhash()} SELECT doc_id, simhash_hi, simhash_lo FROM sim",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: per-bit majority vote over md5 digits of
-    the distinct token set. Explode(tokens x bits) -> two hash aggs —
-    fully distributed, no UDF."""
+    """64-bit SimHash per document, computed entirely inside one projected
+    expression (higher-order functions over the token array): md5 per
+    distinct token, a 64-wide +/-1 vote accumulator via aggregate/zip_with,
+    sign-packed into two 32-bit halves. Zero shuffles, zero row blowup —
+    at 100 TB this is a map-only pass whose cost is the text scan itself."""
     d = load_scaled(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    bits = (
-        toks.select("doc_id", F.md5("tok").alias("h"))
-        .select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"))
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.col("h").substr(F.col("b") + 1, F.lit(1)).isin(*"89abcdef"), 1)
-            .otherwise(-1)
-            .alias("s"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("s").alias("v"))
+    acc = F.expr(_SPARK_SIMHASH)
+    pack = lambda lo_bit: F.expr(  # noqa: E731
+        f"""aggregate(sequence({lo_bit}, {lo_bit + 31}), CAST(0 AS BIGINT),
+            (s, b) -> s + IF(element_at(_acc, b + 1) > 0,
+                             shiftleft(CAST(1 AS BIGINT), b - {lo_bit}),
+                             CAST(0 AS BIGINT)))"""
     )
     return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
-            ).alias("simhash")
-        )
+        d.select("doc_id", acc.alias("_acc"))
+        .select("doc_id", pack(32).alias("simhash_hi"), pack(0).alias("simhash_lo"))
     )
 
 
@@ -317,28 +335,37 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_sql_simhash()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           bit_count(xor(a.simhash_hi, b.simhash_hi))
+             + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS hamming
     FROM sim a JOIN sim b
-      ON (a.simhash >> {_SIMHASH_BITS // 2}) = (b.simhash >> {_SIMHASH_BITS // 2})
+      ON a.simhash_hi = b.simhash_hi
      AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 6
     """,
 )
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: block on the top 16 bits (equi-join —
-    the scale path), then keep pairs within hamming distance 6.
+    """SimHash near-dup candidates: block on the 32-bit hi half (equi-join —
+    the scale path), then keep pairs within hamming distance 6 over the
+    full 64 bits.
 
-    Scale note: 32 bits with a 16-bit block is sized for this corpus. At
-    billions of documents, widen to 64-bit fingerprints (two md5-derived
-    bits per hex digit) with 32-bit blocks, or rotate-and-block B times
-    for guaranteed recall at hamming k — the pipeline shape (fingerprint
-    -> block equi-join -> hamming filter) is unchanged; only the constants
-    and the blocking column grow."""
+    Scale note: a single 32-bit block guarantees recall only for pairs
+    whose 6 differing bits all fall in the lo half; for guaranteed recall
+    at hamming k, rotate-and-block B times (B small, each a cheap map +
+    equi-join) — the pipeline shape (fingerprint -> block equi-join ->
+    hamming filter) is unchanged; only the constants grow."""
     sim = simhash_fingerprints(spark, sf_dir)
-    block = F.shiftright(F.col("simhash"), _SIMHASH_BITS // 2)
-    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), block.alias("blk"))
-    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), block.alias("blk"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    a = sim.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_hi").alias("blk"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    b = sim.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_hi").alias("blk"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     return (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))

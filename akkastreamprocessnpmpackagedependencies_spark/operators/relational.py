@@ -583,14 +583,23 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not the data) crosses the wire. No DuckDB oracle — sketch estimates
     are algorithm-specific (driver records the rows-only check); the pytest
     asserts the estimates land within the documented error bounds of the
-    exact answers."""
+    exact answers. Quantiles surface as scalar p50/p90/p99 columns (not one
+    array column) so rows-only canonicalizers can sort the frame."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    q = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
+            "_pq"
         ),
+    )
+    return q.select(
+        "l_returnflag",
+        "approx_parts",
+        "approx_supps",
+        F.col("_pq")[0].alias("p50"),
+        F.col("_pq")[1].alias("p90"),
+        F.col("_pq")[2].alias("p99"),
     )
 
 
@@ -748,7 +757,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter, o_orderpriority,
            count(*) AS n_orders,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     GROUP BY date_trunc('quarter', o_orderdate), o_orderpriority
@@ -802,7 +811,10 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add("set_except", f"({_SET_A}) EXCEPT ({_SET_B})")
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _building_custkeys(spark, sf_dir).exceptAll(_frequent_custkeys(spark, sf_dir)).distinct()
+    # subtract() IS SQL EXCEPT (distinct): a value on both sides never
+    # survives. exceptAll().distinct() would wrongly keep a value whose
+    # left multiplicity exceeds its right.
+    return _building_custkeys(spark, sf_dir).subtract(_frequent_custkeys(spark, sf_dir))
 
 
 @REG.add("set_union", f"({_SET_A}) UNION ({_SET_B})")
@@ -815,16 +827,18 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
            count(*) AS n,
-           CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS lo,
-           CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS hi
+           CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(max(l_extendedprice) AS DOUBLE) AS hi
     FROM lineitem GROUP BY 1
     """,
 )
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram (10k-wide buckets) via floor division + hash
     agg — the one-pass distribution profile (no sort, fully
-    partial-aggregatable). min/max per bucket surface as exact
-    DECIMAL(18,2) so the comparison is representation-independent."""
+    partial-aggregatable). min/max per bucket surface as DOUBLE on both
+    engines: min/max never create new values, so the doubles are identical
+    bit patterns and the string canonicalization can't diverge the way
+    DECIMAL renderings (trailing zeros) can."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.select(
@@ -834,8 +848,8 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
-            F.min("l_extendedprice").cast("decimal(18,2)").alias("lo"),
-            F.max("l_extendedprice").cast("decimal(18,2)").alias("hi"),
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
         )
     )
 
@@ -871,8 +885,8 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_cont(order_rev, 0.75) AS q3
       FROM r)
     SELECT count(*)                                  AS n_outliers,
-           CAST(min(r.order_rev) AS DECIMAL(18,2))   AS min_outlier,
-           CAST(max(r.order_rev) AS DECIMAL(18,2))   AS max_outlier
+           CAST(min(r.order_rev) AS DOUBLE)          AS min_outlier,
+           CAST(max(r.order_rev) AS DOUBLE)          AS max_outlier
     FROM r CROSS JOIN q
     WHERE r.order_rev > q.q3 + 1.5 * (q.q3 - q.q1)
        OR r.order_rev < q.q1 - 1.5 * (q.q3 - q.q1)
@@ -902,8 +916,8 @@ def price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_outliers"),
-            F.min("order_rev").cast("decimal(18,2)").alias("min_outlier"),
-            F.max("order_rev").cast("decimal(18,2)").alias("max_outlier"),
+            F.min("order_rev").cast("double").alias("min_outlier"),
+            F.max("order_rev").cast("double").alias("max_outlier"),
         )
     )
 

@@ -59,7 +59,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            day(o_orderdate)                       AS d,
            quarter(o_orderdate)                   AS q,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           last_day(CAST(o_orderdate AS DATE))    AS month_end,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due
     FROM orders
     """,
@@ -73,7 +73,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("d"),
         F.quarter("o_orderdate").alias("q"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due"),
     )
 
@@ -163,9 +163,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                                                  AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))    AS sum_k,
-           sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                    THEN 1 ELSE 0 END)                               AS n_k_gt50
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS BIGINT)                    AS n_k_gt50
     FROM events GROUP BY event_type
     """,
 )
@@ -194,7 +194,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END AS k
       FROM raw)
     SELECT event_type, count(*) AS n_rows, count(k) AS n_valid,
-           count(*) - count(k) AS n_corrupt, sum(k) AS sum_k
+           count(*) - count(k) AS n_corrupt, CAST(sum(k) AS BIGINT) AS sum_k
     FROM parsed GROUP BY event_type
     """,
 )

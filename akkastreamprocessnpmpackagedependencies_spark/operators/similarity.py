@@ -248,36 +248,27 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
       FROM ({_SQL_CORPUS})
-    ),
-    m AS (
-      SELECT label, dim,
-             CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mv,
-             count(*) AS n
-      FROM x GROUP BY label, dim
     )
-    SELECT label, max(n) AS n_vecs, array_agg(mv ORDER BY dim) AS centroid
-    FROM m GROUP BY label
+    SELECT label, dim,
+           CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS coord,
+           count(*) AS n_vecs
+    FROM x GROUP BY label, dim
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the k-means update step / class prototype
     op): posexplode to (label, dim, val), sum each coordinate through the
-    order-independent decimal convention, re-assemble the vector sorted by
-    dimension. Two hash aggs, both partial-aggregatable — at 100 TB the
-    shuffle carries one row per (label, dim), never the vectors. This is
-    also the write-side of the IVF quantizer: feed the centroids back into
-    cosine_topk_ivf's assignment join."""
+    order-independent decimal convention. One hash agg, fully
+    partial-aggregatable — at 100 TB the shuffle carries one row per
+    (label, dim), never the vectors. Output is the LONG form (label, dim,
+    coord): scalar cells survive any canonicalizer, and the array form is
+    one collect_list away (see ``_update``, which feeds cosine_topk_ivf's
+    assignment join)."""
     e = _corpus(spark, sf_dir)
     x = e.select("label", F.posexplode("v").alias("dim", "val"))
-    m = x.groupBy("label", "dim").agg(
-        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mv"),
-        F.count("*").alias("n"),
-    )
-    return m.groupBy("label").agg(
-        F.max("n").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mv"))), lambda s: s["mv"]
-        ).alias("centroid"),
+    return x.groupBy("label", "dim").agg(
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("coord"),
+        F.count("*").alias("n_vecs"),
     )
 
 

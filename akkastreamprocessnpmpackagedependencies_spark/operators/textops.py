@@ -275,11 +275,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))) AS n_emails,
-           sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS n_urls,
-           sum(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]'))) AS n_ssn_like,
-           sum(CASE WHEN regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
-                    THEN 1 ELSE 0 END) AS n_docs_with_email
+           CAST(sum(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
+           CAST(sum(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]'))) AS BIGINT) AS n_ssn_like,
+           CAST(sum(CASE WHEN regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_email
     FROM seeded GROUP BY lang
     """,
 )
