@@ -584,11 +584,18 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     are algorithm-specific (driver records the rows-only check); the pytest
     asserts the estimates land within the documented error bounds of the
     exact answers. Quantiles surface as scalar p50/p90/p99 columns (not one
-    array column) so rows-only canonicalizers can sort the frame."""
+    array column) so rows-only canonicalizers can sort the frame. Each row
+    also carries the EXACT count(DISTINCT) companions (exact_parts /
+    exact_supps) so sketch drift is visible in the recorded row itself —
+    the exact columns cost one expand-distinct pass at test scale and
+    would be dropped (or sampled) in the 100 TB deployment where the
+    sketch exists precisely to avoid them."""
     l = load_table(spark, sf_dir, "lineitem")
     q = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
             "_pq"
         ),
@@ -597,6 +604,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "approx_parts",
         "approx_supps",
+        "exact_parts",
+        "exact_supps",
         F.col("_pq")[0].alias("p50"),
         F.col("_pq")[1].alias("p90"),
         F.col("_pq")[2].alias("p99"),

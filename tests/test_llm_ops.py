@@ -77,9 +77,13 @@ def test_exact_dedup_consistency(spark, sf_dir):
     assert hashed.count() == d.select("text").distinct().count()
 
 
-def test_simhash_is_32bit(spark, sf_dir):
+def test_simhash_is_64bit(spark, sf_dir):
+    """simhash_fingerprints emits the 64-bit fingerprint as two unsigned
+    32-bit halves (hi = bits 32..63, lo = bits 0..31), both in [0, 2^32)."""
     rows = dedup.simhash_fingerprints(spark, sf_dir).collect()
-    assert all(0 <= r.simhash < (1 << 32) for r in rows)
+    assert len(rows) > 0
+    assert all(0 <= r.simhash_hi < (1 << 32) for r in rows)
+    assert all(0 <= r.simhash_lo < (1 << 32) for r in rows)
 
 
 def test_cosine_topk_ranks_descending(spark, sf_dir):

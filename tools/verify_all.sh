@@ -1,10 +1,15 @@
 #!/usr/bin/env bash
-# Full verification: driver simulation on a vanilla session (every query),
-# DuckDB oracle parity at sf0.01, and the bench JSON line.
+# Full verification: pytest suite, driver simulation on a vanilla session
+# (every query), DuckDB oracle parity at sf0.01, and the bench JSON line.
+# This is the pre-snapshot guard: run it before any end-of-round commit —
+# round 2 shipped a red suite because this script skipped pytest.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/3 driver simulation (vanilla session, all queries) =="
+echo "== 0/4 pytest =="
+python -m pytest tests/ -x -q
+
+echo "== 1/4 driver simulation (vanilla session, all queries) =="
 python - <<'EOF'
 from pyspark.sql import SparkSession
 spark = SparkSession.builder.master("local[8]").getOrCreate()
@@ -22,8 +27,8 @@ print(f"{len(qs)} queries ran; failures: {bad if bad else 'none'}")
 assert not bad
 EOF
 
-echo "== 2/3 oracle parity (sf0.01) =="
+echo "== 2/4 oracle parity (sf0.01) =="
 python tools/oracle_check.py /root/testdata/sf0.01 | tail -1
 
-echo "== 3/3 bench =="
+echo "== 3/4 bench =="
 python bench.py 2>/dev/null | tail -1 | python -c "import json,sys; d=json.load(sys.stdin); print('bench ok:', d['value'], d['unit'], len(d['queries']), 'queries')"
