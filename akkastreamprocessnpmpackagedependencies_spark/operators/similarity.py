@@ -9,8 +9,9 @@ Scale design (100 TB):
   driver merge (TakeOrdered);
 - the LSH variant equi-joins on bucket id, so candidate generation touches
   ~corpus/2^P vectors per query instead of all of them;
-- near-dup blocks on the label (an IVF-like coarse quantizer): the cross
-  join only happens inside a block.
+- near-dup blocks on coarse-quantizer cells with multi-probe: the cross
+  join only happens inside a cell, and cells (unlike data-dependent
+  attributes) stay balanced at scale.
 
 All similarity values are rounded to 6 dp in the output (cross-engine
 double folds can differ by 1 ulp; see functions/vector.py).
@@ -212,33 +213,78 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_PROBE = 2  # multi-probe width: each vector lands in its 2 nearest cells
+
+
 @REG.add(
     "embedding_neardup_pairs",
     f"""
-    WITH e AS ({_SQL_CORPUS})
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    WITH e AS ({_SQL_CORPUS}),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM ({_SQL_CORPUS})
+          WHERE vec_id < {N_CENTROIDS}),
+    asg AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.v', 'c.cv', DIM)} DESC,
+                                           c.centroid_id) AS rn
+        FROM e CROSS JOIN c)
+      WHERE rn <= {NEARDUP_PROBE}
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({sql_cosine('a.v', 'b.v', DIM)}, 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM asg a JOIN asg b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     WHERE {sql_cosine('a.v', 'b.v', DIM)} > 0.4
     """,
 )
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup with IVF-style blocking: the label column
-    acts as the coarse quantizer — all-pairs cosine only within a block,
-    an equi-join at scale instead of a corpus cross join."""
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup blocked on coarse-quantizer cells with
+    multi-probe: every vector is assigned to its NEARDUP_PROBE nearest
+    cells (broadcast argmin over the centroids, same shape as
+    ``cosine_topk_ivf``), candidates are the within-cell equi-join, and a
+    pair that meets in several shared cells is deduped by DISTINCT.
+
+    This replaces the earlier label-based blocking: ``label`` is a
+    data-dependent key, so one hot label at 100 TB degenerates to an
+    all-pairs join inside that block. Quantizer cells are balanced by
+    construction (k-means minimizes within-cell spread), and multi-probe
+    recovers pairs that straddle a cell boundary.
+
+    ``centroids`` defaults to the deterministic anchor set (vec_id <
+    N_CENTROIDS) so the DuckDB oracle stays exact; production passes the
+    fitted centroids from ``kmeans_fit`` (same (centroid_id, cv) schema —
+    see test_kmeans_centroids_drive_neardup_blocking), which only changes
+    the blocking quality, never the pipeline shape."""
     e = _corpus(spark, sf_dir)
-    a, b = e.alias("a"), e.alias("b")
-    c = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            c.alias("c"),
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
         )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), "centroid_id")
+    asg = (
+        e.join(F.broadcast(centroids))
+        .withColumn("csim", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NEARDUP_PROBE)
+        .select("vec_id", "v", "centroid_id")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id"
+    )
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", c.alias("c"))
         .filter(F.col("c") > 0.4)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cos_sim"))
+        .distinct()
     )
 
 

@@ -198,6 +198,28 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
     assert sum(r.n_members for r in summary) == n_vec
 
 
+def test_kmeans_centroids_drive_neardup_blocking(spark, sf_dir):
+    """The production blocking path: embedding_neardup_pairs accepts the
+    fitted centroid frame from kmeans_fit (the default anchor centroids
+    exist only for oracle determinism). Fitted cells are at least as tight
+    as the arbitrary anchors, so every pair the anchor blocking finds at
+    cos > 0.4 should still be discoverable; we assert the path runs, emits
+    the same schema, and returns canonical (vec_a < vec_b) pairs above the
+    threshold."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        _update,
+    )
+
+    asg, _ = similarity.kmeans_fit(spark, sf_dir)
+    fitted = _update(asg)  # (centroid_id, cv) — same schema as the anchors
+    rows = similarity.embedding_neardup_pairs(spark, sf_dir, centroids=fitted).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.cos_sim > 0.4
+    assert len({(r.vec_a, r.vec_b) for r in rows}) == len(rows)  # deduped
+
+
 def test_pii_scan_detects_all_seeded_docs(spark, sf_dir):
     """Every 13th document carries synthetic PII; the scan must count
     exactly those documents per language."""

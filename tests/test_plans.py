@@ -110,3 +110,23 @@ def test_ivf_broadcasts_centroids_never_shuffles_corpus_for_assignment(spark, sf
     plan = _plan(cosine_topk_ivf(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("BroadcastExchange") >= 2  # centroids + probe set
+
+
+def test_embedding_neardup_candidate_join_is_equijoin_on_cell(spark, sf_dir):
+    """The near-dup candidate join must be an equi-join keyed on the
+    quantizer cell id — never a nested-loop over the corpus, and never
+    keyed on a data-dependent attribute like label (one hot label would
+    degenerate to all-pairs at scale)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    plan = _plan(embedding_neardup_pairs(spark, sf_dir))
+    join_lines = [
+        line
+        for line in plan.splitlines()
+        if ("HashJoin" in line or "SortMergeJoin" in line)
+        and "centroid_id" in line
+    ]
+    assert join_lines, f"no equi-join on centroid_id in plan:\n{plan}"
+    assert "label" not in plan  # the old blocking key must be gone entirely
