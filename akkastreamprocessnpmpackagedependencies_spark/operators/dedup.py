@@ -9,8 +9,9 @@ Scale design (100 TB):
   bucket-equi-join pipeline: candidate generation is an equi-join on band
   keys (shuffle on a small key), never an all-pairs cross join; the
   verification jaccard only runs on candidates;
-- SimHash pairs block on the top half of the fingerprint, so candidate
-  pairs co-locate in one shuffle;
+- SimHash pairs block on a 7-way pigeonhole partition of the fingerprint
+  (any pair at hamming <= 6 shares a clean block), so recall is guaranteed
+  and candidates co-locate in one equi-join shuffle;
 - all hashing is md5-hex (identical in Spark and DuckDB — see
   functions/text.py), and jaccard is a ratio of integers, so every operator
   here is exactly oracle-checkable.
@@ -330,6 +331,37 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_MAX = 6
+# Multi-block scheme (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+# Crawling", WWW'07 §3): partition the 64 bits into HAMMING_MAX + 1 = 7
+# blocks. A pair at hamming <= 6 has <= 6 differing bits touching <= 6
+# blocks, so by pigeonhole AT LEAST ONE block matches exactly -> blocking
+# on (block_idx, block_value) equi-join has GUARANTEED recall, and the
+# oracle below can be the pure semantic definition (no blocking at all).
+_SIMHASH_BLOCK_BOUNDS = [0, 10, 19, 28, 37, 46, 55, 64]
+
+
+def _simhash_block_exprs(shr: str, shl: str) -> list[str]:
+    """Per-block extraction formulas over the (hi, lo) 32-bit halves —
+    identical arithmetic in Spark SQL (shiftright/shiftleft) and DuckDB
+    (>>/<<); both halves are non-negative so no sign-bit hazards."""
+    out = []
+    for s, e in zip(_SIMHASH_BLOCK_BOUNDS, _SIMHASH_BLOCK_BOUNDS[1:]):
+        mask = (1 << (e - s)) - 1
+        if e <= 32:
+            out.append(f"({shr.format('simhash_lo', s)} & {mask})")
+        elif s >= 32:
+            out.append(f"({shr.format('simhash_hi', s - 32)} & {mask})")
+        else:  # straddles bit 32: low bits from lo, high bits from hi
+            out.append(
+                f"(({shr.format('simhash_lo', s)} | {shl.format('simhash_hi', 32 - s)}) & {mask})"
+            )
+    return out
+
+
+_SPARK_BLOCKS = _simhash_block_exprs("shiftright({0}, {1})", "shiftleft({0}, {1})")
+
+
 @REG.add(
     "simhash_candidate_pairs",
     f"""
@@ -338,39 +370,57 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            bit_count(xor(a.simhash_hi, b.simhash_hi))
              + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS hamming
     FROM sim a JOIN sim b
-      ON a.simhash_hi = b.simhash_hi
-     AND a.doc_id < b.doc_id
+      ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
-            + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 6
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {HAMMING_MAX}
     """,
 )
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: block on the 32-bit hi half (equi-join —
-    the scale path), then keep pairs within hamming distance 6 over the
-    full 64 bits.
+    """SimHash near-dup pairs at hamming <= 6 over the full 64 bits, found
+    via 7-block pigeonhole blocking: each fingerprint explodes into 7
+    (block_idx, block_value) keys (a 7x amplification of 3-int rows, not
+    documents), candidates are the equi-join on that composite key, exact
+    hamming verifies, and pairs that agree on several blocks dedupe with
+    DISTINCT. Any pair at hamming <= HAMMING_MAX shares at least one clean
+    block, so recall is guaranteed — which is why the ORACLE is the pure
+    all-pairs definition: the hash match proves the blocking loses nothing.
 
-    Scale note: a single 32-bit block guarantees recall only for pairs
-    whose 6 differing bits all fall in the lo half; for guaranteed recall
-    at hamming k, rotate-and-block B times (B small, each a cheap map +
-    equi-join) — the pipeline shape (fingerprint -> block equi-join ->
-    hamming filter) is unchanged; only the constants grow."""
+    Scale note: 9-10-bit block values are weak keys alone; at 100 TB widen
+    the fingerprint (128-bit simhash -> 7 x 18-bit blocks) or compound
+    blocks Manku-style to regain selectivity — the pipeline shape
+    (fingerprint -> block equi-join -> hamming verify) is unchanged."""
     sim = simhash_fingerprints(spark, sf_dir)
-    a = sim.select(
+    blocks = sim.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.posexplode(F.array(*[F.expr(b) for b in _SPARK_BLOCKS])).alias(
+            "blk_idx", "blk_val"
+        ),
+    )
+    a = blocks.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("simhash_hi").alias("blk"),
+        F.col("simhash_hi").alias("hi_a"),
         F.col("simhash_lo").alias("lo_a"),
+        "blk_idx",
+        "blk_val",
     )
-    b = sim.select(
+    b = blocks.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("simhash_hi").alias("blk"),
+        F.col("simhash_hi").alias("hi_b"),
         F.col("simhash_lo").alias("lo_b"),
+        "blk_idx",
+        "blk_val",
     )
-    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk_idx", "blk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 

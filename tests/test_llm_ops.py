@@ -86,6 +86,39 @@ def test_simhash_is_64bit(spark, sf_dir):
     assert all(0 <= r.simhash_lo < (1 << 32) for r in rows)
 
 
+def test_simhash_multiblock_recall_is_exhaustive(spark, sf_dir):
+    """Pigeonhole guarantee: the 7-block candidate join must find EVERY
+    pair at hamming <= HAMMING_MAX — compare against the brute-force
+    all-pairs hamming computed directly from the fingerprints."""
+    sim = dedup.simhash_fingerprints(spark, sf_dir)
+    a = sim.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    b = sim.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= dedup.HAMMING_MAX)
+        .collect()
+    }
+    blocked = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_candidate_pairs(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    assert blocked == brute
+
+
 def test_cosine_topk_ranks_descending(spark, sf_dir):
     rows = similarity.cosine_topk_bruteforce(spark, sf_dir).collect()
     by_q: dict[int, list] = {}
