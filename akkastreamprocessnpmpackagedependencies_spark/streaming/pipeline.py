@@ -143,6 +143,89 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+
+
+def sessionize_with_expiry(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful sessionization with HONEST state expiry: per-user
+    open-session state (start, last event, count) is merged with each
+    micro-batch's events, closed sessions emit as soon as a gap appears,
+    and the open session carries an EVENT-TIME TIMEOUT at last_ts + gap —
+    when the watermark passes it, the state fires once (hasTimedOut), the
+    session emits, and the state is REMOVED. This is the piece the
+    reference's fold-forever accumulator (Main.scala:82-86) and our
+    ``stateful_user_counts`` lack: without timeout-driven eviction,
+    per-key state grows monotonically for the life of the stream.
+
+    Semantics match batch ``events_sessionize`` exactly (a silence
+    STRICTLY greater than the 30-min gap starts a new session). State
+    size at any instant is one (3 longs) row per user with an open
+    session — bounded by active keys, not stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.timeseries import SESSION_GAP_US
+
+    gap_us = SESSION_GAP_US
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "n_events": [r[2] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t) for t in pdf["ts_us"])
+        ts_us.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        # expire when the watermark passes the session gap after the last
+        # event; never at-or-before the current watermark (API contract)
+        timeout_ms = max(
+            (last + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            _SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def purchases_with_recent_signup(
     purchases: DataFrame, signups: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:

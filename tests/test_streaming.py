@@ -152,6 +152,59 @@ def test_session_window_update(spark, sf_dir, tmp_path):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_sessionize_with_expiry_matches_batch(spark, sf_dir, tmp_path):
+    """Timeout-driven sessionization: closed sessions emit on gap
+    detection, open sessions emit when the watermark passes last_ts + gap
+    (event-time timeout), state is removed on expiry. The full emitted set
+    must equal batch events_sessionize."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        events_sessionize,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    src = str(tmp_path / "sess_src")
+    base = load_events(spark, sf_dir)
+    _write_time_sliced(base, src, 4)
+    ev = sp.read_events_stream(spark, src, max_files=1)
+    q = sp.run_to_memory(
+        sp.sessionize_with_expiry(ev),
+        "sess_out",
+        "append",
+        checkpoint=str(tmp_path / "sess_ck"),
+    )
+    q.processAllAvailable()
+    # Two far-future dummy batches: the first advances the watermark past
+    # every open session's timeout (watermarks update at end-of-batch), the
+    # second fires the timeouts. Dummy rows use user_id -1 and are excluded
+    # from the comparison.
+    max_us = base.agg(F.max(F.unix_micros("ts"))).first()[0]
+    for i in range(2):
+        future_ns = (max_us + (40 + i) * 86_400 * 1_000_000) * 1000
+        dummy = spark.range(1).select(
+            F.lit(-1 - i).cast("long").alias("event_id"),
+            F.lit(future_ns).cast("long").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("dummy").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        dummy.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+        q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out WHERE user_id >= 0").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_dedup_within_watermark(spark, sf_dir, tmp_path):
     from akkastreamprocessnpmpackagedependencies_spark.session import load_events
 
