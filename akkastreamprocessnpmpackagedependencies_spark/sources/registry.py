@@ -13,7 +13,9 @@ Design:
   (micro-batch granularity — documented difference, SURVEY.md §2.4 F3).
 - **Hermetic by default**: docs come from the frozen fixture parquet
   (``docs_path``). ``mode=live`` fetches https://registry.npmjs.org/<name>
-  (import-gated on ``requests``; politeness = the same rate option).
+  through fetch.ThrottledFetcher (retry/backoff/token bucket); ``mode=replay``
+  runs the SAME fetcher over a canned JSON transcript (``transcript_path``)
+  so the live path executes in CI with no network.
 - Batch reader partitions the package list evenly — at scale each executor
   fetches its slice with its own connection, no driver bottleneck.
 
@@ -48,16 +50,30 @@ def _load_docs(options: dict) -> list[tuple[str, int, str]]:
         opener = gzip.open if packages_path.endswith(".gz") else open
         with opener(packages_path, "rt") as f:
             names = [ln.strip() for ln in f if ln.strip()]
-    if mode == "live":  # pragma: no cover - no network in the test env
-        try:
-            import requests
-        except ImportError as e:
-            raise NotImplementedError("live mode needs the 'requests' package") from e
-        assert names is not None, "live mode requires packages_path"
+    if mode in ("live", "replay"):
+        # Both run the SAME ThrottledFetcher engine (retry/backoff/token
+        # bucket); only the transport differs. ``replay`` reads a JSON
+        # transcript {name: [outcome, ...]} from ``transcript_path`` so the
+        # live-path code executes with no network (record/replay harness).
+        from ..fetch import ReplayTransport, ThrottledFetcher, requests_transport
+
+        assert names is not None, f"{mode} mode requires packages_path"
+        if mode == "replay":
+            import json
+
+            with open(options["transcript_path"]) as f:
+                transport = ReplayTransport(json.load(f))
+        else:  # pragma: no cover - no network in the test env
+            transport = requests_transport()
+        fetcher = ThrottledFetcher(
+            transport,
+            rate_per_sec=float(options.get("rate_per_sec", 0.33)),
+            max_retries=int(options.get("max_retries", 3)),
+        )
         out = []
         for n in names:
-            r = requests.get(f"https://registry.npmjs.org/{n}", timeout=30)
-            out.append((n, r.status_code, r.text if r.status_code == 200 else None))
+            code, text = fetcher(n)
+            out.append((n, code, text))
         return out
     docs_path = options.get("docs_path")
     if docs_path:
