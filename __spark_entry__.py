@@ -26,35 +26,40 @@ from akkastreamprocessnpmpackagedependencies_spark.operators.udx import REG as U
 
 _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, MM, UDX]
 
-# The driver's correctness gate consumes registry entries IN ORDER (round 1
-# stopped at exactly 50), so ordering is evidence policy: the queries that
-# most need a fresh driver row come first — the whole LLM-pipeline surface
-# (dedup / similarity / text / multimodal / UDF demos: unchecked in r1)
-# plus every query whose code or oracle changed this round. Relational
-# queries already proven green in CORRECTNESS_r01.json rotate to the tail.
+# The driver's correctness gate consumes registry entries IN ORDER (it
+# checks exactly the first 50), so ordering is evidence policy governed by
+# ONE rule, enforced from git by ``tools/driver_check.py --staleness``:
+# every query whose defining module changed since the last recorded
+# CORRECTNESS file must be inside the window. Round 3 changed relational
+# (approx_sketches companions), dedup (simhash multi-block), similarity
+# (cell-blocked near-dup) and this file — their 49 queries + the flagship
+# fill the window exactly. That also refreshes 29 of the 32 r1-resting
+# rows (all relational); the 3 unchanged-module r1-resters
+# (unpivot_part_metrics, events_value_rolling_1h, events_error_context_5m)
+# stay on their bit-identical r1-green rows and lead the r4 window.
 _PRIORITY = [
     "npm_dependency_counts",
-    # r1-unchecked: dedup + similarity + text + multimodal + udx + gapfill
+    # relational (module changed: approx_sketches exact companions)
+    *["approx_sketches", "pricing_summary", "order_priority_by_quarter",
+      "set_except", "price_histogram", "price_outliers_iqr",
+      "forecast_revenue", "distinct_aggs", "stats_moments", "rollup_qty",
+      "cube_qty", "grouping_sets_qty", "pivot_linestatus", "case_bucketing",
+      "top_unshipped_orders", "supplier_volume_by_nation",
+      "priority_with_returns", "customers_without_big_orders",
+      "customer_order_counts", "topk_per_customer_agg",
+      "top_orders_per_customer", "running_quantity_by_supplier",
+      "order_gap_days", "top_orders_global", "window_rank_variants",
+      "skew_salted_join", "idle_rich_customers", "top_revenue_suppliers",
+      "promo_revenue_ratio", "set_intersect", "set_union",
+      "deterministic_sample", "local_supplier_revenue",
+      "returned_item_customers", "customer_churn_full_outer"],
+    # dedup (module changed: 7-block simhash blocking)
     *["dedup_exact_hash", "dedup_exact_summary", "minhash_signatures",
       "minhash_lsh_neardup", "neardup_clusters", "simhash_fingerprints",
       "simhash_candidate_pairs", "chargram_jaccard_pairs"],
+    # similarity (module changed: quantizer-cell near-dup blocking)
     *["cosine_topk_bruteforce", "cosine_topk_lsh", "cosine_topk_ivf",
       "embedding_neardup_pairs", "embedding_centroids", "kmeans_clusters"],
-    *["lang_id_heuristic", "text_quality_scores", "token_counts",
-      "doc_fingerprints", "text_normalize", "dedup_normalized_hash",
-      "stratified_sample", "pii_scan", "contamination_ngram_hits",
-      "vocab_top_terms"],
-    *["multimodal_metadata", "multimodal_decode_features",
-      "multimodal_frame_sample", "multimodal_resize_plan"],
-    *["udtf_sentences", "grouped_median_pandas", "sql_api_revenue_by_nation"],
-    "events_hourly_gapfill",
-    # r1-red or changed this round: need confirmation rows
-    *["order_priority_by_quarter", "set_except", "price_histogram",
-      "approx_sketches", "price_outliers_iqr", "json_funcs",
-      "json_corrupt_tolerant", "date_funcs", "events_sessionize"],
-    # r1-green rotation fill to slot 50
-    *["events_tumbling_1h", "events_sliding_1h_30m", "asof_purchase_signup",
-      "string_funcs", "math_funcs", "array_funcs", "map_funcs"],
 ]
 
 

@@ -59,6 +59,13 @@ HEADLINE = [
     "grouped_median_pandas",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    # round-3 additions: the heaviest text/dedup/clustering ops
+    "chargram_jaccard_pairs",
+    "simhash_candidate_pairs",
+    "contamination_ngram_hits",
+    "pii_scan",
+    "vocab_top_terms",
+    "kmeans_clusters",
 ]
 
 

@@ -19,6 +19,34 @@ def test_query_names_are_stable_identifiers():
         assert name.replace("_", "").isalnum() and name == name.lower()
 
 
+def test_priority_window_is_valid_and_full():
+    """The driver checks exactly the first 50 queries() entries; _PRIORITY
+    must hold 50 unique registered names so no slot is wasted and ordering
+    is fully intentional."""
+    names = list(entrymod.queries())
+    prio = entrymod._PRIORITY
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    assert set(prio) <= set(names)
+    assert names[:50] == prio  # _ordered puts the window first, in order
+
+
+def test_no_stale_evidence_outside_driver_window():
+    """Every query whose module changed since the last CORRECTNESS file
+    must be inside the 50-entry window (same rule driver_check --staleness
+    enforces; running it here makes pytest the pre-commit guard)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/driver_check.py", "--staleness"],
+        capture_output=True,
+        text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 def test_entry_runs_and_is_stable(spark):
     out = entrymod.entry(spark)
     rows = out.collect()

@@ -19,6 +19,12 @@ any list/dict cell in either frame. A query that passes here should hash
 green in the driver's CORRECTNESS_r{N}.json.
 
 Usage: python tools/driver_check.py [sf_dir] [name ...]
+       python tools/driver_check.py --staleness
+
+``--staleness`` enforces the evidence-rotation invariant: every query whose
+defining module changed (committed OR uncommitted) since the latest
+CORRECTNESS_r{N}.json was recorded must sit inside the driver's 50-entry
+check window, or its green row is stale evidence.
 """
 
 from __future__ import annotations
@@ -89,9 +95,87 @@ def check(name: str, spark_df, sql: str, con) -> bool:
     return not problems
 
 
+DRIVER_WINDOW = 50  # the driver checks exactly the first 50 queries() entries
+
+
+def _git_commit_ts(repo: str, path: str) -> int | None:
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", repo, "log", "-1", "--format=%ct", "--", path],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    return int(out) if out else None
+
+
+def _git_dirty(repo: str, path: str) -> bool:
+    import subprocess
+
+    return bool(
+        subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain", "--", path],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+    )
+
+
+def staleness() -> None:
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not recorded:
+        print("no CORRECTNESS_r*.json yet; nothing to be stale against")
+        sys.exit(0)
+    base = os.path.relpath(recorded[-1], repo)
+    base_ts = _git_commit_ts(repo, base)
+    if base_ts is None:
+        print(f"{base} not committed; cannot anchor staleness check")
+        sys.exit(2)
+
+    import __spark_entry__ as e
+
+    names = list(e.queries().keys())
+    window = set(names[:DRIVER_WINDOW])
+    mod_files: dict[str, str] = {}
+    for name, fn in e.queries().items():
+        f = sys.modules[fn.__module__].__file__
+        mod_files[name] = os.path.relpath(f, repo)
+    changed_cache: dict[str, bool] = {}
+    violations = []
+    for name, rel in mod_files.items():
+        if rel not in changed_cache:
+            ts = _git_commit_ts(repo, rel)
+            changed_cache[rel] = (
+                ts is None or ts > base_ts or _git_dirty(repo, rel)
+            )
+        if changed_cache[rel] and name not in window:
+            violations.append((name, rel))
+    if violations:
+        print(f"STALE: {len(violations)} queries changed since {base} but sit "
+              f"outside the {DRIVER_WINDOW}-entry driver window:")
+        for name, rel in violations:
+            print(f"  {name} ({rel})")
+        sys.exit(1)
+    changed = sorted({r for r, c in changed_cache.items() if c})
+    print(f"staleness ok: modules changed since {base} = {changed or 'none'}; "
+          f"all their queries are inside the driver window")
+    sys.exit(0)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = {a for a in sys.argv[1:] if not os.path.isdir(a)}
+    args = sys.argv[1:]
+    if args and args[0] == "--staleness":
+        staleness()
+    sf_dir = "/root/testdata/sf0.01"
+    if args and ("/" in args[0] or os.path.isdir(args[0])):
+        if not os.path.isdir(args[0]):
+            sys.exit(f"error: {args[0]!r} looks like a path but is not a directory")
+        sf_dir = args[0]
+        args = args[1:]
+    only = set(args)
 
     import __spark_entry__ as e
     from akkastreamprocessnpmpackagedependencies_spark.session import get_spark
@@ -116,8 +200,11 @@ def main() -> None:
             print(f"{'OK  ' if not problems else 'FAIL'} {name} (rows-only, {0 if df is None else len(df)} rows)")
             for p in problems:
                 print(f"     {p}")
-            rows_only += 1
-            bad += bool(problems)
+            # each query lands in exactly one summary bucket
+            if problems:
+                bad += 1
+            else:
+                rows_only += 1
             continue
         try:
             if check(name, fn(spark, sf_dir), orc[name], con):
