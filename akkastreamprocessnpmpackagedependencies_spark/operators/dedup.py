@@ -376,37 +376,55 @@ _SPARK_BLOCKS = _simhash_block_exprs("shiftright({0}, {1})", "shiftleft({0}, {1}
     """,
 )
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming <= 6 over the full 64 bits, found
-    via 7-block pigeonhole blocking: each fingerprint explodes into 7
-    (block_idx, block_value) keys (a 7x amplification of 3-int rows, not
-    documents), candidates are the equi-join on that composite key, exact
-    hamming verifies, and pairs that agree on several blocks dedupe with
-    DISTINCT. Any pair at hamming <= HAMMING_MAX shares at least one clean
-    block, so recall is guaranteed — which is why the ORACLE is the pure
-    all-pairs definition: the hash match proves the blocking loses nothing.
+    """SimHash near-dup pairs at hamming <= 6 over the full 64 bits.
+
+    Pipeline (each step shaped for the fanout, not just the input bytes):
+
+    1. fingerprint per doc (map-only), persisted — it is read three times
+       below and at 100 TB a recompute is a full text scan, while the
+       fingerprint frame is 24 bytes/doc;
+    2. collapse to DISTINCT fingerprints before pairing — near-dup corpora
+       concentrate docs onto few codes (sf0.1: 5000 docs -> 3866 codes,
+       one code holds 249 docs), so candidate volume drops quadratically
+       in every hot bucket;
+    3. 7-block pigeonhole blocking (Manku WWW'07): each code explodes to 7
+       (block_idx, block_value) keys; any pair at hamming <= HAMMING_MAX
+       differs in <= 6 blocks so at least one block matches exactly ->
+       equi-join recall is GUARANTEED, which is why the ORACLE can be the
+       pure all-pairs definition. The join inputs are repartition()ed BY
+       NUMBER on the join key: AQE sizes post-shuffle partitions by input
+       bytes and would coalesce these tiny 4-int rows into ONE task, blind
+       to the ~10^7-row join fanout (observed: a 260 s single-thread stage
+       at sf0.1); a user-pinned count is exempt from AQE coalescing;
+    4. exact hamming verifies code pairs, DISTINCT dedupes multi-block
+       agreement while rows are still one-per-code-pair (small), and only
+       then do two fingerprint equi-joins expand codes back to doc pairs —
+       the expansion is output-bound, and needs no doc-level DISTINCT
+       because each doc belongs to exactly one code. Same-code doc pairs
+       (hamming 0) come from a separate within-group self-join.
 
     Scale note: 9-10-bit block values are weak keys alone; at 100 TB widen
     the fingerprint (128-bit simhash -> 7 x 18-bit blocks) or compound
     blocks Manku-style to regain selectivity — the pipeline shape
-    (fingerprint -> block equi-join -> hamming verify) is unchanged."""
-    sim = simhash_fingerprints(spark, sf_dir)
-    blocks = sim.select(
-        "doc_id",
+    (fingerprint -> distinct codes -> block equi-join -> hamming verify ->
+    doc expansion) is unchanged."""
+    sim = simhash_fingerprints(spark, sf_dir).persist()
+    par = spark.sparkContext.defaultParallelism
+    fp = sim.select("simhash_hi", "simhash_lo").distinct()
+    blocks = fp.select(
         "simhash_hi",
         "simhash_lo",
         F.posexplode(F.array(*[F.expr(b) for b in _SPARK_BLOCKS])).alias(
             "blk_idx", "blk_val"
         ),
-    )
+    ).repartition(par, "blk_idx", "blk_val")
     a = blocks.select(
-        F.col("doc_id").alias("doc_a"),
         F.col("simhash_hi").alias("hi_a"),
         F.col("simhash_lo").alias("lo_a"),
         "blk_idx",
         "blk_val",
     )
     b = blocks.select(
-        F.col("doc_id").alias("doc_b"),
         F.col("simhash_hi").alias("hi_b"),
         F.col("simhash_lo").alias("lo_b"),
         "blk_idx",
@@ -415,49 +433,140 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     )
-    return (
+    code_lt = (F.col("hi_a") < F.col("hi_b")) | (
+        (F.col("hi_a") == F.col("hi_b")) & (F.col("lo_a") < F.col("lo_b"))
+    )
+    fp_pairs = (
         a.join(b, ["blk_idx", "blk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(code_lt)
+        .select("hi_a", "lo_a", "hi_b", "lo_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+    da = sim.select(
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("doc_id").alias("id_a"),
+    )
+    db = sim.select(
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("doc_id").alias("id_b"),
+    )
+    cross = (
+        fp_pairs.join(da, ["hi_a", "lo_a"])
+        .join(db, ["hi_b", "lo_b"])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        da.withColumnRenamed("hi_a", "hi").withColumnRenamed("lo_a", "lo")
+        .join(
+            db.withColumnRenamed("hi_b", "hi").withColumnRenamed("lo_b", "lo"),
+            ["hi", "lo"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+CHARGRAM_JACCARD = 0.6
+
+
+def _sql_chargram_ctes() -> str:
+    """Char-gram signature -> band -> candidate -> verified-pair CTE chain,
+    mirroring the Spark plan block-for-block so the oracle stays lockstep."""
+    mh = ", ".join(f"{sql_minhash_affine('bases', h)} AS mh{h}" for h in range(N_HASHES))
+    return f"""
+    csig AS (
+      SELECT doc_id, g, {mh}
+      FROM (SELECT doc_id, g, {sql_base_hashes('g')} AS bases
+            FROM (SELECT doc_id, {sql_char_shingles('text')} AS g FROM documents))
+    ),
+    cbands AS (
+      SELECT doc_id, b, CASE b
+        {" ".join(f"WHEN {b} THEN " + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) for b in range(N_BANDS))}
+      END AS bkey
+      FROM csig CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)
+    ),
+    ccand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )"""
 
 
 @REG.add(
     "chargram_jaccard_pairs",
     f"""
-    WITH grams AS (
-      SELECT doc_id, {sql_char_shingles('text')} AS g FROM documents
-    ),
-    keyed AS (SELECT doc_id, g,
-              {sql_minhash_affine(sql_base_hashes('g'), 12)} AS blk FROM grams),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.g, b.g))::DOUBLE
-               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6
+    WITH {_sql_chargram_ctes()}
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.g, sb.g))::DOUBLE
+             / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) AS jaccard
+    FROM ccand c JOIN csig sa ON sa.doc_id = c.doc_a
+                 JOIN csig sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.g, sb.g))::DOUBLE
+            / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= {CHARGRAM_JACCARD}
     """,
 )
 def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-4-gram Jaccard near-dup: candidates block on one minhash of
-    the gram set (pairs this misses are by definition below ~the threshold
-    with high probability); exact jaccard verifies."""
+    """Character-4-gram Jaccard near-dup via banded MinHash-LSH (4 bands x
+    3 rows, same family as ``minhash_lsh_neardup`` but over char grams).
+
+    A single-minhash block key degenerates on templated corpora: the most
+    common gram wins the min for most docs (sf0.1: one bucket held 3167 of
+    5000 docs -> 5.0M of 5.2M candidate pairs, all ground through
+    array_intersect in one task). Banding on 3 concatenated minhashes cuts
+    candidates 8x (649k at sf0.1) because an unrelated pair must now
+    collide on three independent hashes at once; pairs any band misses are
+    below ~the threshold with high probability (P = 1-(1-j^3)^4). The band
+    equi-join emits doc-id-only rows (grams never ride the candidate
+    shuffle), DISTINCT dedupes multi-band hits, and exact jaccard verifies
+    on two signature-frame probes; the signature frame feeds all four plan
+    branches so it is persisted."""
     d = load_scaled(spark, sf_dir, "documents")
-    grams = d.select("doc_id", char_shingles(F.col("text")).alias("g"))
-    keyed = grams.select("doc_id", "g", minhash_affine(base_hashes(F.col("g")), 12).alias("blk"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
-    union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
-    return (
-        a.join(b, "blk")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    sig = (
+        d.select("doc_id", char_shingles(F.col("text")).alias("g"))
+        .withColumn("bases", base_hashes(F.col("g")))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+            "doc_id",
+            "g",
+            *[minhash_affine(F.col("bases"), h).alias(f"mh{h}") for h in range(N_HASHES)],
         )
-        .filter(F.col("jaccard") >= 0.6)
+        .persist()
+    )
+    band_key = [
+        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_key)).alias("b", "bkey"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        # Candidate rows are two ints, so AQE sizes the verify stage to a
+        # handful of partitions — but each row costs an array_intersect over
+        # ~200-gram sets. Pinning a full-parallelism repartition ON THE
+        # FIRST VERIFY-JOIN KEY makes the sort-merge join reuse this
+        # exchange, so the intersect work runs wide (a key the join can't
+        # use would just get re-exchanged and AQE-coalesced again).
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a")
+    )
+    gr = sig.select("doc_id", "g")
+    inter = F.size(F.array_intersect(F.col("sa.g"), F.col("sb.g")))
+    union = F.size(F.col("sa.g")) + F.size(F.col("sb.g")) - inter
+    return (
+        cand.join(gr.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(gr.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= CHARGRAM_JACCARD)
     )
