@@ -32,9 +32,11 @@ def test_priority_window_is_valid_and_full():
 
 
 def test_no_stale_evidence_outside_driver_window():
-    """Every query whose module changed since the last CORRECTNESS file
-    must be inside the 50-entry window (same rule driver_check --staleness
-    enforces; running it here makes pytest the pre-commit guard)."""
+    """Every query whose evidence fingerprint (function source + rendered
+    oracle + referenced helpers) differs from tools/evidence.json — the code
+    its last green CORRECTNESS row was computed against — must be inside the
+    50-entry window (same rule driver_check --staleness enforces; running it
+    here makes pytest the pre-commit guard)."""
     import subprocess
     import sys
 

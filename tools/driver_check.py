@@ -20,11 +20,28 @@ green in the driver's CORRECTNESS_r{N}.json.
 
 Usage: python tools/driver_check.py [sf_dir] [name ...]
        python tools/driver_check.py --staleness
+       python tools/driver_check.py --evidence-update N
 
-``--staleness`` enforces the evidence-rotation invariant: every query whose
-defining module changed (committed OR uncommitted) since the latest
-CORRECTNESS_r{N}.json was recorded must sit inside the driver's 50-entry
-check window, or its green row is stale evidence.
+``--staleness`` enforces the evidence-rotation invariant at PER-QUERY
+granularity: every query whose evidence fingerprint (its function source +
+rendered oracle SQL + referenced same-module helpers) differs from the one
+recorded in ``tools/evidence.json`` — i.e. the code its last green
+CORRECTNESS row was computed against — must sit inside the driver's
+50-entry check window, or its green row is stale evidence. Module-level
+granularity (the previous rule) forced every query in a touched file into
+the window and wasted ~45 slots on unchanged queries.
+
+``--evidence-update N`` re-records the fingerprints of the current window
+queries as "will receive a round-N row" — run it (and commit the result)
+when the window for round N is final, since the driver computes
+CORRECTNESS_r{N}.json from the round's last commit.
+
+Known granularity limit: a behavior change hidden entirely in a module
+helper that the query function's code object never names (e.g. mutating a
+dict a named helper closes over) won't move the fingerprint. Rendered
+oracles are immune (f-strings bake helpers into the recorded string), and
+Spark-side helpers are nearly always referenced by name, so in practice
+the fingerprint moves with the behavior.
 """
 
 from __future__ import annotations
@@ -96,79 +113,102 @@ def check(name: str, spark_df, sql: str, con) -> bool:
 
 
 DRIVER_WINDOW = 50  # the driver checks exactly the first 50 queries() entries
+EVIDENCE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence.json")
 
 
-def _git_commit_ts(repo: str, path: str) -> int | None:
-    import subprocess
+def _fingerprint(fn, oracle: str) -> str:
+    """Evidence fingerprint of one query: function source + rendered oracle
+    SQL + the source/value of every same-module helper the function's code
+    object names (so editing e.g. a shared block-expression helper moves the
+    fingerprints of the queries that call it)."""
+    import hashlib
+    import inspect
 
-    out = subprocess.run(
-        ["git", "-C", repo, "log", "-1", "--format=%ct", "--", path],
-        capture_output=True,
-        text=True,
-    ).stdout.strip()
-    return int(out) if out else None
+    try:
+        parts = [inspect.getsource(fn)]
+    except OSError:
+        parts = [fn.__qualname__]
+    parts.append(oracle)
+    mod = sys.modules.get(fn.__module__)
+    for nm in sorted(set(fn.__code__.co_names)):
+        v = getattr(mod, nm, None)
+        if isinstance(v, str):
+            parts.append(f"{nm}={v}")
+        elif isinstance(v, (list, tuple)) and all(isinstance(x, str) for x in v):
+            parts.append(f"{nm}={list(v)}")
+        elif inspect.isfunction(v) and v.__module__ == fn.__module__:
+            try:
+                parts.append(inspect.getsource(v))
+            except OSError:
+                pass
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
-def _git_dirty(repo: str, path: str) -> bool:
-    import subprocess
+def _current_fingerprints():
+    import __spark_entry__ as e
 
-    return bool(
-        subprocess.run(
-            ["git", "-C", repo, "status", "--porcelain", "--", path],
-            capture_output=True,
-            text=True,
-        ).stdout.strip()
-    )
+    qs, orc = e.queries(), e.oracle_sql()
+    names = list(qs)
+    return names, {n: _fingerprint(fn, orc.get(n, "")) for n, fn in qs.items()}
+
+
+def _load_evidence() -> dict:
+    import json
+
+    if not os.path.exists(EVIDENCE_FILE):
+        return {}
+    with open(EVIDENCE_FILE) as f:
+        return json.load(f)
 
 
 def staleness() -> None:
-    import glob
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recorded = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
-    if not recorded:
-        print("no CORRECTNESS_r*.json yet; nothing to be stale against")
-        sys.exit(0)
-    base = os.path.relpath(recorded[-1], repo)
-    base_ts = _git_commit_ts(repo, base)
-    if base_ts is None:
-        print(f"{base} not committed; cannot anchor staleness check")
-        sys.exit(2)
-
-    import __spark_entry__ as e
-
-    names = list(e.queries().keys())
+    names, cur = _current_fingerprints()
+    recorded = _load_evidence()
     window = set(names[:DRIVER_WINDOW])
-    mod_files: dict[str, str] = {}
-    for name, fn in e.queries().items():
-        f = sys.modules[fn.__module__].__file__
-        mod_files[name] = os.path.relpath(f, repo)
-    changed_cache: dict[str, bool] = {}
     violations = []
-    for name, rel in mod_files.items():
-        if rel not in changed_cache:
-            ts = _git_commit_ts(repo, rel)
-            changed_cache[rel] = (
-                ts is None or ts > base_ts or _git_dirty(repo, rel)
-            )
-        if changed_cache[rel] and name not in window:
-            violations.append((name, rel))
+    for name in names:
+        rec = recorded.get(name)
+        if (rec is None or rec["fp"] != cur[name]) and name not in window:
+            violations.append((name, "new query" if rec is None else f"changed since r{rec['round']} row"))
     if violations:
-        print(f"STALE: {len(violations)} queries changed since {base} but sit "
+        print(f"STALE: {len(violations)} queries lack current-evidence rows and sit "
               f"outside the {DRIVER_WINDOW}-entry driver window:")
-        for name, rel in violations:
-            print(f"  {name} ({rel})")
+        for name, why in violations:
+            print(f"  {name} ({why})")
         sys.exit(1)
-    changed = sorted({r for r, c in changed_cache.items() if c})
-    print(f"staleness ok: modules changed since {base} = {changed or 'none'}; "
-          f"all their queries are inside the driver window")
+    pending = sorted(
+        n for n in names
+        if n in window and (n not in recorded or recorded[n]["fp"] != cur[n])
+    )
+    print(f"staleness ok: queries needing a fresh row this round = "
+          f"{pending or 'none'}; all are inside the driver window")
     sys.exit(0)
+
+
+def evidence_update(round_no: int) -> None:
+    import json
+
+    names, cur = _current_fingerprints()
+    recorded = _load_evidence()
+    for name in names[:DRIVER_WINDOW]:
+        recorded[name] = {"fp": cur[name], "round": round_no}
+    dropped = [n for n in recorded if n not in names]
+    for n in dropped:
+        del recorded[n]
+    with open(EVIDENCE_FILE, "w") as f:
+        json.dump(recorded, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"evidence.json: window of {DRIVER_WINDOW} recorded as round {round_no}"
+          + (f"; dropped unregistered {dropped}" if dropped else ""))
 
 
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--staleness":
         staleness()
+    if args and args[0] == "--evidence-update":
+        evidence_update(int(args[1]))
+        return
     sf_dir = "/root/testdata/sf0.01"
     if args and ("/" in args[0] or os.path.isdir(args[0])):
         if not os.path.isdir(args[0]):
