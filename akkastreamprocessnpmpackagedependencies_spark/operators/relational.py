@@ -1062,3 +1062,261 @@ def customer_churn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("retained")
         .alias("status"),
     )
+
+
+@REG.add(
+    "small_qty_part_revenue",
+    f"""
+    WITH lf AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'),
+    th AS (
+      SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thresh
+      FROM lf GROUP BY l_partkey)
+    SELECT {sql_dsum("l_extendedprice")} / 7.0 AS avg_yearly
+    FROM lf JOIN th USING (l_partkey)
+    WHERE l_quantity < qty_thresh
+    """,
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in unusually-small orders of one
+    brand's parts — a correlated-average subquery decorrelated into a
+    per-part aggregate joined back to the same filtered fact. The brand
+    filter broadcasts into the scan FIRST, so both the threshold agg and
+    the probe side run on ~1/25th of lineitem; the self-join shuffles on
+    l_partkey only. Quantities are integer-valued doubles, so the
+    threshold (0.2 * exact-sum / count) is engine-deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    lf = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    th = lf.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("*"))).alias("qty_thresh")
+    )
+    return (
+        lf.join(th, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@REG.add(
+    "large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the biggest orders — a HAVING
+    subquery turned into an aggregate + LEFT SEMI join that prunes
+    lineitem to the ~0.3% of orders over the quantity threshold BEFORE the
+    customer join, so the expensive three-way join runs on the tiny
+    survivor set. Global top-100 is TakeOrdered with an o_orderkey
+    tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@REG.add(
+    "bracket_revenue",
+    f"""
+    SELECT {sql_dsum(_REV)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicate spanning both join
+    sides. The OR cannot be pushed whole, but Catalyst derives the
+    brand-membership implication (p_brand IN (...)) for the part scan and
+    the l_quantity range hull for the lineitem scan; the residual OR
+    evaluates after the broadcast join of the pruned part side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(dsum(_revenue()).alias("revenue"))
+
+
+@REG.add(
+    "nation_market_share",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum(f"CASE WHEN n2.n_name = 'NATION_7' THEN {_REV} ELSE 0.0 END")}
+             / {sql_dsum(_REV)} AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY year(o_orderdate)
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of the revenue sold
+    into a customer region, per year — a six-table star where nation twice
+    plays different roles (customer side filters to the region, supplier
+    side labels the numerator). All four dimensions broadcast; the only
+    shuffles are the two fact joins and the final year agg. The share is
+    a ratio of two decimal-exact sums, so it is engine-deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.alias("n1")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("n2_name")
+    )
+    numer = F.when(F.col("n2_name") == "NATION_7", _revenue()).otherwise(F.lit(0.0))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(numer) / dsum(_revenue())).alias("mkt_share"))
+    )
+
+
+@REG.add(
+    "product_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum(f"{_REV} - 0.8 * p_retailprice * l_quantity")} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line by supplier nation and
+    year. The LIKE filter prunes part before its broadcast join (TPC-H has
+    ps_supplycost here; this schema has no partsupp, so cost is the
+    documented 0.8 * p_retailprice proxy — same plan shape, same join
+    tree). Two fact joins shuffle; part/supplier/nation broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = _revenue() - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@REG.add(
+    "late_shipment_suppliers",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) >= 2),
+    solo AS (
+      SELECT l_orderkey FROM late GROUP BY l_orderkey HAVING count(*) = 1)
+    SELECT s_name, count(*) AS numwait
+    FROM late
+    JOIN multi USING (l_orderkey)
+    JOIN solo  USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — the classic EXISTS / NOT-EXISTS pair expressed
+    as two semi-joins against derived key sets. (This schema has no
+    l_commitdate; "late" is the documented ship > order-date + 60 days.)
+    ``late`` is deduped to (order, supplier) grain first, so both derived
+    sets aggregate tiny key-only frames; the semi joins shuffle only
+    orderkeys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    solo = late.groupBy("l_orderkey").count().filter(F.col("count") == 1).select("l_orderkey")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(solo, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
