@@ -1,0 +1,370 @@
+"""Training-corpus quality surface: repetition signals, composite quality
+filtering, end-to-end fuzzy-dedup keep-one, semantic (embedding) dedup
+keep-one, and int8 embedding quantization.
+
+The reference has no analogue (its one pipeline counts NPM dependencies —
+SURVEY.md §2.8); these are the corpus-hygiene operators a 100 TB
+LLM-training pipeline runs between raw scrape and tokenizer, modeled on
+the public Gopher/C4 filtering rules (Rae et al. 2021 §A1.1, Raffel et al.
+2020 §2.2) and SemDeDup (Abbas et al. 2023).
+
+Scale notes (100 TB):
+- repetition/quality signals are pure column expressions over each doc —
+  whole-stage codegen, zero shuffle, linear scan;
+- ``top_bigram_share`` shuffles on (doc_id, bigram) — key cardinality is
+  corpus token count, uniformly spread, no hot key;
+- keep-one queries reuse the LSH/cell-blocked pair pipelines (never
+  all-pairs) and add only broadcast-or-equi joins on doc/vec ids;
+- quantization is per-row array math: codegen over arrays, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+from .dedup import REG as DEDUP_REG
+from .dedup import neardup_clusters
+from .registry import Registry
+from .similarity import REG as SIM_REG
+from .similarity import embedding_neardup_pairs
+
+REG = Registry()
+
+# Corpus convention (matches textops.vocab_top_terms): documents.text is
+# single-line, single-space tokenized; split on ' ' in both engines.
+_SQL_WS = "string_split(text, ' ')"
+
+
+def _ws() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _frac(num: Column, den: Column) -> Column:
+    """num/den as double, 0.0 when den = 0 (deterministic: int inputs)."""
+    return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+
+@REG.add(
+    "repetition_signals",
+    f"""
+    SELECT doc_id, n_words, n_distinct_words,
+           CASE WHEN n_words > 0
+                THEN CAST(n_words - n_distinct_words AS DOUBLE) / n_words
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN n_trigrams > 0
+                THEN CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM (
+      SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct_words,
+             len(tg) AS n_trigrams, len(list_distinct(tg)) AS n_distinct_trigrams
+      FROM (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    ELSE [] END AS tg
+        FROM (SELECT doc_id, {_SQL_WS} AS ws FROM documents)))
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: "fraction of
+    duplicate n-grams") per document: duplicate-word fraction and
+    duplicate-word-trigram fraction, from distinct-vs-total counts over the
+    token array. Pure column expressions — one linear pass, no shuffle at
+    any scale. ``ws`` and ``tg`` are staged as their own projections so
+    each is computed ONCE per row: they are non-cheap and multiply
+    referenced, which CollapseProject refuses to re-inline (SPARK-36718);
+    an inlined form re-evaluates split() ~10x per row."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", _ws().alias("ws"))
+    ws = F.col("ws")
+    n = F.size(ws)
+    tg = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(
+            "doc_id",
+            n.alias("n_words"),
+            F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+            tg.alias("tg"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            F.size("tg").alias("n_trigrams"),
+            F.size(F.array_distinct("tg")).alias("n_distinct_trigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            _frac(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")).alias(
+                "dup_word_frac"
+            ),
+            _frac(
+                F.col("n_trigrams") - F.col("n_distinct_trigrams"), F.col("n_trigrams")
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+@REG.add(
+    "top_bigram_share",
+    f"""
+    SELECT doc_id, top_bigram, top_count, n_bigrams,
+           CAST(top_count AS DOUBLE) / n_bigrams AS top_bigram_share
+    FROM (
+      SELECT doc_id, bg AS top_bigram, n AS top_count,
+             CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rn
+      FROM (
+        SELECT doc_id, bg, count(*) AS n
+        FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM (SELECT doc_id, {_SQL_WS} AS ws FROM documents)
+          WHERE len(ws) >= 2)
+        GROUP BY doc_id, bg))
+    WHERE rn = 1
+    """,
+)
+def top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word bigram per document and its share of all bigram
+    instances — the other Gopher repetition family ("fraction of characters
+    in the most common n-gram"). Explode -> (doc_id, bigram) hash count ->
+    per-doc window top-1. The shuffle key is (doc_id, bigram): cardinality
+    grows with corpus tokens but stays uniform, so no hot partitions at
+    100 TB; the window sees one row per distinct bigram, not per token.
+    ``ws`` is staged (see repetition_signals) so split() runs once/row."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.col("ws")
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    counts = (
+        d.select("doc_id", _ws().alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bg).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        F.col("bg").alias("top_bigram"),
+        F.col("n").alias("top_count"),
+        F.sum("n").over(w).alias("n_bigrams"),
+        F.row_number().over(w.orderBy(F.desc("n"), "bg")).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "top_bigram",
+        "top_count",
+        "n_bigrams",
+        (F.col("top_count").cast("double") / F.col("n_bigrams")).alias("top_bigram_share"),
+    )
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for"]
+_KNOWN_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+@REG.add(
+    "quality_filter_composite",
+    f"""
+    SELECT doc_id, n_words, mean_word_len, stopword_hits,
+           len_ok, word_len_ok, stopword_ok, lang_ok,
+           (len_ok AND word_len_ok AND stopword_ok AND lang_ok) AS keep
+    FROM (
+      SELECT doc_id, n_words, mean_word_len, stopword_hits,
+             (n_words BETWEEN 5 AND 5000)                 AS len_ok,
+             (mean_word_len BETWEEN 2.0 AND 12.0)          AS word_len_ok,
+             (stopword_hits >= 2)                          AS stopword_ok,
+             (lang IN ({", ".join(f"'{x}'" for x in _KNOWN_LANGS)})) AS lang_ok
+      FROM (
+        SELECT doc_id, lang, len(ws) AS n_words,
+               CASE WHEN len(ws) > 0
+                    THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(len(list_filter(ws,
+                    w -> w IN ({", ".join(f"'{x}'" for x in _STOPWORDS)}))) AS BIGINT)
+                 AS stopword_hits
+        FROM (SELECT doc_id, lang, {_SQL_WS} AS ws FROM documents)))
+    """,
+)
+def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality gate (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 §A1.1) adapted to the synthetic corpus: word-count
+    bounds, mean-word-length bounds, minimum stopword evidence, known
+    language — each surfaced as a flag plus the final ``keep`` verdict so
+    downstream can audit WHY a doc dropped. Pure column expressions, one
+    linear pass. The token array and each metric are staged projections
+    (see repetition_signals): the flags reference the metric COLUMNS, so
+    the mean-word-length aggregate runs once per row instead of three
+    times (its lambda variables get fresh ids per use, which also defeats
+    runtime subexpression elimination)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.col("ws")
+    n = F.size(ws)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(ws, lambda w: w.isin(_STOPWORDS))
+    ).cast("bigint")
+    metrics = (
+        d.select("doc_id", "lang", _ws().alias("ws"))
+        .select(
+            "doc_id",
+            "lang",
+            n.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            stop_hits.alias("stopword_hits"),
+        )
+    )
+    flags = metrics.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stopword_hits",
+        F.col("n_words").between(5, 5000).alias("len_ok"),
+        F.col("mean_word_len").between(2.0, 12.0).alias("word_len_ok"),
+        (F.col("stopword_hits") >= 2).alias("stopword_ok"),
+        F.col("lang").isin(_KNOWN_LANGS).alias("lang_ok"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("len_ok") & F.col("word_len_ok") & F.col("stopword_ok") & F.col("lang_ok"),
+    )
+
+
+@REG.add(
+    "fuzzy_dedup_keep_one",
+    f"""
+    WITH clusters AS ({DEDUP_REG.oracles["neardup_clusters"]})
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS canonical_id,
+           coalesce(c.is_keeper, TRUE)      AS keep
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    """,
+)
+def fuzzy_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fuzzy dedup: every document mapped to its near-dup
+    canonical id with a keep/drop verdict — the materialized output a
+    training pipeline actually writes (MinHash-LSH pairs -> connected
+    components -> keep the minimum doc_id per component; unique docs keep
+    themselves). Reuses ``neardup_clusters`` (bucketed LSH, never
+    all-pairs); the only addition is a left join on doc_id, which at 100 TB
+    is an equi-join where the cluster side holds only the near-dup subset
+    (typically a few percent of the corpus), so it broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    c = neardup_clusters(spark, sf_dir)
+    return d.select("doc_id").join(c, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("canonical_id"),
+        F.coalesce(F.col("is_keeper"), F.lit(True)).alias("keep"),
+    )
+
+
+@REG.add(
+    "semdedup_keep_one",
+    f"""
+    WITH pairs AS ({SIM_REG.oracles["embedding_neardup_pairs"]})
+    SELECT e.vec_id,
+           (dup.vec_b IS NULL) AS keep
+    FROM embeddings e
+    LEFT JOIN (SELECT DISTINCT vec_b FROM pairs) dup ON e.vec_id = dup.vec_b
+    """,
+)
+def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop every embedding that has a
+    higher-similarity twin with a smaller id — i.e. the larger id of each
+    cell-blocked near-dup pair loses. Reuses ``embedding_neardup_pairs``
+    (quantizer-cell blocking + multi-probe, never all-pairs); the keep
+    verdict is one left anti-style join on vec_id against the distinct
+    loser set, which is small and broadcasts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    losers = (
+        embedding_neardup_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return e.select("vec_id").join(F.broadcast(losers), "vec_id", "left").select(
+        "vec_id", F.col("is_dup").isNull().alias("keep")
+    )
+
+
+@REG.add(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id, n_dims, scale, sum_codes,
+           round(max_abs_err * scale, 6) AS max_scaled_err
+    FROM (
+      SELECT vec_id, len(embedding) AS n_dims, scale,
+             CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+             list_max(list_transform(range(1, len(embedding) + 1),
+                      i -> abs(CAST(embedding[i] AS DOUBLE) - codes[i] / scale)))
+               AS max_abs_err
+      FROM (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS codes
+        FROM (
+          SELECT vec_id, embedding,
+                 127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   AS scale
+          FROM embeddings
+          WHERE list_max(list_transform(embedding, x -> abs(x))) > 0)))
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the standard
+    ANN-index compression: scale = 127/max|x|, code = round(x*scale)),
+    audited per vector: code sum (exact integer checksum) and the max
+    reconstruction error re-scaled into code units. All array math is
+    column expressions over array<float> — codegen, no shuffle, no Python;
+    at 100 TB this is the map stage that writes the compact index. The
+    scaled error is rounded to 6 decimals for the cross-engine hash; the
+    unrounded double feeds real index builds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", F.abs))
+    q = e.filter(mx > 0).select(
+        "vec_id",
+        "embedding",
+        (F.lit(127.0) / mx.cast("double")).alias("scale"),
+    )
+    codes = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * F.col("scale")).cast("int")
+    )
+    q = q.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "codes",
+            lambda x, c: F.abs(x.cast("double") - c.cast("double") / F.col("scale")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        "scale",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_codes"),
+        F.round(err * F.col("scale"), 6).alias("max_scaled_err"),
+    )
