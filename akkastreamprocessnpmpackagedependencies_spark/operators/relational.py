@@ -1163,10 +1163,12 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive bracket predicate spanning both join
-    sides. The OR cannot be pushed whole, but Catalyst derives the
-    brand-membership implication (p_brand IN (...)) for the part scan and
-    the l_quantity range hull for the lineitem scan; the residual OR
-    evaluates after the broadcast join of the pruned part side."""
+    sides. The OR cannot be pushed whole, but Catalyst derives a per-side
+    disjunction for EACH scan (the OR of the p_brand/p_size conjuncts for
+    part, the OR of the l_quantity ranges for lineitem — visible as
+    Or(...) in PushedFilters, pinned by tests/test_plans.py); the full
+    bracket then re-evaluates after the broadcast join of the pruned part
+    side."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))

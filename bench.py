@@ -66,6 +66,20 @@ HEADLINE = [
     "pii_scan",
     "vocab_top_terms",
     "kmeans_clusters",
+    # round-3 additions: TPC-H gap shapes
+    "small_qty_part_revenue",
+    "large_volume_customers",
+    "bracket_revenue",
+    "nation_market_share",
+    "product_profit_by_nation_year",
+    "late_shipment_suppliers",
+    # round-3 additions: corpus-quality surface
+    "repetition_signals",
+    "top_bigram_share",
+    "quality_filter_composite",
+    "fuzzy_dedup_keep_one",
+    "semdedup_keep_one",
+    "embedding_quantize_int8",
 ]
 
 

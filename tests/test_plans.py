@@ -112,21 +112,74 @@ def test_ivf_broadcasts_centroids_never_shuffles_corpus_for_assignment(spark, sf
     assert plan.count("BroadcastExchange") >= 2  # centroids + probe set
 
 
-def test_embedding_neardup_candidate_join_is_equijoin_on_cell(spark, sf_dir):
-    """The near-dup candidate join must be an equi-join keyed on the
-    quantizer cell id — never a nested-loop over the corpus, and never
-    keyed on a data-dependent attribute like label (one hot label would
-    degenerate to all-pairs at scale)."""
+def test_embedding_neardup_blocks_on_cell_grouped_verify(spark, sf_dir):
+    """The near-dup verify must be grouped on the quantizer cell id
+    (FlatMapGroupsInPandas keyed on centroid_id, its shuffle pinned so
+    AQE cannot fold the quadratic per-cell work onto one task) — never a
+    per-pair join shipping vectors, never a nested-loop over the corpus,
+    and never keyed on a data-dependent attribute like label (one hot
+    label would degenerate to all-pairs at scale)."""
     from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
 
     plan = _plan(embedding_neardup_pairs(spark, sf_dir))
-    join_lines = [
+    group_lines = [
         line
         for line in plan.splitlines()
-        if ("HashJoin" in line or "SortMergeJoin" in line)
-        and "centroid_id" in line
+        if "FlatMapGroupsInPandas" in line and "centroid_id" in line
     ]
-    assert join_lines, f"no equi-join on centroid_id in plan:\n{plan}"
+    assert group_lines, f"no cell-grouped pandas verify in plan:\n{plan}"
+    assert "REPARTITION_BY_NUM" in plan, plan  # AQE-exempt width pin
     assert "label" not in plan  # the old blocking key must be gone entirely
+
+
+def test_bracket_revenue_pushes_per_side_disjunctions(spark, sf_dir):
+    """Q19 shape: Catalyst must derive a pushable OR for EACH side of the
+    cross-side bracket predicate — the lineitem scan gets the quantity
+    ranges, the part scan gets the brand/size conjuncts. Losing either
+    turns the scan into a full read at 100 TB."""
+    plan = _plan(relational.bracket_revenue(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), plan
+    assert any("p_brand" in l and "Or(" in l for l in pushed), plan
+
+
+def test_large_volume_customers_prunes_via_semi_join(spark, sf_dir):
+    """Q18 shape: the HAVING subquery must plan as a LEFT SEMI join (key
+    set prune) with partial aggregation, not as a full join + distinct."""
+    plan = _plan(relational.large_volume_customers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "partial_" in plan
+
+
+def test_profit_star_broadcasts_all_dimensions(spark, sf_dir):
+    """Q9 shape: part/supplier/nation are dimensions — all three must
+    broadcast so the only shuffles are the fact joins and the final agg."""
+    plan = _plan(relational.product_profit_by_nation_year(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_late_shipment_uses_two_semi_joins(spark, sf_dir):
+    """Q21 shape: the EXISTS / NOT-EXISTS pair must plan as two semi joins
+    against derived key sets (never a full join then filter)."""
+    plan = _plan(relational.late_shipment_suppliers(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_quality_text_queries_stage_token_array_once(spark, sf_dir):
+    """The staged-projection contract: split(text) must appear exactly once
+    in repetition_signals' plan and once in quality_filter_composite's
+    (plus at most a pushed-filter copy), and the mean-word-length
+    aggregate exactly once — CollapseProject must not re-inline them
+    (SPARK-36718). Re-inlining multiplies per-row work ~10x."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        quality_filter_composite,
+        repetition_signals,
+    )
+
+    p1 = _plan(repetition_signals(spark, sf_dir))
+    assert p1.count("split(text") == 1, p1
+    p2 = _plan(quality_filter_composite(spark, sf_dir))
+    assert p2.count("split(text") == 1, p2
+    assert p2.count("aggregate(transform") == 1, p2
