@@ -77,15 +77,21 @@ def load_scaled(spark: SparkSession, sf_dir: str, name: str):
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long (runtime-settable legacy
-    conf) and truncate ns -> us with integer DIV (never double division —
-    a 1.7e18 ns value exceeds double's 2^53 integer range), matching
-    DuckDB's own ns -> us truncation."""
+    """Normalize ``ts`` to TimestampType regardless of how the driver
+    generated the parquet. Two encodings have been observed across rounds:
+    TIMESTAMP(NANOS) stored as INT64 (read nanos-as-long and truncate
+    ns -> us with integer DIV — never double division, a 1.7e18 ns value
+    exceeds double's 2^53 integer range), and plain timestamp[us] without
+    UTC adjustment (read as TIMESTAMP_NTZ — cast to TIMESTAMP, a pure
+    relabel under the UTC session timezone, so downstream `unix_micros`/
+    window functions keep working and values match the DuckDB oracle)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
