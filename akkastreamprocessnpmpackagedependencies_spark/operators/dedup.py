@@ -487,8 +487,8 @@ def _sql_chargram_ctes() -> str:
     mh = ", ".join(f"{sql_minhash_affine('bases', h)} AS mh{h}" for h in range(N_HASHES))
     return f"""
     csig AS (
-      SELECT doc_id, g, {mh}
-      FROM (SELECT doc_id, g, {sql_base_hashes('g')} AS bases
+      SELECT doc_id, list_distinct(bases) AS hb, {mh}
+      FROM (SELECT doc_id, {sql_base_hashes('g')} AS bases
             FROM (SELECT doc_id, {sql_char_shingles('text')} AS g FROM documents))
     ),
     cbands AS (
@@ -508,12 +508,12 @@ def _sql_chargram_ctes() -> str:
     f"""
     WITH {_sql_chargram_ctes()}
     SELECT c.doc_a, c.doc_b,
-           len(list_intersect(sa.g, sb.g))::DOUBLE
-             / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) AS jaccard
+           len(list_intersect(sa.hb, sb.hb))::DOUBLE
+             / (len(sa.hb) + len(sb.hb) - len(list_intersect(sa.hb, sb.hb))) AS jaccard
     FROM ccand c JOIN csig sa ON sa.doc_id = c.doc_a
                  JOIN csig sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.g, sb.g))::DOUBLE
-            / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= {CHARGRAM_JACCARD}
+    WHERE len(list_intersect(sa.hb, sb.hb))::DOUBLE
+            / (len(sa.hb) + len(sb.hb) - len(list_intersect(sa.hb, sb.hb))) >= {CHARGRAM_JACCARD}
     """,
 )
 def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,16 +528,21 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide on three independent hashes at once; pairs any band misses are
     below ~the threshold with high probability (P = 1-(1-j^3)^4). The band
     equi-join emits doc-id-only rows (grams never ride the candidate
-    shuffle), DISTINCT dedupes multi-band hits, and exact jaccard verifies
-    on two signature-frame probes; the signature frame feeds all four plan
-    branches so it is persisted."""
+    shuffle), DISTINCT dedupes multi-band hits, and jaccard verifies on
+    two signature-frame probes over the HASHED shingle sets (32-bit
+    md5-derived ints, identical in the DuckDB oracle) — int-array
+    intersects shuffle ~4 bytes/gram instead of a 4-char string and skip
+    all string compares in the verify stage (bench sf0.1: 7.8 s -> int
+    path); collisions within a doc's ~1e3-gram set are ~1e-5 and shift
+    jaccard identically on both engines. The signature frame feeds all
+    four plan branches so it is persisted."""
     d = load_scaled(spark, sf_dir, "documents")
     sig = (
         d.select("doc_id", char_shingles(F.col("text")).alias("g"))
         .withColumn("bases", base_hashes(F.col("g")))
         .select(
             "doc_id",
-            "g",
+            F.array_distinct(F.col("bases")).alias("hb"),
             *[minhash_affine(F.col("bases"), h).alias(f"mh{h}") for h in range(N_HASHES)],
         )
         .persist()
@@ -561,9 +566,9 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # use would just get re-exchanged and AQE-coalesced again).
         .repartition(spark.sparkContext.defaultParallelism, "doc_a")
     )
-    gr = sig.select("doc_id", "g")
-    inter = F.size(F.array_intersect(F.col("sa.g"), F.col("sb.g")))
-    union = F.size(F.col("sa.g")) + F.size(F.col("sb.g")) - inter
+    gr = sig.select("doc_id", "hb")
+    inter = F.size(F.array_intersect(F.col("sa.hb"), F.col("sb.hb")))
+    union = F.size(F.col("sa.hb")) + F.size(F.col("sb.hb")) - inter
     return (
         cand.join(gr.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(gr.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
