@@ -28,6 +28,13 @@ SHOWCASE = [
     ("events_value_rolling_1h", "time-RANGE window frame"),
     ("events_hourly_gapfill", "spine generation + gap-fill + carry-forward"),
     ("topk_per_customer_agg", "per-group top-k via bounded array agg (no window sort)"),
+    # round-3 additions
+    ("nation_market_share", "Q8 shape: four broadcast dims, two fact shuffles, ratio agg"),
+    ("late_shipment_suppliers", "Q21 shape: key-only derived sets + two semi joins"),
+    ("chargram_jaccard_pairs", "banded LSH + hashed-shingle int-array verify"),
+    ("embedding_neardup_pairs", "quantizer-cell blocking + grouped applyInPandas verify"),
+    ("contamination_ngram_hits", "broadcast probe grams, one corpus pass"),
+    ("quality_filter_composite", "pure column-expression quality gates, single scan"),
 ]
 
 
