@@ -43,7 +43,8 @@ _PRIORITY = [
       "chargram_jaccard_pairs", "embedding_neardup_pairs"],
     # new in round 3: corpus-quality surface
     *["repetition_signals", "top_bigram_share", "quality_filter_composite",
-      "fuzzy_dedup_keep_one", "semdedup_keep_one", "embedding_quantize_int8"],
+      "fuzzy_dedup_keep_one", "semdedup_keep_one", "embedding_quantize_int8",
+      "pack_sequences"],
     # new in round 3: TPC-H gap shapes (Q8/Q9/Q17/Q18/Q19/Q21)
     *["small_qty_part_revenue", "large_volume_customers", "bracket_revenue",
       "nation_market_share", "product_profit_by_nation_year",
@@ -62,8 +63,8 @@ _PRIORITY = [
       "returned_item_customers", "customer_churn_full_outer",
       "unpivot_part_metrics", "events_value_rolling_1h",
       "events_error_context_5m"],
-    # rotation continues into the oldest r2 row
-    "dedup_exact_hash",
+    # dedup_exact_hash was displaced by pack_sequences (new queries must
+    # get a first row); it keeps its valid r2 row and leads the r4 rotation
 ]
 
 

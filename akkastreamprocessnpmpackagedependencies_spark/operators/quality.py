@@ -368,3 +368,69 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_codes"),
         F.round(err * F.col("scale"), 6).alias("max_scaled_err"),
     )
+
+
+SEQ_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARD = 1024  # docs per prefix-sum shard (see pack_sequences)
+
+
+@REG.add(
+    "pack_sequences",
+    f"""
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS start_seq,
+           CAST((cum - n_tokens) % {SEQ_BUDGET} AS BIGINT) AS start_offset,
+           CAST((cum - 1) // {SEQ_BUDGET} AS BIGINT)       AS end_seq
+    FROM (
+      SELECT doc_id, CAST(len({_SQL_WS}) AS BIGINT) AS n_tokens,
+             CAST(sum(len({_SQL_WS})) OVER
+                  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum
+      FROM documents)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing — the map every pretraining
+    export runs: documents are concatenated in doc_id order and the token
+    stream is cut into fixed SEQ_BUDGET-token sequences; each doc reports
+    the sequence it starts in, its offset there, and the sequence it ends
+    in (GPT-style block packing; no padding waste, docs may straddle a
+    boundary).
+
+    The whole op is one global prefix sum of token counts. A bare
+    ``Window.orderBy`` with no partition key would drag the entire corpus
+    into ONE task, so this computes the textbook distributed prefix sum
+    instead: (1) cumsum WITHIN doc_id-range shards (hash-partitioned
+    window, full parallelism), (2) per-shard totals — one tiny row per
+    shard — offset-summed in a single-partition window over #shards rows
+    (~N/PACK_SHARD; driver-side small by construction, the same shape at
+    any corpus size because PACK_SHARD scales with mean doc length), (3)
+    broadcast the offsets back. Shuffle cost: one hash exchange of
+    (doc_id, n_tokens) int pairs + one broadcast — the document text never
+    moves. DuckDB oracle: the plain windowed cumsum, value-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(_ws()).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id DIV {PACK_SHARD}").alias("shard"),
+    )
+    w_in = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    t = t.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("shard")
+        .agg(F.max("local_cum").alias("shard_total"))
+        .withColumn("offset", F.coalesce(F.sum("shard_total").over(w_sh), F.lit(0)))
+        .select("shard", "offset")
+    )
+    return (
+        t.join(F.broadcast(offsets), "shard")
+        .withColumn("cum", F.col("offset") + F.col("local_cum"))
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            f"(cum - n_tokens) DIV {SEQ_BUDGET} AS start_seq",
+            f"(cum - n_tokens) % {SEQ_BUDGET} AS start_offset",
+            f"(cum - 1) DIV {SEQ_BUDGET} AS end_seq",
+        )
+    )

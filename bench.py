@@ -80,6 +80,7 @@ HEADLINE = [
     "fuzzy_dedup_keep_one",
     "semdedup_keep_one",
     "embedding_quantize_int8",
+    "pack_sequences",
 ]
 
 

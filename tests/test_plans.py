@@ -183,3 +183,21 @@ def test_quality_text_queries_stage_token_array_once(spark, sf_dir):
     p2 = _plan(quality_filter_composite(spark, sf_dir))
     assert p2.count("split(text") == 1, p2
     assert p2.count("aggregate(transform") == 1, p2
+
+
+def test_pack_sequences_prefix_sum_is_sharded_not_global(spark, sf_dir):
+    """The corpus-wide cumsum must run as the two-pass sharded prefix sum:
+    the full-frame window partitions on the shard key (hash exchange, full
+    parallelism); only the #shards-row offsets frame may use the
+    single-partition global window."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import pack_sequences
+
+    plan = _plan(pack_sequences(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan  # per-shard window runs wide
+    # the doc-level frame must never single-partition: every
+    # SinglePartition exchange in the plan belongs to the tiny offsets
+    # branch, which aggregates before it
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            tail = "\n".join(plan.splitlines()[i:])
+            assert "HashAggregate" in tail.split("Exchange hashpartitioning")[0]

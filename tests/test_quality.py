@@ -107,3 +107,27 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         assert df.filter(F.col("n_dims") != 64).count() == 0
     finally:
         df.unpersist()
+
+
+def test_pack_sequences_is_exact_stream_chunking(spark, sf_dir):
+    """The packing map must describe the concatenated token stream
+    exactly: doc k starts where doc k-1 ended, offsets stay inside the
+    budget, and the last doc's end covers the total token mass."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        SEQ_BUDGET,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, sf_dir).orderBy("doc_id").collect()
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r.start_seq * SEQ_BUDGET + r.start_offset == cum
+        assert 0 <= r.start_offset < SEQ_BUDGET
+        cum += r.n_tokens
+        assert r.end_seq == (cum - 1) // SEQ_BUDGET
+        assert r.start_seq <= r.end_seq
+    total = load_table(spark, sf_dir, "documents").select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert cum == total
