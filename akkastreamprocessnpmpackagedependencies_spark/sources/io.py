@@ -144,3 +144,38 @@ def write_sorted_for_zone_maps(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 8,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic global-shuffle export into N balanced shards — the
+    last step of a training-data pipeline (dedup -> quality filter ->
+    pack_sequences -> THIS). Trainers need (a) a pseudo-random row order
+    decorrelated from ingest order, (b) equal-sized shards for data-
+    parallel readers, (c) bit-identical reruns. All three come from one
+    seeded hash: shard = xxhash64(key, seed) mod N balances by the law of
+    large numbers whatever the key skew; rows sort within a shard by an
+    independent second hash (seed+1), so the order is shuffled yet
+    reproducible — no rand(), no nondeterministic repartition round-robin.
+
+    Cost at 100 TB: ONE hash exchange on the shard column (the text
+    moves exactly once) + a narrow in-partition sort; the write fans out
+    one directory per shard for per-reader file lists."""
+    shard = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_shards)).alias("shard")
+    order = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + 1)), F.lit(1 << 40))
+    (
+        df.withColumn("shard", shard)
+        .withColumn("_ord", order)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord", key_col)
+        .drop("_ord")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -156,3 +156,32 @@ def test_sorted_write_produces_selective_zone_maps(spark, sf_dir, tmp_path):
     # range-clustered files each cover ~1/4 of the date range; unsorted
     # files all span ~the whole range
     assert avg_range_us(sorted_path) < 0.5 * avg_range_us(raw_path)
+
+
+def test_training_shards_balanced_deterministic_complete(spark, sf_dir, tmp_path):
+    """Shard export: (a) covers the corpus exactly, (b) shards balanced
+    within 2x of each other, (c) bit-identical on rerun (same row order
+    per shard), (d) within-shard order decorrelated from doc_id order."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p1, p2 = str(tmp_path / "sh1"), str(tmp_path / "sh2")
+    sio.write_training_shards(d, p1, "doc_id", n_shards=8)
+    sio.write_training_shards(d, p2, "doc_id", n_shards=8)
+
+    back = spark.read.parquet(p1)
+    assert back.count() == d.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in d.select("doc_id").collect()
+    )
+    sizes = [r["count"] for r in back.groupBy("shard").count().collect()]
+    assert len(sizes) == 8 and max(sizes) <= 2 * min(sizes)
+
+    def shard_orders(path):
+        out = {}
+        for r in spark.read.parquet(path).collect():
+            out.setdefault(r.shard, []).append(r.doc_id)
+        return out
+
+    o1, o2 = shard_orders(p1), shard_orders(p2)
+    assert o1 == o2  # deterministic rerun, including row order
+    # shuffled: at least one shard's row order differs from sorted doc_id
+    assert any(ids != sorted(ids) for ids in o1.values())
