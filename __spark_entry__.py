@@ -44,7 +44,7 @@ _PRIORITY = [
     # new in round 3: corpus-quality surface
     *["repetition_signals", "top_bigram_share", "quality_filter_composite",
       "fuzzy_dedup_keep_one", "semdedup_keep_one", "embedding_quantize_int8",
-      "pack_sequences"],
+      "pack_sequences", "tfidf_top_terms_per_doc"],
     # new in round 3: TPC-H gap shapes (Q8/Q9/Q17/Q18/Q19/Q21)
     *["small_qty_part_revenue", "large_volume_customers", "bracket_revenue",
       "nation_market_share", "product_profit_by_nation_year",
@@ -58,13 +58,15 @@ _PRIORITY = [
       "top_orders_per_customer", "running_quantity_by_supplier",
       "order_gap_days", "top_orders_global", "window_rank_variants",
       "skew_salted_join", "idle_rich_customers", "top_revenue_suppliers",
-      "promo_revenue_ratio", "set_intersect", "set_union",
+      "promo_revenue_ratio", "set_intersect",
       "deterministic_sample", "local_supplier_revenue",
       "returned_item_customers", "customer_churn_full_outer",
       "unpivot_part_metrics", "events_value_rolling_1h",
       "events_error_context_5m"],
-    # dedup_exact_hash was displaced by pack_sequences (new queries must
-    # get a first row); it keeps its valid r2 row and leads the r4 rotation
+    # displaced by the two new-in-r3 queries (new queries must get a first
+    # row): dedup_exact_hash (valid r2 row) and set_union (r1 row; code
+    # unchanged since, set_except/set_intersect cover the family fresher).
+    # Both lead the r4 rotation.
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import (
     base_hashes,
@@ -392,4 +393,59 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.orderBy(F.desc("n_docs"), "term")
         .limit(50)
         .select("term", "n_docs", "total_occurrences")
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@REG.add(
+    "tfidf_top_terms_per_doc",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, rnk FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                        tf.term) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the TFIDF_TOP_K most
+    characteristic terms of each doc (smoothed idf = ln((N+1)/(df+1))+1,
+    the sklearn convention). Shuffle shape at 100 TB: one explode ->
+    (doc_id, term) hash agg for tf; df re-aggregates the tf frame (one
+    row per distinct (doc, term), far smaller than the token stream); the
+    vocab-sized df frame broadcasts back onto tf, so the per-doc top-k
+    window is the only other shuffle, partitioned on doc_id — no hot key.
+    Scores from distinct (tf, df) inputs are separated far beyond ulp, so
+    the rank is engine-stable; ties share identical doubles on both
+    engines and fall to the term tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))  # 1-row frame, broadcast (lazy)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc(score), "term")
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", F.round(score, 6).alias("tfidf"), "rnk")
     )

@@ -81,6 +81,7 @@ HEADLINE = [
     "semdedup_keep_one",
     "embedding_quantize_int8",
     "pack_sequences",
+    "tfidf_top_terms_per_doc",
 ]
 
 
