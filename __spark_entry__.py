@@ -39,7 +39,8 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # (the r1-resting set) so no green row ages past two rounds.
 _PRIORITY = [
     # fingerprint-changed since their last recorded row
-    *["npm_dependency_counts", "approx_sketches", "simhash_candidate_pairs",
+    *["npm_dependency_counts", "npm_reverse_dependency_counts",
+      "approx_sketches", "simhash_candidate_pairs",
       "chargram_jaccard_pairs", "embedding_neardup_pairs"],
     # new in round 3: corpus-quality surface
     *["repetition_signals", "top_bigram_share", "quality_filter_composite",
@@ -58,15 +59,14 @@ _PRIORITY = [
       "top_orders_per_customer", "running_quantity_by_supplier",
       "order_gap_days", "top_orders_global", "window_rank_variants",
       "skew_salted_join", "idle_rich_customers", "top_revenue_suppliers",
-      "promo_revenue_ratio", "set_intersect",
-      "deterministic_sample", "local_supplier_revenue",
+      "promo_revenue_ratio", "set_intersect", "local_supplier_revenue",
       "returned_item_customers", "customer_churn_full_outer",
       "unpivot_part_metrics", "events_value_rolling_1h",
       "events_error_context_5m"],
-    # displaced by the two new-in-r3 queries (new queries must get a first
-    # row): dedup_exact_hash (valid r2 row) and set_union (r1 row; code
-    # unchanged since, set_except/set_intersect cover the family fresher).
-    # Both lead the r4 rotation.
+    # displaced by the three new-in-r3 queries (new queries must get a
+    # first row): dedup_exact_hash (valid r2 row), set_union and
+    # deterministic_sample (r1 rows; code unchanged since, trivial
+    # single-pass shapes). All three lead the r4 rotation.
 ]
 
 
@@ -98,9 +98,63 @@ _NPM_ORACLE = f"""
 """
 
 
+def _npm_reverse_dependency_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-dependency report over the registry corpus: for every
+    package NAMED as a dependency, how many (package, version, type) edges
+    point at it. The reference's data model carries these names but
+    discards them (reference: src/main/scala/Version.scala:8 ignores the
+    map keys it counts); this query keeps the edge and aggregates the
+    other end — the npm-domain generalization of the flagship. Plan: the
+    doc parse + two map-key explodes are one narrow pass; the only
+    shuffle is the final (dep_name, dep_type) hash agg. sf_dir unused —
+    the fixture world is fixed-size by design."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet"))
+    ver = npm.explode_versions(
+        npm.parse_registry(docs.filter(F.col("status_code") == 200))
+    )
+    empty = F.array().cast("array<string>")
+    edges = ver.select(
+        F.explode(F.coalesce(F.map_keys("vdoc.dependencies"), empty)).alias("dep_name"),
+        F.lit("runtime").alias("dep_type"),
+    ).unionAll(
+        ver.select(
+            F.explode(F.coalesce(F.map_keys("vdoc.devDependencies"), empty)).alias("dep_name"),
+            F.lit("dev").alias("dep_type"),
+        )
+    )
+    return edges.groupBy("dep_name", "dep_type").agg(
+        F.count("*").cast("long").alias("n_dependents")
+    )
+
+
+_NPM_REVERSE_ORACLE = f"""
+    WITH docs AS (
+      SELECT name, doc
+      FROM read_parquet('{os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet")}')
+      WHERE status_code = 200 AND json_valid(doc)),
+    ver AS (SELECT d.name AS package, unnest(json_keys(d.doc, '$.versions')) AS version,
+                   d.doc
+            FROM docs d),
+    vdoc AS (SELECT package, version,
+                    json_extract(doc, '$.versions."' || version || '"') AS vd
+             FROM ver),
+    deps AS (
+      SELECT unnest(json_keys(vd, '$.dependencies')) AS dep_name,
+             'runtime' AS dep_type FROM vdoc
+      UNION ALL
+      SELECT unnest(json_keys(vd, '$.devDependencies')), 'dev' FROM vdoc
+    )
+    SELECT dep_name, dep_type, CAST(count(*) AS BIGINT) AS n_dependents
+    FROM deps GROUP BY dep_name, dep_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "npm_dependency_counts": _npm_dependency_counts,
+        "npm_reverse_dependency_counts": _npm_reverse_dependency_counts,
     }
     for mod in _MODULES:
         out.update(mod.queries)
@@ -108,7 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {"npm_dependency_counts": _NPM_ORACLE}
+    out: dict[str, str] = {
+        "npm_dependency_counts": _NPM_ORACLE,
+        "npm_reverse_dependency_counts": _NPM_REVERSE_ORACLE,
+    }
     for mod in _MODULES:
         out.update(mod.oracles)
     return _ordered(out)

@@ -82,6 +82,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "pack_sequences",
     "tfidf_top_terms_per_doc",
+    "npm_reverse_dependency_counts",
 ]
 
 
