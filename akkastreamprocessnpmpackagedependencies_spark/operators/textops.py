@@ -425,8 +425,11 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sklearn convention). Shuffle shape at 100 TB: one explode ->
     (doc_id, term) hash agg for tf; df re-aggregates the tf frame (one
     row per distinct (doc, term), far smaller than the token stream); the
-    vocab-sized df frame broadcasts back onto tf, so the per-doc top-k
-    window is the only other shuffle, partitioned on doc_id — no hot key.
+    df join carries NO broadcast hint — a 100 TB corpus's vocabulary can
+    be too large to pin into every executor, and AQE already converts the
+    join to broadcast at runtime whenever df measures small, while the
+    fallback shuffle lands on `term`, the key tf is already partitioned
+    by. The per-doc top-k window is the only other shuffle — no hot key.
     Scores from distinct (tf, df) inputs are separated far beyond ulp, so
     the rank is engine-stable; ties share identical doubles on both
     engines and fall to the term tie-break."""
@@ -443,7 +446,7 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("doc_id").orderBy(F.desc(score), "term")
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)

@@ -35,6 +35,8 @@ SHOWCASE = [
     ("embedding_neardup_pairs", "quantizer-cell blocking + grouped applyInPandas verify"),
     ("contamination_ngram_hits", "broadcast probe grams, one corpus pass"),
     ("quality_filter_composite", "pure column-expression quality gates, single scan"),
+    ("pack_sequences", "distributed two-pass prefix sum; sharded window, offsets broadcast"),
+    ("tfidf_top_terms_per_doc", "tf agg -> df re-agg join (AQE-broadcast) -> per-doc top-k"),
 ]
 
 

@@ -6,8 +6,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 0/4 pytest =="
+echo "== 0/4 pytest + evidence staleness =="
 python -m pytest tests/ -x -q
+python tools/driver_check.py --staleness
 
 echo "== 1/4 driver simulation (vanilla session, all queries) =="
 python - <<'EOF'
