@@ -409,11 +409,21 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tokens) int pairs + one broadcast — the document text never
     moves. DuckDB oracle: the plain windowed cumsum, value-identical."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.size(_ws()).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id DIV {PACK_SHARD}").alias("shard"),
-    )
+    t = d.select("doc_id", F.size(_ws()).cast("long").alias("n_tokens"))
+    return pack_token_counts(t)
+
+
+def pack_token_counts(
+    t: DataFrame, budget: int = SEQ_BUDGET, shard_size: int = PACK_SHARD
+) -> DataFrame:
+    """Core of ``pack_sequences`` over a (doc_id, n_tokens) frame — the
+    distributed prefix sum + chunk arithmetic, factored so property tests
+    can drive it with adversarial frames (gapped ids, empty shards, docs
+    spanning many sequences). Precondition: n_tokens >= 1, which
+    ``split`` guarantees (an empty string tokenizes to [''] — 1 token —
+    in both Spark and DuckDB); a zero-token row would make end_seq <
+    start_seq by the (cum - 1) arithmetic."""
+    t = t.withColumn("shard", F.expr(f"doc_id DIV {shard_size}"))
     w_in = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     t = t.withColumn("local_cum", F.sum("n_tokens").over(w_in))
     w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
@@ -429,8 +439,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "n_tokens",
-            f"(cum - n_tokens) DIV {SEQ_BUDGET} AS start_seq",
-            f"(cum - n_tokens) % {SEQ_BUDGET} AS start_offset",
-            f"(cum - 1) DIV {SEQ_BUDGET} AS end_seq",
+            f"(cum - n_tokens) DIV {budget} AS start_seq",
+            f"(cum - n_tokens) % {budget} AS start_offset",
+            f"(cum - 1) DIV {budget} AS end_seq",
         )
     )

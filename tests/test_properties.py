@@ -110,3 +110,33 @@ def test_cosine_self_similarity(spark, v):
     df = spark.createDataFrame([(v, v)], "a array<double>, b array<double>")
     [row] = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
     assert abs(row.c - 1.0) < 1e-9
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=20),
+    gap=st.integers(min_value=1, max_value=3000),
+    budget=st.sampled_from([1, 7, 128]),
+)
+@_settings
+def test_pack_token_counts_matches_serial_chunking(spark, toks, gap, budget):
+    """The sharded prefix sum must equal the serial concat-then-chunk walk
+    for ANY id spacing (gapped ids exercise empty shards and shard
+    boundaries) and any budget, including docs many budgets long.
+    n_tokens >= 1 is the operator's domain: split() never yields an empty
+    token list, in either engine."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        pack_token_counts,
+    )
+
+    ids = [i * gap for i in range(len(toks))]
+    df = spark.createDataFrame(
+        list(zip(ids, toks)), "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.start_seq, r.start_offset, r.end_seq)
+        for r in pack_token_counts(df, budget=budget, shard_size=4).collect()
+    }
+    cum = 0
+    for i, n in zip(ids, toks):
+        assert got[i] == (cum // budget, cum % budget, (cum + n - 1) // budget)
+        cum += n
