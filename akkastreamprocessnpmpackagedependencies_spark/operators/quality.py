@@ -215,7 +215,14 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean-word-length aggregate runs once per row instead of three
     times (its lambda variables get fresh ids per use, which also defeats
     runtime subexpression elimination)."""
-    d = load_table(spark, sf_dir, "documents")
+    return quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def quality_flags(d: DataFrame) -> DataFrame:
+    """Core of ``quality_filter_composite`` over any (doc_id, lang, text)
+    frame — factored so the same gate applies to streaming micro-batches
+    (see test_streaming_quality_gate_to_shard_export) as to the batch
+    table; pure column expressions either way."""
     ws = F.col("ws")
     n = F.size(ws)
     mean_len = F.when(

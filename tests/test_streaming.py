@@ -420,3 +420,50 @@ def test_sliding_window_update_matches_batch(spark, sf_dir, tmp_path):
         for r in events_sliding_1h_30m(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_quality_gate_to_shard_export(spark, sf_dir, tmp_path):
+    """End-to-end training-export composition on a stream: documents
+    arrive in micro-batches, each batch runs the SAME quality gate as the
+    batch query (quality_flags) and the keepers append into the
+    deterministic shard layout (write_training_shards). The union of all
+    shards must equal the batch-mode keep set exactly."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        quality_filter_composite,
+        quality_flags,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.sources import io as sio
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src = str(tmp_path / "docs_src")
+    for half in (0, 1):
+        d.filter((F.col("doc_id") % 2) == half).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "shards")
+
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def _export(batch, _bid):
+        keep = quality_flags(batch).filter("keep").select("doc_id")
+        sio.write_training_shards(
+            batch.join(keep, "doc_id").select("doc_id", "text"),
+            out,
+            "doc_id",
+            n_shards=4,
+            mode="append",
+        )
+
+    q = stream.writeStream.foreachBatch(_export).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).select("doc_id").collect())
+    want = sorted(
+        r.doc_id for r in quality_filter_composite(spark, sf_dir).filter("keep").collect()
+    )
+    assert got == want
