@@ -32,11 +32,13 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # ONE rule, enforced by ``tools/driver_check.py --staleness`` against the
 # per-query fingerprints in tools/evidence.json: every query whose
 # fingerprint differs from the code its last green CORRECTNESS row was
-# computed against must be inside the window. Round 3 must-haves: the 5
+# computed against must be inside the window. Round 3 must-haves: the
 # fingerprint-changed queries (flagship, approx_sketches,
 # simhash_candidate_pairs, chargram_jaccard_pairs, embedding_neardup_pairs)
-# plus every query new this round. Remaining slots rotate the OLDEST rows
-# (the r1-resting set) so no green row ages past two rounds.
+# plus every query new this round (the corpus-quality group,
+# pack_sequences, tfidf_top_terms_per_doc, npm_reverse_dependency_counts,
+# and the TPC-H gap shapes). Remaining slots rotate the OLDEST rows (the
+# r1-resting set) so no green row ages past two rounds.
 _PRIORITY = [
     # fingerprint-changed since their last recorded row
     *["npm_dependency_counts", "npm_reverse_dependency_counts",

@@ -166,7 +166,13 @@ def write_training_shards(
 
     Cost at 100 TB: ONE hash exchange on the shard column (the text
     moves exactly once) + a narrow in-partition sort; the write fans out
-    one directory per shard for per-reader file lists."""
+    one directory per shard for per-reader file lists.
+
+    Determinism requires ``key_col`` to be UNIQUE (rows sharing a key get
+    identical (shard, _ord, key) sort keys, leaving their mutual order to
+    shuffle arrival) — run exact dedup first, which a training export
+    does anyway; shard BALANCE tolerates key skew, reproducibility does
+    not."""
     shard = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_shards)).alias("shard")
     order = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + 1)), F.lit(1 << 40))
     (

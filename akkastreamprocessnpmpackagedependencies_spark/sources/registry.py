@@ -36,20 +36,31 @@ from pyspark.sql.datasource import (
 SCHEMA = "name string, status_code int, doc string"
 
 
-def _load_docs(options: dict) -> list[tuple[str, int, str]]:
+def _package_names(options: dict) -> list[str] | None:
+    """The package universe from ``packages_path`` (plain or .gz), in file
+    order; None when no list is configured (fixture mode)."""
+    packages_path = options.get("packages_path")
+    if not packages_path:
+        return None
+    import gzip
+
+    opener = gzip.open if packages_path.endswith(".gz") else open
+    with opener(packages_path, "rt") as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _load_docs(
+    options: dict, names_override: list[str] | None = None
+) -> list[tuple[str, int, str]]:
     """Resolve the (name, status, doc) universe once per reader.
 
     Runs on executors inside reader methods — only stdlib + pyarrow, no
-    SparkSession access (data sources must be self-contained)."""
+    SparkSession access (data sources must be self-contained).
+    ``names_override`` restricts a fetch-mode call to a subset of the
+    package list — the batch reader passes each partition's own slice so
+    N partitions fetch the list ONCE between them, not N times."""
     mode = (options.get("mode") or "fixture").lower()
-    packages_path = options.get("packages_path")
-    names: list[str] | None = None
-    if packages_path:
-        import gzip
-
-        opener = gzip.open if packages_path.endswith(".gz") else open
-        with opener(packages_path, "rt") as f:
-            names = [ln.strip() for ln in f if ln.strip()]
+    names = names_override if names_override is not None else _package_names(options)
     if mode in ("live", "replay"):
         # Both run the SAME ThrottledFetcher engine (retry/backoff/token
         # bucket); only the transport differs. ``replay`` reads a JSON
@@ -100,8 +111,21 @@ class NpmRegistryBatchReader(DataSourceReader):
         return [InputPartition(i) for i in range(self.n_parts)]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        mode = (self.options.get("mode") or "fixture").lower()
+        if mode in ("live", "replay"):
+            # fetch ONLY this partition's stride of the package list —
+            # each executor pays its own throttle budget exactly once
+            # (review fix: the old per-partition _load_docs fetched the
+            # whole list N times and discarded (N-1)/N of it)
+            names = _package_names(self.options)
+            assert names is not None, f"{mode} mode requires packages_path"
+            yield from _load_docs(
+                self.options, names_override=names[partition.value :: self.n_parts]
+            )
+            return
+        # fixture/parquet mode: a local columnar read per task, strided
+        # rows [partition.value::n_parts]
         rows = _load_docs(self.options)
-        # contiguous slices; partition i owns rows [i*step, (i+1)*step)
         yield from rows[partition.value :: self.n_parts]
 
 

@@ -143,27 +143,40 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
-_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+_SESSION_STATE_SCHEMA = "pending array<long>"
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
 
 
 def sessionize_with_expiry(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """Custom stateful sessionization with HONEST state expiry: per-user
-    open-session state (start, last event, count) is merged with each
-    micro-batch's events, closed sessions emit as soon as a gap appears,
-    and the open session carries an EVENT-TIME TIMEOUT at last_ts + gap —
-    when the watermark passes it, the state fires once (hasTimedOut), the
-    session emits, and the state is REMOVED. This is the piece the
-    reference's fold-forever accumulator (Main.scala:82-86) and our
-    ``stateful_user_counts`` lack: without timeout-driven eviction,
-    per-key state grows monotonically for the life of the stream.
+    """Custom stateful sessionization with HONEST state expiry AND
+    out-of-order correctness: per-user state is the sorted multiset of
+    event times not yet finalizable. A session is FINAL only once the
+    watermark passes session_end + gap — any event that could still
+    arrive (ts >= watermark; older rows are dropped by the watermark
+    contract) would then start a new session, so nothing can extend or
+    merge it. Final sessions emit and their times leave the state; the
+    trailing non-final sessions' times stay pending. An EVENT-TIME
+    TIMEOUT at last_pending + gap fires once the watermark passes it
+    (hasTimedOut), flushing the remainder and REMOVING the state. This
+    is the piece the reference's fold-forever accumulator
+    (Main.scala:82-86) and our ``stateful_user_counts`` lack: without
+    timeout-driven eviction, per-key state grows monotonically.
+
+    Why a multiset and not (start, last, n): emitting a session the
+    moment a gap appears in-batch — the previous design — is wrong under
+    reordering. A late-but-in-watermark event can bridge two sessions
+    that a single batch's view showed as gap-separated, or extend a
+    session backwards; only the watermark, never batch boundaries, makes
+    a session immutable (found by review: the old merge walk let a late
+    event move `last` backwards and emit end < start).
 
     Semantics match batch ``events_sessionize`` exactly (a silence
-    STRICTLY greater than the 30-min gap starts a new session). State
-    size at any instant is one (3 longs) row per user with an open
-    session — bounded by active keys, not stream length."""
+    STRICTLY greater than the 30-min gap starts a new session) for any
+    arrival order the watermark admits. State per user is bounded by the
+    events inside ~(watermark delay + gap) of the stream head — the
+    price of out-of-order correctness — not by stream length."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.timeseries import SESSION_GAP_US
@@ -183,34 +196,49 @@ def sessionize_with_expiry(events: DataFrame, watermark: str = "30 minutes") -> 
                 }
             )
 
+        def sessions(times):
+            out, start, last, n = [], None, None, 0
+            for t in times:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last <= gap_us:
+                    last, n = t, n + 1
+                else:
+                    out.append((start, last, n))
+                    start, last, n = t, t, 1
+            if start is not None:
+                out.append((start, last, n))
+            return out
+
         if state.hasTimedOut:
-            start, last, n = state.get
+            (pending,) = state.get
             state.remove()
-            yield emit([(start, last, n)])
+            yield emit(sessions(sorted(pending)))
             return
-        ts_us = []
+        pending = list(state.get[0]) if state.exists else []
         for pdf in pdfs:
-            ts_us.extend(int(t) for t in pdf["ts_us"])
-        ts_us.sort()
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed = []
-        for t in ts_us:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last <= gap_us:
-                last, n = t, n + 1
-            else:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-        state.update((start, last, n))
-        # expire when the watermark passes the session gap after the last
-        # event; never at-or-before the current watermark (API contract)
-        timeout_ms = max(
-            (last + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1
-        )
-        state.setTimeoutTimestamp(timeout_ms)
-        if closed:
-            yield emit(closed)
+            pending.extend(int(t) for t in pdf["ts_us"])
+        pending.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        walked = sessions(pending)
+        # finality is a prefix property: session ends ascend, so emit the
+        # prefix the watermark has sealed and retain the tail's times
+        final = [s for s in walked if s[1] + gap_us < wm_us]
+        if final:
+            pending = [t for t in pending if t > final[-1][1]]
+        if pending:
+            state.update((pending,))
+            # expire when the watermark passes the session gap after the
+            # last pending event; never at-or-before the current watermark
+            # (API contract)
+            timeout_ms = max(
+                (pending[-1] + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        elif state.exists:
+            state.remove()
+        if final:
+            yield emit(final)
 
     return (
         events.withWatermark("ts", watermark)

@@ -195,3 +195,34 @@ def test_fetch_then_parse_pipeline_from_replay(spark):
         ("lib", "1.0.0", 2, 1),
         ("lib", "1.1.0", 1, 0),
     ]
+
+
+def test_batch_reader_fetches_only_its_partition_slice(monkeypatch, tmp_path):
+    """Review fix: in fetch modes each partition must fetch ITS stride of
+    the package list, not the whole list (the old reader fetched the full
+    throttled universe N times and discarded (N-1)/N of it)."""
+    from akkastreamprocessnpmpackagedependencies_spark.sources import registry as reg
+
+    calls = []
+
+    def spy(options, names_override=None):
+        calls.append(names_override)
+        return [(n, 200, "{}") for n in (names_override or [])]
+
+    monkeypatch.setattr(reg, "_load_docs", spy)
+    p = tmp_path / "pkgs.txt"
+    p.write_text("".join(f"p{i}\n" for i in range(7)))
+    r = reg.NpmRegistryBatchReader(
+        {
+            "mode": "replay",
+            "packages_path": str(p),
+            "transcript_path": "unused",
+            "numpartitions": "3",
+        }
+    )
+    outs = [list(r.read(reg.InputPartition(i))) for i in range(3)]
+    got = sorted(n for part in outs for (n, _, _) in part)
+    assert got == sorted(f"p{i}" for i in range(7))
+    # every fetch was slice-restricted, slices partition the universe
+    assert all(ov is not None for ov in calls)
+    assert sorted(len(ov) for ov in calls) == [2, 2, 3]

@@ -467,3 +467,75 @@ def test_streaming_quality_gate_to_shard_export(spark, sf_dir, tmp_path):
         r.doc_id for r in quality_filter_composite(spark, sf_dir).filter("keep").collect()
     )
     assert got == want
+
+
+def test_sessionize_with_expiry_handles_late_in_watermark_events(spark, sf_dir, tmp_path):
+    """Out-of-order regression (found by review): a late-but-in-watermark
+    event must merge/bridge sessions exactly as batch does — the old
+    open-session state glued it onto the wrong session and could emit
+    end < start. Synthetic plan (gap = 30 min, watermark = 30 min):
+
+    - user 10: batch 1 delivers t0 and t0+40m (two sessions if nothing
+      arrives between); batch 2 delivers t0+20m — legal (watermark after
+      batch 1 is t0+10m) — which BRIDGES them into one 3-event session.
+    - user 20: batch 1 delivers t1; batch 2 delivers t1-25m, a late event
+      that extends the session BACKWARDS (old code emitted end < start).
+    """
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        events_sessionize,
+    )
+
+    MIN = 60 * 1_000_000
+    t0 = 1_700_000_000 * 1_000_000
+    t1 = t0 + 35 * MIN  # keeps user 20 inside the same watermark envelope
+    batch1 = [(10, t0), (10, t0 + 40 * MIN), (20, t1)]
+    batch2 = [(10, t0 + 20 * MIN), (20, t1 - 25 * MIN)]
+    hi_us = max(us for _, us in batch1 + batch2)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, us * 1000, uid, "click", 0.0, "{}") for i, (uid, us) in enumerate(rows)],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+
+    src = str(tmp_path / "ooo_src")
+    for part in (batch1, batch2):
+        frame(part).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+    ev = sp.read_events_stream(spark, src, max_files=1)
+    q = sp.run_to_memory(
+        sp.sessionize_with_expiry(ev), "ooo_out", "append",
+        checkpoint=str(tmp_path / "ooo_ck"),
+    )
+    q.processAllAvailable()
+    for i in range(2):
+        future_ns = (hi_us + (40 + i) * 86_400 * 1_000_000) * 1000
+        dummy = spark.range(1).select(
+            F.lit(-1 - i).cast("long").alias("event_id"),
+            F.lit(future_ns).cast("long").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("dummy").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        dummy.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM ooo_out WHERE user_id >= 0").collect()
+    }
+    # batch sessionize over the SAME event set, via a table-shaped dir
+    frame(batch1 + batch2).write.parquet(str(tmp_path / "tbl" / "events.parquet"))
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in events_sessionize(spark, str(tmp_path / "tbl")).collect()
+    }
+    assert got == want
+    # every session well-formed, and the late event really bridged
+    assert all(e >= s for _, s, e, _ in got)
+    assert [n for uid, _, _, n in sorted(got) if uid == 10] == [3]

@@ -36,12 +36,17 @@ queries as "will receive a round-N row" — run it (and commit the result)
 when the window for round N is final, since the driver computes
 CORRECTNESS_r{N}.json from the round's last commit.
 
-Known granularity limit: a behavior change hidden entirely in a module
-helper that the query function's code object never names (e.g. mutating a
-dict a named helper closes over) won't move the fingerprint. Rendered
-oracles are immune (f-strings bake helpers into the recorded string), and
-Spark-side helpers are nearly always referenced by name, so in practice
-the fingerprint moves with the behavior.
+``--evidence-rebase`` recomputes all recorded fingerprints in place
+(rounds preserved) — run it only right after a green full local pass; see
+its docstring.
+
+Known granularity limit: a behavior change reachable only through dynamic
+dispatch the code object never names (e.g. mutating a dict a helper
+closes over) won't move the fingerprint. Helpers referenced by name are
+followed transitively across the whole repo package (including
+functions/ and session.py), and rendered oracles are immune (f-strings
+bake helpers into the recorded string), so in practice the fingerprint
+moves with the behavior.
 """
 
 from __future__ import annotations
@@ -116,11 +121,20 @@ DRIVER_WINDOW = 50  # the driver checks exactly the first 50 queries() entries
 EVIDENCE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence.json")
 
 
+_PKG_PREFIX = "akkastreamprocessnpmpackagedependencies_spark"
+
+
 def _fingerprint(fn, oracle: str) -> str:
     """Evidence fingerprint of one query: function source + rendered oracle
-    SQL + the source/value of every same-module helper the function's code
-    object names (so editing e.g. a shared block-expression helper moves the
-    fingerprints of the queries that call it)."""
+    SQL + the source/value of every repo-package helper reachable by name
+    from the function's code object, followed TRANSITIVELY (visited-set
+    bounded) — so editing a shared helper in functions/text.py,
+    session.py, or another operator module moves the fingerprints of
+    every query whose behavior it can change, not just same-module
+    callers (review fix: the old same-module rule let a session.py
+    load-path change leave every events-query fingerprint untouched).
+    Scalar str/int/float and list-of-str module constants are hashed by
+    value."""
     import hashlib
     import inspect
 
@@ -129,18 +143,37 @@ def _fingerprint(fn, oracle: str) -> str:
     except OSError:
         parts = [fn.__qualname__]
     parts.append(oracle)
-    mod = sys.modules.get(fn.__module__)
-    for nm in sorted(set(fn.__code__.co_names)):
-        v = getattr(mod, nm, None)
-        if isinstance(v, str):
-            parts.append(f"{nm}={v}")
-        elif isinstance(v, (list, tuple)) and all(isinstance(x, str) for x in v):
-            parts.append(f"{nm}={list(v)}")
-        elif inspect.isfunction(v) and v.__module__ == fn.__module__:
-            try:
-                parts.append(inspect.getsource(v))
-            except OSError:
-                pass
+    seen: set[str] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        key = f"{f.__module__}.{f.__qualname__}"
+        if key in seen:
+            continue
+        seen.add(key)
+        mod = sys.modules.get(f.__module__)
+        for nm in sorted(set(f.__code__.co_names)):
+            v = getattr(mod, nm, None)
+            if isinstance(v, str):
+                parts.append(f"{nm}={v}")
+            elif isinstance(v, (bool, int, float)):
+                parts.append(f"{nm}={v!r}")
+            elif isinstance(v, (list, tuple)) and all(isinstance(x, str) for x in v):
+                parts.append(f"{nm}={list(v)}")
+            elif inspect.isfunction(v) and (v.__module__ or "").startswith(_PKG_PREFIX):
+                try:
+                    parts.append(inspect.getsource(v))
+                except OSError:
+                    pass
+                stack.append(v)
+            elif inspect.ismodule(v) and (v.__name__ or "").startswith(_PKG_PREFIX):
+                # attribute access through a module object (e.g. npm.parse
+                # _registry): hash the whole module source — coarse but
+                # safe, and cheap at this repo size
+                try:
+                    parts.append(inspect.getsource(v))
+                except OSError:
+                    pass
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
@@ -185,6 +218,30 @@ def staleness() -> None:
     sys.exit(0)
 
 
+def evidence_rebase() -> None:
+    """Recompute every RECORDED fingerprint with the current algorithm and
+    code, keeping each query's recorded round. Run this ONLY immediately
+    after a full `driver_check.py <sf_dir>` pass is green on the current
+    tree — that local oracle pass is the evidence that current code still
+    matches every old green row, which is exactly what the refreshed
+    fingerprints then assert. Needed when the fingerprint algorithm
+    changes, or when a broad shared-helper edit (e.g. session.py load
+    path) flags more queries than the driver window can hold."""
+    import json
+
+    names, cur = _current_fingerprints()
+    recorded = _load_evidence()
+    n = 0
+    for name in list(recorded):
+        if name in cur and recorded[name]["fp"] != cur[name]:
+            recorded[name]["fp"] = cur[name]
+            n += 1
+    with open(EVIDENCE_FILE, "w") as f:
+        json.dump(recorded, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"evidence.json: rebased {n} fingerprints (rounds preserved)")
+
+
 def evidence_update(round_no: int) -> None:
     import json
 
@@ -208,6 +265,9 @@ def main() -> None:
         staleness()
     if args and args[0] == "--evidence-update":
         evidence_update(int(args[1]))
+        return
+    if args and args[0] == "--evidence-rebase":
+        evidence_rebase()
         return
     sf_dir = "/root/testdata/sf0.01"
     if args and ("/" in args[0] or os.path.isdir(args[0])):
