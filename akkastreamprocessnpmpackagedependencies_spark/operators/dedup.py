@@ -114,36 +114,76 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(load_scaled(spark, sf_dir, "documents")).drop("sh", "bases")
 
 
-_BAND_KEYS_SQL = ", ".join(
-    "mh" + " || '|' || mh".join(str(b * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND))
-    for b in range(N_BANDS)
-)
+def _banded_pairs(
+    sig: DataFrame, set_col: str, threshold: float, pin_partitions: int | None = None
+) -> DataFrame:
+    """The banded-LSH pair pipeline shared by the word-shingle and
+    char-gram variants (review fix: two hand-kept copies diverge
+    silently): sig(doc_id, <set_col>, mh0..mhN-1) -> band keys ->
+    bucket equi-join candidates (doc-id-only rows on the shuffle) ->
+    DISTINCT multi-band dedup -> exact jaccard verify over two
+    signature-frame probes of ``set_col``. ``pin_partitions``
+    repartitions candidates on doc_a so the verify stage runs wide —
+    AQE's byte-based coalesce is blind to the per-row intersect cost
+    behind the tiny candidate frame."""
+    band_key = [
+        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_key)).alias("b", "bkey"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if pin_partitions:
+        cand = cand.repartition(pin_partitions, "doc_a")
+    s = sig.select("doc_id", set_col)
+    inter = F.size(F.array_intersect(F.col(f"sa.{set_col}"), F.col(f"sb.{set_col}")))
+    union = F.size(F.col(f"sa.{set_col}")) + F.size(F.col(f"sb.{set_col}")) - inter
+    return (
+        cand.join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(s.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _sql_banded_ctes(prefix: str, sig: str, set_col: str, threshold: float) -> str:
+    """DuckDB twin of ``_banded_pairs``: {prefix}bands -> {prefix}cand ->
+    {prefix}pairs over an existing ``sig`` CTE."""
+    case = " ".join(
+        f"WHEN {b} THEN "
+        + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        for b in range(N_BANDS)
+    )
+    ix = f"list_intersect(sa.{set_col}, sb.{set_col})"
+    jac = f"len({ix})::DOUBLE / (len(sa.{set_col}) + len(sb.{set_col}) - len({ix}))"
+    return f"""
+    {prefix}bands AS (
+      SELECT doc_id, b, CASE b {case} END AS bkey
+      FROM {sig} CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)
+    ),
+    {prefix}cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {prefix}bands a JOIN {prefix}bands b
+        ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    {prefix}pairs AS (
+      SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+      FROM {prefix}cand c JOIN {sig} sa ON sa.doc_id = c.doc_a
+                          JOIN {sig} sb ON sb.doc_id = c.doc_b
+      WHERE {jac} >= {threshold}
+    )"""
 
 
 def _sql_lsh_ctes() -> str:
     """Signature -> band -> candidate -> verified-pair CTE chain, shared by
     the pair query and the cluster query's oracle."""
     return f"""{_sql_signature_cte()},
-    bands AS (
-      SELECT doc_id, sh, b, CASE b
-        {" ".join(f"WHEN {b} THEN " + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) for b in range(N_BANDS))}
-      END AS bkey
-      FROM sig CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-      SELECT c.doc_a, c.doc_b,
-             len(list_intersect(sa.sh, sb.sh))::DOUBLE
-               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
-                  JOIN sig sb ON sb.doc_id = c.doc_b
-    ),
-    lshpairs AS (
-      SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
-    )"""
+    {_sql_banded_ctes("lsh", "sig", "sh", JACCARD_THRESHOLD)}"""
 
 
 @REG.add(
@@ -162,30 +202,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the signature TABLE a 100 TB pipeline would materialize once and
     reuse across every dedup pass."""
     sig = _signatures(load_scaled(spark, sf_dir, "documents")).persist()
-    band_key = [
-        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_key)).alias("b", "bkey"),
-    )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["b", "bkey"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh = sig.select("doc_id", "sh")
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-    return (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _banded_pairs(sig, "sh", JACCARD_THRESHOLD)
 
 
 @REG.add(
@@ -482,8 +499,9 @@ CHARGRAM_JACCARD = 0.6
 
 
 def _sql_chargram_ctes() -> str:
-    """Char-gram signature -> band -> candidate -> verified-pair CTE chain,
-    mirroring the Spark plan block-for-block so the oracle stays lockstep."""
+    """Char-gram signature CTE + the shared banded chain (``_sql_banded_
+    ctes``), mirroring the Spark plan block-for-block so the oracle stays
+    lockstep."""
     mh = ", ".join(f"{sql_minhash_affine('bases', h)} AS mh{h}" for h in range(N_HASHES))
     return f"""
     csig AS (
@@ -491,29 +509,14 @@ def _sql_chargram_ctes() -> str:
       FROM (SELECT doc_id, {sql_base_hashes('g')} AS bases
             FROM (SELECT doc_id, {sql_char_shingles('text')} AS g FROM documents))
     ),
-    cbands AS (
-      SELECT doc_id, b, CASE b
-        {" ".join(f"WHEN {b} THEN " + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) for b in range(N_BANDS))}
-      END AS bkey
-      FROM csig CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)
-    ),
-    ccand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM cbands a JOIN cbands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    )"""
+    {_sql_banded_ctes("c", "csig", "hb", CHARGRAM_JACCARD)}"""
 
 
 @REG.add(
     "chargram_jaccard_pairs",
     f"""
     WITH {_sql_chargram_ctes()}
-    SELECT c.doc_a, c.doc_b,
-           len(list_intersect(sa.hb, sb.hb))::DOUBLE
-             / (len(sa.hb) + len(sb.hb) - len(list_intersect(sa.hb, sb.hb))) AS jaccard
-    FROM ccand c JOIN csig sa ON sa.doc_id = c.doc_a
-                 JOIN csig sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.hb, sb.hb))::DOUBLE
-            / (len(sa.hb) + len(sb.hb) - len(list_intersect(sa.hb, sb.hb))) >= {CHARGRAM_JACCARD}
+    SELECT doc_a, doc_b, jaccard FROM cpairs
     """,
 )
 def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,31 +550,11 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    band_key = [
-        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select("doc_id", F.posexplode(F.array(*band_key)).alias("b", "bkey"))
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["b", "bkey"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-        # Candidate rows are two ints, so AQE sizes the verify stage to a
-        # handful of partitions — but each row costs an array_intersect over
-        # ~200-gram sets. Pinning a full-parallelism repartition ON THE
-        # FIRST VERIFY-JOIN KEY makes the sort-merge join reuse this
-        # exchange, so the intersect work runs wide (a key the join can't
-        # use would just get re-exchanged and AQE-coalesced again).
-        .repartition(spark.sparkContext.defaultParallelism, "doc_a")
-    )
-    gr = sig.select("doc_id", "hb")
-    inter = F.size(F.array_intersect(F.col("sa.hb"), F.col("sb.hb")))
-    union = F.size(F.col("sa.hb")) + F.size(F.col("sb.hb")) - inter
-    return (
-        cand.join(gr.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(gr.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= CHARGRAM_JACCARD)
+    # Candidate rows are two ints, so AQE sizes the verify stage to a
+    # handful of partitions — but each row costs an array_intersect over
+    # ~200-gram sets. Pinning a full-parallelism repartition ON THE FIRST
+    # VERIFY-JOIN KEY makes the sort-merge join reuse that exchange, so
+    # the intersect work runs wide.
+    return _banded_pairs(
+        sig, "hb", CHARGRAM_JACCARD, pin_partitions=spark.sparkContext.defaultParallelism
     )
