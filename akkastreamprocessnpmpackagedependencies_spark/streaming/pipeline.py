@@ -288,6 +288,26 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | 
     return w.start()
 
 
+def read_touched_hours(spark: SparkSession, out_path: str, tagged: DataFrame) -> DataFrame:
+    """Read back ONLY the hour partitions present in ``tagged`` — fully
+    distributed: the batch's distinct hours stay a (tiny) DataFrame, never
+    collected to the driver, and the read prunes via a broadcast LEFT SEMI
+    join on the partition column, which dynamic partition pruning turns
+    into a partition filter so only the touched hour directories are
+    scanned (same pruning as a literal ``isin(hours)``, no driver loop).
+
+    The trivially-true range predicate is load-bearing: Spark's
+    PartitionPruning rule only plants a DPP subquery when the build side
+    carries a "likely selective" filter (a BinaryComparison/In — a bare
+    ``distinct()`` does not qualify), and without it the semi-join
+    full-scans the table (asserted on the executed plan in
+    tests/test_streaming.py::test_upsert_readback_prunes_partitions)."""
+    hours_df = tagged.select("event_hour").distinct().filter(
+        F.col("event_hour") >= F.to_timestamp(F.lit("1900-01-01"))
+    )
+    return spark.read.parquet(out_path).join(F.broadcast(hours_df), "event_hour", "leftsemi")
+
+
 def write_hourly_partitions(events: DataFrame, out_path: str):
     """foreachBatch copy-on-write upsert sink: each micro-batch merges into
     hour-partitioned parquet — read the partitions the batch touches, union
@@ -300,17 +320,12 @@ def write_hourly_partitions(events: DataFrame, out_path: str):
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        tagged = batch.withColumn("event_hour", F.date_trunc("hour", "ts"))
-        hours = [r.event_hour for r in tagged.select("event_hour").distinct().collect()]
+        tagged = batch.withColumn("event_hour", F.date_trunc("hour", "ts")).localCheckpoint()
         merged = tagged
         try:
             # localCheckpoint materializes the read BEFORE the overwrite job
             # runs — never read and rewrite the same files in one job
-            existing = (
-                spark.read.parquet(out_path)
-                .filter(F.col("event_hour").isin(hours))
-                .localCheckpoint()
-            )
+            existing = read_touched_hours(spark, out_path, tagged).localCheckpoint()
             merged = tagged.unionByName(existing).dropDuplicates(["event_id"])
         except Exception:  # first batch: nothing written yet
             pass

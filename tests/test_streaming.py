@@ -367,6 +367,34 @@ def test_foreachbatch_dynamic_overwrite_idempotent(spark, sf_dir, tmp_path):
     assert back.select("event_id").distinct().count() == n_events
 
 
+def test_upsert_readback_prunes_partitions(spark, sf_dir, tmp_path):
+    """The foreachBatch upsert's read-back must stay distributed (no
+    driver-side hour collect) AND still prune partitions: the broadcast
+    semi-join on event_hour has to plant a dynamic-partition-pruning
+    subquery, otherwise it silently full-scans the table at scale."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    tagged = load_events(spark, sf_dir).withColumn(
+        "event_hour", F.date_trunc("hour", "ts")
+    )
+    path = str(tmp_path / "pruned_tbl")
+    tagged.write.partitionBy("event_hour").parquet(path)
+    batch = tagged.filter(F.col("event_id") % 97 == 0).localCheckpoint()
+    # default maxMetadataStringLength=100 truncates PartitionFilters at a
+    # point that depends on attribute-id digit count (session-global,
+    # monotonic) — widen it so the match is deterministic
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        got = sp.read_touched_hours(spark, path, batch)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "dynamicpruningexpression(event_hour" in plan, plan
+    # and the join is correct: only rows from the batch's hours come back
+    hours = {r.event_hour for r in batch.select("event_hour").distinct().collect()}
+    assert {r.event_hour for r in got.select("event_hour").distinct().collect()} == hours
+
+
 def test_builtin_rate_source_feeds_windowed_agg(spark, tmp_path):
     """The built-in rate source (timestamped synthetic rows) drives the
     same windowed aggregation operators as the file/custom sources — the
@@ -478,8 +506,11 @@ def test_sessionize_with_expiry_handles_late_in_watermark_events(spark, sf_dir, 
     - user 10: batch 1 delivers t0 and t0+40m (two sessions if nothing
       arrives between); batch 2 delivers t0+20m — legal (watermark after
       batch 1 is t0+10m) — which BRIDGES them into one 3-event session.
-    - user 20: batch 1 delivers t1; batch 2 delivers t1-25m, a late event
+    - user 20: batch 1 delivers t1; batch 2 delivers t1-24m, a late event
       that extends the session BACKWARDS (old code emitted end < start).
+      24m (not 25m) keeps the event 1 minute INSIDE the watermark envelope:
+      at exactly-the-watermark, drop-or-admit is implementation-defined
+      and a Spark version bump could silently flake this test.
     """
     import time as _time
 
@@ -491,7 +522,7 @@ def test_sessionize_with_expiry_handles_late_in_watermark_events(spark, sf_dir, 
     t0 = 1_700_000_000 * 1_000_000
     t1 = t0 + 35 * MIN  # keeps user 20 inside the same watermark envelope
     batch1 = [(10, t0), (10, t0 + 40 * MIN), (20, t1)]
-    batch2 = [(10, t0 + 20 * MIN), (20, t1 - 25 * MIN)]
+    batch2 = [(10, t0 + 20 * MIN), (20, t1 - 24 * MIN)]
     hi_us = max(us for _, us in batch1 + batch2)
 
     def frame(rows):
