@@ -200,9 +200,15 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature frame feeds four plan branches (both self-join sides,
     both verification probes), so it is persisted — the in-memory stand-in
     for the signature TABLE a 100 TB pipeline would materialize once and
-    reuse across every dedup pass."""
+    reuse across every dedup pass. The verified pair set (small: doc-id
+    pairs + a double) is materialized via localCheckpoint and the
+    signature cache is released immediately — no persisted frame outlives
+    the query (round-3 verdict #7; asserted by
+    tests/test_llm_ops.py::test_lsh_queries_release_their_caches)."""
     sig = _signatures(load_scaled(spark, sf_dir, "documents")).persist()
-    return _banded_pairs(sig, "sh", JACCARD_THRESHOLD)
+    pairs = _banded_pairs(sig, "sh", JACCARD_THRESHOLD).localCheckpoint()
+    sig.unpersist()
+    return pairs
 
 
 @REG.add(
@@ -230,49 +236,97 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the minimum doc_id in the component) — the dedup end-game a pair list
     alone doesn't give you.
 
-    Implementation is iterative min-label propagation on DataFrames: each
-    round every node takes the min of its own label and its neighbors'
-    labels; converged when no label changes. Near-dup components are almost
-    always tiny cliques, so this converges in 2-3 rounds. At 100 TB scale
-    the same loop holds (each round is one shuffle join + partial-agg), with
-    two standard upgrades: alternate large-star/small-star rounds for
-    O(log n) worst-case convergence on pathological chains, and checkpoint
-    every few rounds to truncate lineage. The DuckDB oracle computes the
-    same components with a recursive CTE."""
+    Components come from alternating large-star/small-star rounds
+    (``cc_alternating_star``) — O(log^2 n) worst-case rounds, so a 100 TB
+    dedup run with adversarial chain-shaped components terminates in
+    bounded rounds where plain min-label propagation needs O(diameter)
+    (the round-3 implementation capped at 20 rounds and would have
+    returned silently-unconverged labels on a longer chain). The DuckDB
+    oracle computes the same components with a recursive CTE."""
     pairs = minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    edges.cache()
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    labels.cache()
-    for _ in range(20):
-        prop = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("lbl")
-        )
-        new = (
-            labels.select("id", "lbl")
-            .union(prop)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        new.cache()
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels, _ = cc_alternating_star(pairs)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+def cc_alternating_star(
+    pairs: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Input: undirected (doc_a, doc_b) pairs. Output: ((id, lbl)
+    with lbl = component minimum for every node in the pair graph,
+    n_rounds run).
+
+    One round = large-star then small-star over the edge set E:
+    - large-star: per node u over the symmetric adjacency, every STRICTLY
+      LARGER neighbor reconnects to m = min(N(u) + {u});
+    - small-star: every smaller-or-equal neighbor (and u itself)
+      reconnects to m = min(N<=(u) + {u}).
+    Both preserve connectivity; their fixed point is the star graph whose
+    centers are the component minima, reached in O(log^2 n) rounds
+    worst-case (typically 2-4 on near-dup cliques).
+
+    Execution shape per round: two groupBy-min aggs + two equi-joins on
+    node ids — partial-aggregatable, uniformly-keyed shuffles; no
+    all-pairs step anywhere. The edge frame is localCheckpoint-ed every
+    round, which (a) truncates lineage — without it round r's plan
+    re-derives rounds 1..r-1 on every action, the classic iterative-
+    DataFrame trap — and (b) doubles as the materializing action the
+    convergence test needs; the previous round's checkpoint becomes
+    unreferenced when ``cur`` rebinds and the ContextCleaner reclaims it,
+    so only O(1) (small) edge frames stay pinned. Convergence =
+    small-star output identical to the previous round's (count equality +
+    empty exceptAll — both distinct frames)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = edges.localCheckpoint()
+    rounds = 0
+    for _ in range(max_rounds):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least("u", "mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sym2 = large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        le = sym2.filter(F.col("v") <= F.col("u"))
+        smin = le.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            le.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(smin.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new = small.localCheckpoint()
+        rounds += 1
+        converged = new.count() == cur.count() and cur.exceptAll(new).isEmpty()
+        cur = new
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"cc_alternating_star: no fixed point in {max_rounds} rounds")
+    roots = cur.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("lbl"))
+    labels = nodes.join(roots, "id", "left").select(
+        "id", F.coalesce("lbl", F.col("id")).alias("lbl")
+    )
+    return labels, rounds
 
 
 _SIMHASH_BITS = 64
@@ -492,7 +546,11 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("hamming"),
         )
     )
-    return cross.unionByName(within)
+    # materialize the (small) pair set, then release the fingerprint cache
+    # — no persisted frame outlives the query (round-3 verdict #7)
+    out = cross.unionByName(within).localCheckpoint()
+    sim.unpersist()
+    return out
 
 
 CHARGRAM_JACCARD = 0.6
@@ -538,7 +596,9 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all string compares in the verify stage (bench sf0.1: 7.8 s -> int
     path); collisions within a doc's ~1e3-gram set are ~1e-5 and shift
     jaccard identically on both engines. The signature frame feeds all
-    four plan branches so it is persisted."""
+    four plan branches so it is persisted for the duration of the verify,
+    then released after the pair set is localCheckpoint-materialized
+    (round-3 verdict #7: no cached frame outlives its query)."""
     d = load_scaled(spark, sf_dir, "documents")
     sig = (
         d.select("doc_id", char_shingles(F.col("text")).alias("g"))
@@ -555,6 +615,8 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~200-gram sets. Pinning a full-parallelism repartition ON THE FIRST
     # VERIFY-JOIN KEY makes the sort-merge join reuse that exchange, so
     # the intersect work runs wide.
-    return _banded_pairs(
+    pairs = _banded_pairs(
         sig, "hb", CHARGRAM_JACCARD, pin_partitions=spark.sparkContext.defaultParallelism
-    )
+    ).localCheckpoint()
+    sig.unpersist()
+    return pairs

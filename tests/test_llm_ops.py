@@ -69,6 +69,57 @@ def test_neardup_clusters_cover_pairs(spark, sf_dir):
         assert sum(m.is_keeper for m in members) == 1
 
 
+def test_cc_alternating_star_chain_converges_fast(spark):
+    """Adversarial chain component (round-3 verdict #5): a 200-node path
+    graph has diameter 199, so plain min-label propagation needs ~200
+    rounds (the old implementation silently stopped at 20). Alternating
+    large-star/small-star must collapse it to one component in O(log^2 n)
+    rounds — and every node must label to the chain minimum."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup.cc_alternating_star(pairs)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.lbl == 0 for r in rows)
+    assert rounds <= 16, f"chain took {rounds} rounds"
+
+
+def test_cc_alternating_star_mixed_components(spark):
+    """Several components of different shapes (clique, star, path, pair)
+    resolve to their minima."""
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]          # clique min 1
+        + [(10, 11), (10, 12), (10, 13)]  # star min 10
+        + [(20, 21), (21, 22), (22, 23)]  # path min 20
+        + [(31, 30)]                      # pair min 30
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, _ = dedup.cc_alternating_star(pairs)
+    got = {r.id: r.lbl for r in labels.collect()}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+    assert got == want
+
+
+def test_lsh_queries_release_their_caches(spark, sf_dir):
+    """Round-3 verdict #7: the signature/fingerprint frames the LSH-family
+    queries persist must NOT outlive the query — after the returned frame
+    is materialized, the SQL cache manager holds nothing."""
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert jcache.isEmpty()
+    for fn in (
+        dedup.minhash_lsh_neardup,
+        dedup.chargram_jaccard_pairs,
+        dedup.simhash_candidate_pairs,
+        dedup.neardup_clusters,
+    ):
+        assert fn(spark, sf_dir).count() > 0
+        assert jcache.isEmpty(), f"{fn.__name__} left a cached frame behind"
+
+
 def test_exact_dedup_consistency(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
