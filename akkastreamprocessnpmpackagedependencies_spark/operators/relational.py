@@ -612,6 +612,67 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "approx_sketches_exact",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*)    OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    pct AS (
+      SELECT l_returnflag,
+             min(CASE WHEN rn >= ceil(0.5 * n)  THEN l_extendedprice END) AS p50,
+             min(CASE WHEN rn >= ceil(0.9 * n)  THEN l_extendedprice END) AS p90,
+             min(CASE WHEN rn >= ceil(0.99 * n) THEN l_extendedprice END) AS p99
+      FROM ranked GROUP BY l_returnflag),
+    ex AS (
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT ex.l_returnflag, exact_parts, exact_supps, p50, p90, p99
+    FROM ex JOIN pct USING (l_returnflag)
+    """,
+)
+def approx_sketches_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-oracle-checkable twin of ``approx_sketches`` (round-3
+    verdict #3): EXACT distinct counts and EXACT discrete percentiles per
+    return flag, so the driver records a hash-green row for this family
+    while the sketch original keeps its rows-only check + error-bound
+    pytest. Percentiles are DISCRETE (smallest value whose rank reaches
+    ceil(p*n)) via an explicit row_number formulation — the identical SQL
+    runs on both engines, dodging the subtly-different interpolation /
+    index conventions of native percentile_cont/quantile fns. Tie order
+    among equal prices can't change the selected VALUE.
+
+    Scale note: the per-flag rank needs a per-flag sort with only 3
+    distinct flags — parallelism capped at 3 tasks, the inherent cost of
+    exact quantiles on a low-cardinality partition key and exactly why the
+    sketch original (mergeable, partial-aggregatable) is the 100 TB path."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wo = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    ranked = (
+        l.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wn))
+    )
+
+    def pick(p: float) -> Column:
+        at = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(F.when(F.col("rn") >= at, F.col("l_extendedprice")))
+
+    pct = ranked.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )
+    ex = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    return ex.join(pct, "l_returnflag")
+
+
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
 ) -> DataFrame:

@@ -415,22 +415,98 @@ def kmeans_fit(
     vec_id), update = coordinate-wise exact mean. Returns (assignments,
     inertia_per_iter). Every round is two jobs regardless of data size —
     the 100 TB cost model is iters x (scan + one shuffle), with centroids
-    always broadcast-small. Iterative driver loop like neardup_clusters;
-    checkpoint every few rounds at scale to truncate lineage."""
+    always broadcast-small.
+
+    Cache hygiene: each round's centroid frame (k tiny rows) is
+    localCheckpoint-ed — truncating per-round lineage, the iterative-
+    DataFrame trap — and the previous round's assignment cache is
+    released as soon as the next centroids exist; everything is
+    unpersisted before return, so callers get a lazy frame whose
+    recompute is one corpus scan + broadcast argmin against the final
+    checkpointed centroids (no cached frame outlives the call)."""
     e = _corpus(spark, sf_dir).select("vec_id", "v")
-    e.cache()
+    e.persist()
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     inertia = []
     asg = None
     for _ in range(iters):
-        asg = _assign(e, cent)
-        asg.cache()
+        prev, asg = asg, _assign(e, cent)
+        asg.persist()
         inertia.append(asg.agg(F.sum("d2")).first()[0])
-        cent = _update(asg)
+        if prev is not None:
+            prev.unpersist()
+        cent = _update(asg).localCheckpoint()
     e.unpersist()
+    if asg is not None:
+        asg.unpersist()
     return asg, inertia
+
+
+def _sql_l2sq(a: str, b: str, dim: int) -> str:
+    """DuckDB squared-euclidean mirror of ``_assign``'s zip_with/aggregate
+    fold: sequential index-ascending adds, so every double is
+    bit-identical to the Spark result (same convention as sql_dot)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (({a})[i]-({b})[i])*(({a})[i]-({b})[i])), (x, y) -> x + y)"
+    )
+
+
+def _sql_kmeans_ctes(iters: int) -> str:
+    """Unrolled Lloyd iterations as a CTE chain: c0 = deterministic seeds,
+    then iters x (assign a{i} against c{i-1}, update c{i} from a{i}). The
+    update mirrors the decimal-mean convention of ``_update`` /
+    ``embedding_centroids`` exactly."""
+    ctes = [
+        f"e AS ({_SQL_CORPUS})",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {K_CLUSTERS})",
+    ]
+    for i in range(1, iters + 1):
+        d2 = _sql_l2sq("e.v", "c.cv", DIM)
+        ctes.append(f"""
+    a{i} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rn
+        FROM e CROSS JOIN c{i - 1} c)
+      WHERE rn = 1)""")
+        if i < iters:
+            ctes.append(f"""
+    c{i} AS (
+      SELECT centroid_id, list(mv ORDER BY dim) AS cv FROM (
+        SELECT centroid_id, dim,
+               CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mv
+        FROM (SELECT centroid_id, generate_subscripts(v, 1) - 1 AS dim,
+                     unnest(v) AS val
+              FROM a{i})
+        GROUP BY centroid_id, dim)
+      GROUP BY centroid_id)""")
+    return ",\n".join(ctes)
+
+
+@REG.add(
+    "kmeans_assignments",
+    f"""
+    WITH {_sql_kmeans_ctes(KMEANS_ITERS)}
+    SELECT vec_id, centroid_id FROM a{KMEANS_ITERS}
+    """,
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-green twin of ``kmeans_clusters`` (round-3 verdict #3):
+    the FULL iterative Lloyd pipeline, oracle-checked. The DuckDB oracle
+    unrolls the same KMEANS_ITERS assign/update rounds as a CTE chain —
+    an independent serial implementation of the identical deterministic
+    algorithm (same seeds, same tie-break, same decimal-mean update, same
+    index-ascending double folds), so the final per-vector assignment
+    must match value-for-value. This checks what the rows-only summary
+    can't: that the distributed loop's every round — broadcast argmin,
+    exact coordinate means, lineage-truncating checkpoints — computes the
+    same fixed trajectory as a from-scratch reimplementation."""
+    asg, _ = kmeans_fit(spark, sf_dir)
+    return asg.select("vec_id", "centroid_id")
 
 
 @REG.add("kmeans_clusters")  # rows-only: iterative, not SQL-expressible
