@@ -114,13 +114,21 @@ class NpmRegistryBatchReader(DataSourceReader):
         mode = (self.options.get("mode") or "fixture").lower()
         if mode in ("live", "replay"):
             # fetch ONLY this partition's stride of the package list —
-            # each executor pays its own throttle budget exactly once
-            # (review fix: the old per-partition _load_docs fetched the
-            # whole list N times and discarded (N-1)/N of it)
+            # each executor fetches its slice exactly once (review fix:
+            # the old per-partition _load_docs fetched the whole list N
+            # times and discarded (N-1)/N of it). ``rate_per_sec`` is the
+            # AGGREGATE politeness budget against the registry: the N
+            # concurrent partitions split it evenly, so the fleet-wide
+            # request rate equals the configured rate (review fix: each
+            # partition previously spent the full budget -> N x the
+            # intended rate against the remote service).
             names = _package_names(self.options)
             assert names is not None, f"{mode} mode requires packages_path"
+            base = float(self.options.get("rate_per_sec", 0.33))
+            opts = dict(self.options)
+            opts["rate_per_sec"] = str(base / self.n_parts if base > 0 else 0.0)
             yield from _load_docs(
-                self.options, names_override=names[partition.value :: self.n_parts]
+                opts, names_override=names[partition.value :: self.n_parts]
             )
             return
         # fixture/parquet mode: a local columnar read per task, strided
