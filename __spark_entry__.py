@@ -32,43 +32,47 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # ONE rule, enforced by ``tools/driver_check.py --staleness`` against the
 # per-query fingerprints in tools/evidence.json: every query whose
 # fingerprint differs from the code its last green CORRECTNESS row was
-# computed against must be inside the window. Round 3 must-haves: the
-# fingerprint-changed queries (flagship, approx_sketches,
-# simhash_candidate_pairs, chargram_jaccard_pairs, embedding_neardup_pairs)
-# plus every query new this round (the corpus-quality group,
-# pack_sequences, tfidf_top_terms_per_doc, npm_reverse_dependency_counts,
-# and the TPC-H gap shapes). Remaining slots rotate the OLDEST rows (the
-# r1-resting set) so no green row ages past two rounds.
+# computed against must be inside the window. Round 4 must-haves: the
+# fingerprint-changed queries (the LSH family's cache-release rework, the
+# large-star/small-star rewrite of neardup_clusters, kmeans cache
+# hygiene), the new oracle-green twins + executable decode, and the three
+# queries displaced from the r3 window whose latest CORRECTNESS rows date
+# to r1/r2 (dedup_exact_hash, set_union, deterministic_sample — VERDICT
+# r3 #1). Remaining slots rotate the r2-resting block, oldest evidence
+# first; the four that don't fit (array/map/math/date_funcs — trivial
+# single-pass scalar showcases, untouched since r2) carry enforceable
+# ``must_rotate=5`` markers in evidence.json (`driver_check.py
+# --must-rotate`), so round 5's --evidence-update refuses a window
+# without them.
 _PRIORITY = [
-    # fingerprint-changed since their last recorded row
-    *["npm_dependency_counts", "npm_reverse_dependency_counts",
-      "approx_sketches", "simhash_candidate_pairs",
-      "chargram_jaccard_pairs", "embedding_neardup_pairs"],
-    # new in round 3: corpus-quality surface
-    *["repetition_signals", "top_bigram_share", "quality_filter_composite",
-      "fuzzy_dedup_keep_one", "semdedup_keep_one", "embedding_quantize_int8",
-      "pack_sequences", "tfidf_top_terms_per_doc"],
-    # new in round 3: TPC-H gap shapes (Q8/Q9/Q17/Q18/Q19/Q21)
-    *["small_qty_part_revenue", "large_volume_customers", "bracket_revenue",
-      "nation_market_share", "product_profit_by_nation_year",
-      "late_shipment_suppliers"],
-    # rotation: queries resting on round-1 rows, oldest evidence first
-    *["forecast_revenue", "distinct_aggs", "stats_moments", "rollup_qty",
-      "cube_qty", "grouping_sets_qty", "pivot_linestatus", "case_bucketing",
-      "top_unshipped_orders", "supplier_volume_by_nation",
-      "priority_with_returns", "customers_without_big_orders",
-      "customer_order_counts", "topk_per_customer_agg",
-      "top_orders_per_customer", "running_quantity_by_supplier",
-      "order_gap_days", "top_orders_global", "window_rank_variants",
-      "skew_salted_join", "idle_rich_customers", "top_revenue_suppliers",
-      "promo_revenue_ratio", "set_intersect", "local_supplier_revenue",
-      "returned_item_customers", "customer_churn_full_outer",
-      "unpivot_part_metrics", "events_value_rolling_1h",
-      "events_error_context_5m"],
-    # displaced by the three new-in-r3 queries (new queries must get a
-    # first row): dedup_exact_hash (valid r2 row), set_union and
-    # deterministic_sample (r1 rows; code unchanged since, trivial
-    # single-pass shapes). All three lead the r4 rotation.
+    # flagship stays pinned in-window every round
+    "npm_dependency_counts",
+    # round 4: fingerprint-changed (localCheckpoint + cache release in the
+    # LSH family, alternating-star connected components, kmeans_fit
+    # cache hygiene)
+    *["minhash_lsh_neardup", "chargram_jaccard_pairs",
+      "simhash_candidate_pairs", "neardup_clusters", "kmeans_clusters",
+      "fuzzy_dedup_keep_one"],
+    # round 4: new queries (oracle-green twins for the sketch/iterative
+    # families + the executable multimodal decode)
+    *["approx_sketches_exact", "kmeans_assignments", "multimodal_decode_real"],
+    # rotation leads: displaced from the r3 window, rows oldest in repo
+    *["dedup_exact_hash", "set_union", "deterministic_sample"],
+    # rotation: the r2-resting block (latest rows from round 2)
+    *["pricing_summary", "asof_purchase_signup", "contamination_ngram_hits",
+      "cosine_topk_bruteforce", "cosine_topk_ivf", "cosine_topk_lsh",
+      "dedup_exact_summary", "dedup_normalized_hash", "doc_fingerprints",
+      "embedding_centroids", "events_hourly_gapfill", "events_sessionize",
+      "events_sliding_1h_30m", "events_tumbling_1h", "grouped_median_pandas",
+      "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
+      "minhash_signatures", "multimodal_decode_features",
+      "multimodal_frame_sample", "multimodal_metadata",
+      "multimodal_resize_plan", "order_priority_by_quarter", "pii_scan",
+      "price_histogram", "price_outliers_iqr", "set_except",
+      "simhash_fingerprints", "sql_api_revenue_by_nation",
+      "stratified_sample", "string_funcs", "text_normalize",
+      "text_quality_scores", "token_counts", "udtf_sentences",
+      "vocab_top_terms"],
 ]
 
 

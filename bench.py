@@ -3,11 +3,27 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query executes fully via the noop sink (count() would let Catalyst
-prune unaggregated projections). The whole suite runs once unmeasured
-first — JVM/codegen compilation, Python-worker pool spin-up and file-index
-caches all land there — then the measured pass records steady-state
-numbers, matching how a long-lived cluster session runs.
+Methodology (round-4 rework, after round 3's unexplained 2-3x drifts on
+byte-identical queries):
+- the whole suite runs once unmeasured first — JVM/codegen compilation,
+  Python-worker pool spin-up and file-index caches land there;
+- each query is then timed MEASURE_RUNS times and reports the MEDIAN, so
+  a single GC pause / JIT recompile / worker respawn can no longer move a
+  query's number (the round-3 regressions were exactly such one-shot
+  artifacts — see PLANS.md "Bench methodology");
+- the timed span covers query CONSTRUCTION + execution (t0 before the
+  builder call), so operators that materialize eagerly inside the builder
+  (the LSH family localCheckpoints its verified pairs to release the
+  signature cache) are fully charged.
+
+Each query executes via the noop sink (count() would let Catalyst prune
+unaggregated projections).
+
+The JSON carries a "notes" field for expected-warning context: the
+WindowExec single-partition warning in the log tail comes from
+pack_sequences' per-shard offsets frame (one row per shard BY DESIGN —
+quality.py pack_token_counts, plan-tested as sharded-not-global); it is
+left visible so real unpartitioned-window regressions aren't masked.
 
 Baseline context (BASELINE.md): the reference is throttle-bound at 1
 package / 3 s (>= 57 s for its 20-package input) on a single thread; the
@@ -18,10 +34,13 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MEASURE_RUNS = 3
 
 HEADLINE = [
     "npm_dependency_counts",
@@ -83,6 +102,10 @@ HEADLINE = [
     "pack_sequences",
     "tfidf_top_terms_per_doc",
     "npm_reverse_dependency_counts",
+    # round-4 additions: oracle-green twins + executable decode
+    "approx_sketches_exact",
+    "kmeans_assignments",
+    "multimodal_decode_real",
 ]
 
 
@@ -96,18 +119,24 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    def run_once(name: str) -> float:
+        # construction included: eager builders (localCheckpoint inside the
+        # LSH family) must be charged, not hidden
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # warmup pass (not measured): JVM/codegen compile, Python worker pool,
     # file-index caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in HEADLINE:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_once(name)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        times[name] = round(
+            statistics.median(run_once(name) for _ in range(MEASURE_RUNS)), 3
+        )
 
     total = round(sum(times.values()), 3)
     print(
@@ -118,6 +147,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs_per_query": MEASURE_RUNS,
+                "aggregation": "median",
+                "notes": (
+                    "WindowExec single-partition warnings in the log tail are "
+                    "the intended one-row-per-shard offsets window in "
+                    "pack_sequences (quality.py pack_token_counts); left "
+                    "unsuppressed so real unpartitioned-window regressions "
+                    "stay visible."
+                ),
             }
         )
     )

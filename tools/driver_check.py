@@ -37,8 +37,17 @@ when the window for round N is final, since the driver computes
 CORRECTNESS_r{N}.json from the round's last commit.
 
 ``--evidence-rebase`` recomputes all recorded fingerprints in place
-(rounds preserved) — run it only right after a green full local pass; see
-its docstring.
+(rounds preserved). The prerequisite green FULL local pass is
+machine-checked: a zero-failure full run writes ``.last_full_pass.json``
+and the rebase refuses unless that artifact postdates every
+fingerprint-relevant source (see evidence_rebase docstring).
+
+``--must-rotate N name...`` records an enforceable rotation promise:
+each named query gets ``{"must_rotate": N}``; ``--evidence-update N``
+REFUSES to finalize a window that omits a query whose promise is due,
+and ``--staleness`` lists outstanding promises. Use it for queries
+consciously displaced from the current window so the commitment survives
+as machine state, not a comment.
 
 Known granularity limit: a behavior change reachable only through dynamic
 dispatch the code object never names (e.g. mutating a dict a helper
@@ -203,6 +212,19 @@ def staleness() -> None:
         rec = recorded.get(name)
         if (rec is None or rec["fp"] != cur[name]) and name not in window:
             violations.append((name, "new query" if rec is None else f"changed since r{rec['round']} row"))
+    promised = sorted(
+        n for n, rec in recorded.items()
+        if not n.startswith("_") and rec.get("must_rotate") and n not in window
+    )
+    if promised:
+        # enforceable rotation commitments (review fix: a comment promising
+        # "these lead next round's rotation" had no teeth). Informational
+        # here; --evidence-update N REFUSES to finalize a window that
+        # breaks a due promise.
+        print(
+            "note: queries promised a fresh row (must_rotate) still outside "
+            f"the window: {promised}"
+        )
     if violations:
         print(f"STALE: {len(violations)} queries lack current-evidence rows and sit "
               f"outside the {DRIVER_WINDOW}-entry driver window:")
@@ -218,17 +240,53 @@ def staleness() -> None:
     sys.exit(0)
 
 
+PASS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".last_full_pass.json")
+
+
+def _fingerprint_sources() -> list[str]:
+    """Every file whose edit can move a query fingerprint."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = [os.path.join(root, "__spark_entry__.py")]
+    for dirpath, _, files in os.walk(os.path.join(root, _PKG_PREFIX)):
+        out.extend(os.path.join(dirpath, f) for f in files if f.endswith(".py"))
+    return out
+
+
 def evidence_rebase() -> None:
     """Recompute every RECORDED fingerprint with the current algorithm and
-    code, keeping each query's recorded round. Run this ONLY immediately
-    after a full `driver_check.py <sf_dir>` pass is green on the current
-    tree — that local oracle pass is the evidence that current code still
-    matches every old green row, which is exactly what the refreshed
-    fingerprints then assert. Needed when the fingerprint algorithm
-    changes, or when a broad shared-helper edit (e.g. session.py load
-    path) flags more queries than the driver window can hold."""
+    code, keeping each query's recorded round. The prerequisite — a green
+    FULL local oracle pass on the exact current tree, which is the
+    evidence that current code still matches every old green row — is
+    MACHINE-CHECKED (review fix: it used to be an unrecorded manual step,
+    so an accidental rebase silently laundered stale evidence): a full
+    `driver_check.py <sf_dir>` run with zero failures writes
+    ``.last_full_pass.json``; this command refuses unless that artifact
+    exists AND is newer than every fingerprint-relevant source file. The
+    pass metadata (timestamp, sf_dir) is stamped into evidence.json's
+    ``_rebase`` key for the audit trail. Needed when the fingerprint
+    algorithm changes, or when a broad shared-helper edit flags more
+    queries than the driver window can hold."""
     import json
+    import time
 
+    if not os.path.exists(PASS_FILE):
+        sys.exit(
+            "REFUSED: no recorded green full pass. Run "
+            "`python tools/driver_check.py <sf_dir>` (all queries, zero "
+            "failures) first — that run writes .last_full_pass.json."
+        )
+    with open(PASS_FILE) as f:
+        rec_pass = json.load(f)
+    newer = [
+        p for p in _fingerprint_sources() if os.path.getmtime(p) > rec_pass["ts"]
+    ]
+    if newer:
+        sys.exit(
+            "REFUSED: sources changed after the recorded green pass "
+            f"({time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime(rec_pass['ts']))}Z):\n  "
+            + "\n  ".join(os.path.relpath(p) for p in newer)
+            + "\nRe-run the full oracle pass, then rebase."
+        )
     names, cur = _current_fingerprints()
     recorded = _load_evidence()
     n = 0
@@ -236,10 +294,20 @@ def evidence_rebase() -> None:
         if name in cur and recorded[name]["fp"] != cur[name]:
             recorded[name]["fp"] = cur[name]
             n += 1
+    recorded["_rebase"] = {
+        "fp": "meta",
+        "round": recorded.get("_rebase", {}).get("round", 0),
+        "pass_ts": rec_pass["ts"],
+        "pass_sf_dir": rec_pass["sf_dir"],
+        "pass_n_ok": rec_pass["n_ok"],
+    }
     with open(EVIDENCE_FILE, "w") as f:
         json.dump(recorded, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"evidence.json: rebased {n} fingerprints (rounds preserved)")
+    print(
+        f"evidence.json: rebased {n} fingerprints (rounds preserved), "
+        f"backed by full pass of {rec_pass['n_ok']} ok at {rec_pass['sf_dir']}"
+    )
 
 
 def evidence_update(round_no: int) -> None:
@@ -247,9 +315,24 @@ def evidence_update(round_no: int) -> None:
 
     names, cur = _current_fingerprints()
     recorded = _load_evidence()
+    window = set(names[:DRIVER_WINDOW])
+    broken = sorted(
+        n for n, rec in recorded.items()
+        if not n.startswith("_")
+        and rec.get("must_rotate") is not None
+        and rec["must_rotate"] <= round_no
+        and n not in window
+    )
+    if broken:
+        sys.exit(
+            f"REFUSED: these queries were promised a fresh row by round "
+            f"{round_no} (must_rotate marker) but sit outside the window: "
+            f"{broken}. Rotate them in, or consciously bump the marker."
+        )
     for name in names[:DRIVER_WINDOW]:
         recorded[name] = {"fp": cur[name], "round": round_no}
-    dropped = [n for n in recorded if n not in names]
+    # "_"-prefixed keys are audit metadata (e.g. _rebase), not queries
+    dropped = [n for n in recorded if n not in names and not n.startswith("_")]
     for n in dropped:
         del recorded[n]
     with open(EVIDENCE_FILE, "w") as f:
@@ -257,6 +340,21 @@ def evidence_update(round_no: int) -> None:
         f.write("\n")
     print(f"evidence.json: window of {DRIVER_WINDOW} recorded as round {round_no}"
           + (f"; dropped unregistered {dropped}" if dropped else ""))
+
+
+def must_rotate(round_no: int, names: list[str]) -> None:
+    import json
+
+    recorded = _load_evidence()
+    unknown = [n for n in names if n not in recorded]
+    if unknown:
+        sys.exit(f"REFUSED: no evidence rows for {unknown}")
+    for n in names:
+        recorded[n]["must_rotate"] = round_no
+    with open(EVIDENCE_FILE, "w") as f:
+        json.dump(recorded, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"evidence.json: {len(names)} queries promised a fresh row by round {round_no}")
 
 
 def main() -> None:
@@ -268,6 +366,9 @@ def main() -> None:
         return
     if args and args[0] == "--evidence-rebase":
         evidence_rebase()
+        return
+    if args and args[0] == "--must-rotate":
+        must_rotate(int(args[1]), args[2:])
         return
     sf_dir = "/root/testdata/sf0.01"
     if args and ("/" in args[0] or os.path.isdir(args[0])):
@@ -315,6 +416,18 @@ def main() -> None:
             print(f"FAIL {name} exception: {ex}")
             bad += 1
     print(f"\n{ok} ok, {bad} fail, {rows_only} rows-only")
+    if not only and not bad:
+        # record the green FULL pass — the machine-checked prerequisite
+        # --evidence-rebase demands (see its docstring)
+        import json as _json
+        import time as _time
+
+        with open(PASS_FILE, "w") as f:
+            _json.dump(
+                {"ts": _time.time(), "sf_dir": sf_dir, "n_ok": ok, "n_rows_only": rows_only},
+                f,
+            )
+        print(f"recorded green full pass -> {os.path.relpath(PASS_FILE)}")
     sys.exit(1 if bad else 0)
 
 

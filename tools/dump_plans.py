@@ -24,7 +24,7 @@ SHOWCASE = [
     ("top_orders_per_customer", "window rank partitioned on the join key"),
     ("minhash_lsh_neardup", "shingle -> signature -> band equi-join -> verify"),
     ("cosine_topk_ivf", "IVF ANN: broadcast centroids, probe-cell join"),
-    ("neardup_clusters", "iterative label propagation (per-round plan)"),
+    ("neardup_clusters", "alternating large-star/small-star connected components (per-round plan)"),
     ("events_value_rolling_1h", "time-RANGE window frame"),
     ("events_hourly_gapfill", "spine generation + gap-fill + carry-forward"),
     ("topk_per_customer_agg", "per-group top-k via bounded array agg (no window sort)"),
@@ -37,7 +37,38 @@ SHOWCASE = [
     ("quality_filter_composite", "pure column-expression quality gates, single scan"),
     ("pack_sequences", "distributed two-pass prefix sum; sharded window, offsets broadcast"),
     ("tfidf_top_terms_per_doc", "tf agg -> df re-agg join (AQE-broadcast) -> per-doc top-k"),
+    # round-4 additions
+    ("approx_sketches_exact", "exact twin of the sketch query: distinct counts + discrete percentiles"),
+    ("kmeans_assignments", "final Lloyd assignment (broadcast argmin against checkpointed centroids)"),
+    ("multimodal_decode_real", "real PPM decode through Arrow-batched mapInPandas"),
 ]
+
+PREAMBLE_NOTES = """\
+## Bench methodology (round 4)
+
+`bench.py` reports the MEDIAN of 3 timed runs per query after one full
+unmeasured warmup pass, and the timed span includes query CONSTRUCTION
+(eager builders — the LSH family localCheckpoints its verified pairs so
+the signature cache can be released — are charged honestly). Rationale:
+round 3's flagged regressions (`cosine_topk_bruteforce` 3.4x,
+`window_rank_variants` 2.4x on byte-identical code) disappeared under
+median-of-3 (r4: 0.400 s / 0.462 s, back at r2 levels), confirming them
+as one-shot JIT/GC scheduling artifacts of the single-JVM loop, not plan
+regressions. Deltas that REMAIN under this methodology are real; the two
+intentional ones are `kmeans_clusters`/`kmeans_assignments` (~3 s: full
+Lloyd now runs inside the timed span instead of leaking into untimed
+construction) and `neardup_clusters` (~2 s: alternating-star rounds are
+2 actions + a checkpoint each — the price of bounded convergence on
+adversarial components).
+
+## Semantics notes
+
+- `chargram_jaccard_pairs` computes jaccard over 32-bit md5-derived
+  HASHED shingle sets, not the grams themselves (the verify stage
+  shuffles ~4-byte ints instead of strings). A cross-doc hash collision
+  (~1e-5/doc) can flip a borderline pair vs true gram jaccard; the
+  DuckDB oracle hashes identically, so parity is exact and lockstep.
+"""
 
 
 def main() -> None:
@@ -55,6 +86,7 @@ def main() -> None:
         "every exchange (map-side combine), `TakeOrderedAndProject` for top-k,",
         "codegen stage markers `(n)` fusing narrow chains.",
         "",
+        PREAMBLE_NOTES,
     ]
     for name, why in SHOWCASE:
         df = qs[name](spark, SF_DIR)
