@@ -560,7 +560,15 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking-window family (rank / dense_rank / percent_rank / ntile /
     cume_dist / lead / first_value) in one pass: a single shuffle on the
     partition key serves all seven functions. The order key is tie-broken
-    by o_orderkey so every function is deterministic."""
+    by o_orderkey so every function is deterministic.
+
+    Scale note: o_orderpriority has 5 distinct values, so window
+    parallelism is capped at 5 tasks AT ANY DATA SIZE — inherent to the
+    query (the partition key IS the spec: ranks are global within a
+    priority). At 100 TB you either accept the 5 sorted spills or
+    pre-aggregate to the granularity the ranks are consumed at; a
+    low-cardinality partition key is a property of the question, not a
+    plan defect."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(
@@ -1382,4 +1390,282 @@ def late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+@REG.add(
+    "min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             {sql_dsum('l_extendedprice')} / sum(l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    best AS (
+      SELECT c.l_partkey, min(c.unit_price) AS min_price
+      FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+      GROUP BY c.l_partkey)
+    SELECT p_partkey, p_brand, s_name, c.unit_price AS unit_price
+    FROM cost c
+    JOIN eu   ON eu.s_suppkey = c.l_suppkey
+    JOIN best ON best.l_partkey = c.l_partkey AND c.unit_price = best.min_price
+    JOIN part ON p_partkey = c.l_partkey
+    WHERE p_size <= 10
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN subquery — for every small part,
+    the EUROPE supplier offering the minimum historical unit price. (No
+    partsupp table in this schema; supply cost is the observed mean
+    l_extendedprice/l_quantity per (part, supplier) from lineitem.)
+
+    The correlated MIN decorrelates to a WINDOW-min over the per-key
+    aggregate (min(unit_price) OVER (PARTITION BY part)) + filter — ONE
+    lineitem pass, one agg shuffle, one window shuffle on partkey. The
+    agg+self-join alternative reads twice: Spark plans the two branches
+    as independent subtrees (no ReusedExchange across the join), so the
+    fact scan and (part, supplier) aggregation both run twice — verified
+    on the executed plan before switching to the window form (bench
+    sf0.1: 2.86 s -> window form). unit_price is the QUANTITY-WEIGHTED
+    mean, sum(price)/sum(qty): both sums are order-independent (decimal
+    convention / integer-valued doubles), so the one double division —
+    and the equality compare against the window MIN — is bit-identical
+    on both engines. (A per-row price/qty inside the decimal sum is NOT:
+    the division lands doubles on 6-dp rounding ties where Spark and
+    DuckDB disagree — observed 1 ulp-of-decimal drift at sf0.01.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == "EUROPE"), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg((dsum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    wmin = F.min("unit_price").over(W.partitionBy("l_partkey"))
+    return (
+        cost.withColumn("min_price", wmin)
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(p.filter(F.col("p_size") <= 10)), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_name", "unit_price")
+    )
+
+
+@REG.add(
+    "nation_pair_trade",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {sql_dsum(_REV)} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year
+    — the classic two-branch nation-pair filter over a lineitem-supplier-
+    orders-customer join. Both nation dims broadcast; the only fact-fact
+    shuffle is lineitem-orders on orderkey. The disjunctive pair filter
+    runs AFTER the broadcast joins (it needs both nation names), so at
+    scale you'd pre-filter supplier/customer to the two nations first —
+    which is exactly what the broadcast build sides here do."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pair = F.col("supp_nation").isin("NATION_3", "NATION_7") & F.col(
+        "cust_nation"
+    ).isin("NATION_3", "NATION_7") & (F.col("supp_nation") != F.col("cust_nation"))
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
+    return (
+        l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(F.expr(_REV)).alias("revenue"))
+    )
+
+
+@REG.add(
+    "part_value_concentration",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, {sql_dsum(_REV)} AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey)
+    SELECT l_partkey, value
+    FROM pv
+    WHERE value > (SELECT 2.5 * avg(value) FROM pv)
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of one nation's
+    traded value — a grouped aggregate HAVING-compared against a SCALAR
+    SUBQUERY over the same aggregate. The threshold is relative (2.5x the
+    mean per-part value) rather than Q11's fixed fraction of the total
+    because TPC-H scales that fraction by SF — a fixed 0.002 selects 26
+    parts at sf0.01 and zero at sf0.1; the relative form is scale-free.
+    The scalar re-aggregates the (small) per-part frame, never the fact
+    table, and reaches the filter as a broadcast one-row cross join;
+    both compare operands come off the same decimal-sum path, so the
+    compare is engine-deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supp5 = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey")
+    pv = (
+        l.join(F.broadcast(supp5), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.expr(_REV)).alias("value"))
+    )
+    total = pv.agg((F.lit(2.5) * F.avg("value")).alias("threshold"))
+    return pv.join(F.broadcast(total)).filter(F.col("value") > F.col("threshold")).select(
+        "l_partkey", "value"
+    )
+
+
+@REG.add(
+    "shipping_delay_priority",
+    """
+    SELECT CAST(least(floor(date_diff('day', o_orderdate, l_shipdate) / 30.0), 3) AS BIGINT)
+             AS delay_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_priority,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_priority
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY 1
+    """,
+)
+def shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way priority counts per shipping
+    category — CASE-pivot aggregation over a fact-fact join. (No
+    l_shipmode in this schema; the category is the order-to-ship delay in
+    30-day buckets, capped at 3+.) The CASE counts are
+    partial-aggregatable, so the shuffle carries 4 rows per mapper."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.least(
+        F.floor(F.datediff("l_shipdate", "o_orderdate") / 30.0), F.lit(3)
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_priority"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_priority"),
+        )
+    )
+
+
+@REG.add(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_type, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size // 10
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers stock each part
+    family, EXCLUDING a blacklist via NOT IN — the anti-join pattern.
+    (The complaint-supplier stand-in is negative account balance.) The
+    blacklist is broadcast as a left-anti join (NULL-safe here because
+    s_suppkey is a key column, never NULL); part is a broadcast dim; the
+    one shuffle is the distinct-count agg on the family key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            (F.col("p_size") / 10).cast("long").alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@REG.add(
+    "dominant_part_suppliers",
+    """
+    WITH psq AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, avg(qty) AS avg_qty FROM psq GROUP BY l_partkey)
+    SELECT DISTINCT s_name, n_name
+    FROM psq
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE psq.qty > 2.5 * tot.avg_qty
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers crossing a CORRELATED per-part threshold
+    — shipping more than 2.5x the average per-supplier quantity of that
+    part (Q20's availqty > 0.5 * sum(l_quantity) correlation,
+    re-thresholded for this synthetic data where parts spread near-evenly
+    across ~80 suppliers and no one holds a majority share). Decorrelated
+    into two stacked aggregates on the same key — the second
+    re-aggregates the first's (small) output, so the fact table is
+    scanned and shuffled exactly once — then the share filter and
+    DISTINCT suppliers decorated with nation. Quantity sums are
+    integer-valued doubles (< 2^53, exact on both engines) and avg/2.5x
+    are single identical double ops, so the compare is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    psq = l.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    tot = psq.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
+    return (
+        psq.join(tot, "l_partkey")
+        .filter(F.col("qty") > 2.5 * F.col("avg_qty"))
+        .join(F.broadcast(s), psq.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
     )
