@@ -114,6 +114,32 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(load_scaled(spark, sf_dir, "documents")).drop("sh", "bases")
 
 
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, b, bkey) band-key frame: each signature explodes to
+    N_BANDS keys of ROWS_PER_BAND concatenated minhashes."""
+    band_key = [
+        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.posexplode(F.array(*band_key)).alias("b", "bkey"))
+
+
+def _verify_jaccard(
+    cand: DataFrame, sig: DataFrame, set_col: str, threshold: float
+) -> DataFrame:
+    """Exact jaccard over candidate (doc_a, doc_b) pairs via two
+    signature-frame probes of ``set_col``."""
+    s = sig.select("doc_id", set_col)
+    inter = F.size(F.array_intersect(F.col(f"sa.{set_col}"), F.col(f"sb.{set_col}")))
+    union = F.size(F.col(f"sa.{set_col}")) + F.size(F.col(f"sb.{set_col}")) - inter
+    return (
+        cand.join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(s.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _banded_pairs(
     sig: DataFrame, set_col: str, threshold: float, pin_partitions: int | None = None
 ) -> DataFrame:
@@ -126,11 +152,7 @@ def _banded_pairs(
     repartitions candidates on doc_a so the verify stage runs wide —
     AQE's byte-based coalesce is blind to the per-row intersect cost
     behind the tiny candidate frame."""
-    band_key = [
-        F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select("doc_id", F.posexplode(F.array(*band_key)).alias("b", "bkey"))
+    bands = _band_frame(sig)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["b", "bkey"])
@@ -140,25 +162,22 @@ def _banded_pairs(
     )
     if pin_partitions:
         cand = cand.repartition(pin_partitions, "doc_a")
-    s = sig.select("doc_id", set_col)
-    inter = F.size(F.array_intersect(F.col(f"sa.{set_col}"), F.col(f"sb.{set_col}")))
-    union = F.size(F.col(f"sa.{set_col}")) + F.size(F.col(f"sb.{set_col}")) - inter
-    return (
-        cand.join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(s.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return _verify_jaccard(cand, sig, set_col, threshold)
+
+
+def _sql_band_case() -> str:
+    """The band-key CASE expression shared by every banded-LSH oracle."""
+    return " ".join(
+        f"WHEN {b} THEN "
+        + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        for b in range(N_BANDS)
     )
 
 
 def _sql_banded_ctes(prefix: str, sig: str, set_col: str, threshold: float) -> str:
     """DuckDB twin of ``_banded_pairs``: {prefix}bands -> {prefix}cand ->
     {prefix}pairs over an existing ``sig`` CTE."""
-    case = " ".join(
-        f"WHEN {b} THEN "
-        + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        for b in range(N_BANDS)
-    )
+    case = _sql_band_case()
     ix = f"list_intersect(sa.{set_col}, sb.{set_col})"
     jac = f"len({ix})::DOUBLE / (len(sa.{set_col}) + len(sb.{set_col}) - len({ix}))"
     return f"""
@@ -618,5 +637,72 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _banded_pairs(
         sig, "hb", CHARGRAM_JACCARD, pin_partitions=spark.sparkContext.defaultParallelism
     ).localCheckpoint()
+    sig.unpersist()
+    return pairs
+
+
+INCREMENTAL_DELTA_MOD = 10  # doc_id % 10 >= 8 -> the "newly arrived" batch
+
+
+@REG.add(
+    "dedup_incremental",
+    f"""
+    WITH {_sql_signature_cte()},
+    corpus AS (SELECT * FROM sig WHERE doc_id % {INCREMENTAL_DELTA_MOD} < 8),
+    delta  AS (SELECT * FROM sig WHERE doc_id % {INCREMENTAL_DELTA_MOD} >= 8),
+    cbands AS (
+      SELECT doc_id, b, CASE b {_sql_band_case()} END AS bkey
+      FROM corpus CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)),
+    dbands AS (
+      SELECT doc_id, b, CASE b {_sql_band_case()} END AS bkey
+      FROM delta CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS new_doc, c.doc_id AS corpus_doc
+      FROM dbands d JOIN cbands c ON d.b = c.b AND d.bkey = c.bkey)
+    SELECT new_doc, corpus_doc,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = new_doc
+              JOIN sig sb ON sb.doc_id = corpus_doc
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the shape a live 100 TB pipeline
+    actually runs: a newly-arrived batch (here: doc_id % 10 >= 8) is
+    checked for near-duplicates AGAINST THE INDEXED CORPUS ONLY, never
+    re-pairing the corpus with itself. The corpus side of the band
+    equi-join stands in for the persisted signature TABLE a production
+    deployment maintains (bucketed by band key, so a delta batch's lookup
+    is a co-located join); the delta side is the only thing re-signed per
+    ingest. Cost scales with |delta| x bucket occupancy, not |corpus|^2 —
+    THE property that makes continuous dedup affordable: the one-shot
+    pair queries (minhash_lsh_neardup) answer "clean this corpus", this
+    answers "may these new documents enter it".
+
+    Same banded-LSH machinery as the self-join family (_band_frame /
+    _verify_jaccard), same cache discipline (signature frame released
+    after the verified pairs materialize)."""
+    sig = _signatures(load_scaled(spark, sf_dir, "documents")).persist()
+    is_delta = (F.col("doc_id") % INCREMENTAL_DELTA_MOD) >= 8
+    cbands = _band_frame(sig.filter(~is_delta))
+    dbands = _band_frame(sig.filter(is_delta))
+    cand = (
+        dbands.alias("d")
+        .join(cbands.alias("c"), ["b", "bkey"])
+        .select(F.col("d.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        _verify_jaccard(cand, sig, "sh", JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("corpus_doc"),
+            "jaccard",
+        )
+        .localCheckpoint()
+    )
     sig.unpersist()
     return pairs

@@ -120,6 +120,29 @@ def test_lsh_queries_release_their_caches(spark, sf_dir):
         assert jcache.isEmpty(), f"{fn.__name__} left a cached frame behind"
 
 
+def test_dedup_incremental_splits_sides(spark, sf_dir):
+    """Incremental dedup pairs always go delta -> corpus: the left id is
+    from the new batch (doc_id % 10 >= 8), the right from the indexed
+    corpus, and every reported pair really meets the jaccard threshold
+    in the self-join query's output (cross-side pairs are a subset of
+    all near-dup pairs)."""
+    rows = dedup.dedup_incremental(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.new_doc % 10 >= 8
+        assert r.corpus_doc % 10 < 8
+        assert r.jaccard >= dedup.JACCARD_THRESHOLD
+    full = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+        for r in dedup.minhash_lsh_neardup(spark, sf_dir).collect()
+        if (r.doc_a % 10 >= 8) != (r.doc_b % 10 >= 8)
+    }
+    got = {(r.new_doc, r.corpus_doc) for r in rows}
+    # new_doc ids aren't ordered vs corpus ids, so canonicalize both ways
+    canon = {(max(a, b), min(a, b)) for a, b in got}
+    assert canon == {(max(a, b), min(a, b)) for a, b in full}
+
+
 def test_exact_dedup_consistency(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
