@@ -39,11 +39,12 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # queries displaced from the r3 window whose latest CORRECTNESS rows date
 # to r1/r2 (dedup_exact_hash, set_union, deterministic_sample — VERDICT
 # r3 #1). Remaining slots rotate the r2-resting block, oldest evidence
-# first; the four that don't fit (array/map/math/date_funcs — trivial
-# single-pass scalar showcases, untouched since r2) carry enforceable
-# ``must_rotate=5`` markers in evidence.json (`driver_check.py
-# --must-rotate`), so round 5's --evidence-update refuses a window
-# without them.
+# first; the eleven that don't fit (the scalar-func showcases plus
+# sql_api_revenue_by_nation, stratified_sample, text_normalize,
+# token_counts, udtf_sentences, vocab_top_terms — single-pass shapes
+# untouched since r2) carry enforceable ``must_rotate=5`` markers in
+# evidence.json (`driver_check.py --must-rotate`), so round 5's
+# --evidence-update refuses a window without them.
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
@@ -56,6 +57,11 @@ _PRIORITY = [
     # round 4: new queries (oracle-green twins for the sketch/iterative
     # families + the executable multimodal decode)
     *["approx_sketches_exact", "kmeans_assignments", "multimodal_decode_real"],
+    # round 4: TPC-H gap shapes (Q2/Q7/Q11/Q12/Q16/Q20 — completing the
+    # 22-query shape coverage) + incremental corpus-vs-delta dedup
+    *["min_cost_supplier", "nation_pair_trade", "part_value_concentration",
+      "shipping_delay_priority", "part_supplier_variety",
+      "dominant_part_suppliers", "dedup_incremental"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -69,10 +75,7 @@ _PRIORITY = [
       "multimodal_frame_sample", "multimodal_metadata",
       "multimodal_resize_plan", "order_priority_by_quarter", "pii_scan",
       "price_histogram", "price_outliers_iqr", "set_except",
-      "simhash_fingerprints", "sql_api_revenue_by_nation",
-      "stratified_sample", "string_funcs", "text_normalize",
-      "text_quality_scores", "token_counts", "udtf_sentences",
-      "vocab_top_terms"],
+      "simhash_fingerprints", "text_quality_scores"],
 ]
 
 

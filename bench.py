@@ -106,6 +106,14 @@ HEADLINE = [
     "approx_sketches_exact",
     "kmeans_assignments",
     "multimodal_decode_real",
+    # round-4 additions: TPC-H gap shapes + incremental dedup
+    "min_cost_supplier",
+    "nation_pair_trade",
+    "part_value_concentration",
+    "shipping_delay_priority",
+    "part_supplier_variety",
+    "dominant_part_suppliers",
+    "dedup_incremental",
 ]
 
 
