@@ -39,12 +39,13 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # queries displaced from the r3 window whose latest CORRECTNESS rows date
 # to r1/r2 (dedup_exact_hash, set_union, deterministic_sample — VERDICT
 # r3 #1). Remaining slots rotate the r2-resting block, oldest evidence
-# first; the eleven that don't fit (the scalar-func showcases plus
+# first; the twelve that don't fit (the scalar-func showcases plus
 # sql_api_revenue_by_nation, stratified_sample, text_normalize,
-# token_counts, udtf_sentences, vocab_top_terms — single-pass shapes
-# untouched since r2) carry enforceable ``must_rotate=5`` markers in
-# evidence.json (`driver_check.py --must-rotate`), so round 5's
-# --evidence-update refuses a window without them.
+# token_counts, udtf_sentences, vocab_top_terms,
+# order_priority_by_quarter — single-pass shapes untouched since r2)
+# carry enforceable ``must_rotate=5`` markers in evidence.json
+# (`driver_check.py --must-rotate`), so round 5's --evidence-update
+# refuses a window without them.
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
@@ -61,7 +62,7 @@ _PRIORITY = [
     # 22-query shape coverage) + incremental corpus-vs-delta dedup
     *["min_cost_supplier", "nation_pair_trade", "part_value_concentration",
       "shipping_delay_priority", "part_supplier_variety",
-      "dominant_part_suppliers", "dedup_incremental"],
+      "dominant_part_suppliers", "dedup_incremental", "token_rarity_scores"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -73,7 +74,7 @@ _PRIORITY = [
       "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
       "minhash_signatures", "multimodal_decode_features",
       "multimodal_frame_sample", "multimodal_metadata",
-      "multimodal_resize_plan", "order_priority_by_quarter", "pii_scan",
+      "multimodal_resize_plan", "pii_scan",
       "price_histogram", "price_outliers_iqr", "set_except",
       "simhash_fingerprints", "text_quality_scores"],
 ]

@@ -1535,10 +1535,14 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean per-part value) rather than Q11's fixed fraction of the total
     because TPC-H scales that fraction by SF — a fixed 0.002 selects 26
     parts at sf0.01 and zero at sf0.1; the relative form is scale-free.
-    The scalar re-aggregates the (small) per-part frame, never the fact
-    table, and reaches the filter as a broadcast one-row cross join;
-    both compare operands come off the same decimal-sum path, so the
-    compare is engine-deterministic."""
+    The scalar is an UNPARTITIONED window-avg over the per-part frame —
+    deliberate single-partition execution over a dimension-sized input
+    (one row per part, the same intended shape as pack_sequences' shard
+    offsets): the alternative agg-plus-crossjoin plans pv as two
+    independent subtrees and scans the fact table twice (no
+    ReusedExchange — the min_cost_supplier lesson, pinned by
+    test_plans). Both compare operands come off the same decimal-sum
+    path, so the compare is engine-deterministic."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -1551,9 +1555,11 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(F.expr(_REV)).alias("value"))
     )
-    total = pv.agg((F.lit(2.5) * F.avg("value")).alias("threshold"))
-    return pv.join(F.broadcast(total)).filter(F.col("value") > F.col("threshold")).select(
-        "l_partkey", "value"
+    threshold = F.lit(2.5) * F.avg("value").over(W.partitionBy())
+    return (
+        pv.withColumn("threshold", threshold)
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
     )
 
 

@@ -452,3 +452,59 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", F.round(score, 6).alias("tfidf"), "rnk")
     )
+
+
+RARE_DF_MAX = 2  # a token is "rare" if it appears in <= 2 documents
+
+
+@REG.add(
+    "token_rarity_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(df) AS DOUBLE) / count(*) AS mean_df,
+           CAST(min(df) AS BIGINT) AS min_df,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(sum(CASE WHEN df <= {RARE_DF_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_frac
+    FROM toks JOIN df USING (term)
+    GROUP BY doc_id
+    """,
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-based quality signals per document: each token occurrence is
+    weighted by its corpus DOCUMENT FREQUENCY, giving mean/min/max df and
+    the fraction of near-hapax tokens (df <= RARE_DF_MAX) per doc — high
+    rare_frac flags gibberish/OCR noise/boilerplate-free unique text, low
+    mean_df flags template spam. This is the exactly-checkable core of a
+    perplexity-style quality score: every statistic is integer counts and
+    one int/int division, so the oracle matches bit-for-bit — a unigram
+    -mean-log-p score is one `ln` away but transcendental libm results
+    differ across engines in the last ulp (documented trade: we surface
+    the exact df statistics and leave log-weighting to the consumer).
+
+    Plan: one explode pass -> vocab-sized df agg -> term-keyed join back
+    (AQE picks broadcast when the vocab fits, same stance as
+    tfidf_top_terms_per_doc) -> per-doc agg. The document text never
+    shuffles; the join moves (doc_id, term) pairs keyed on term — at
+    100 TB pre-partition both sides on term or maintain df as a
+    materialized dictionary table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        toks.join(df_, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+            (
+                F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("rare_frac"),
+        )
+    )

@@ -114,6 +114,7 @@ HEADLINE = [
     "part_supplier_variety",
     "dominant_part_suppliers",
     "dedup_incremental",
+    "token_rarity_scores",
 ]
 
 

@@ -201,3 +201,39 @@ def test_pack_sequences_prefix_sum_is_sharded_not_global(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             tail = "\n".join(plan.splitlines()[i:])
             assert "HashAggregate" in tail.split("Exchange hashpartitioning")[0]
+
+
+def test_min_cost_supplier_scans_lineitem_once(spark, sf_dir):
+    """The correlated-MIN decorrelation must be the window form: ONE
+    lineitem scan, one (part, supplier) agg; the agg+self-join form plans
+    two independent fact subtrees (no ReusedExchange across the join) and
+    reads the fact table twice."""
+    plan = _plan(relational.min_cost_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    # supplier/nation/region/part all broadcast, never shuffle the agg
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_nation_pair_trade_broadcasts_both_nation_roles(spark, sf_dir):
+    plan = _plan(relational.nation_pair_trade(spark, sf_dir))
+    # supplier-side and customer-side nation maps are broadcast builds;
+    # the only fact-fact exchange is lineitem-orders on orderkey
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+
+
+def test_part_value_concentration_scans_fact_once(spark, sf_dir):
+    """The scalar threshold is a window over the per-part aggregate, so
+    the fact table is scanned exactly once (agg+crossjoin planned two
+    independent subtrees — no ReusedExchange)."""
+    plan = _plan(relational.part_value_concentration(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+
+
+def test_part_supplier_variety_anti_join_is_broadcast(spark, sf_dir):
+    plan = _plan(relational.part_supplier_variety(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
