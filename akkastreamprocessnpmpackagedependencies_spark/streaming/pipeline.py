@@ -337,3 +337,75 @@ def write_hourly_partitions(events: DataFrame, out_path: str):
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return events.writeStream.foreachBatch(_write)
+
+
+def write_dedup_gated(docs: DataFrame, corpus_path: str):
+    """Dedup-gated streaming ingestion — the composition a live training-
+    data pipeline runs: each micro-batch of documents is near-dup-checked
+    (banded MinHash-LSH) against the ALREADY-ACCEPTED corpus and within
+    itself, and only novel documents append. The accepted corpus parquet
+    carries its own signature columns (shingle set + minhashes), so a
+    batch's check reads the corpus' signature columns only — never re-
+    shingling the corpus — which is the production pattern: the signature
+    table is maintained incrementally, and per-batch cost scales with
+    |batch| x bucket occupancy, not |corpus| (same economics as the batch
+    ``dedup_incremental`` query).
+
+    Within-batch duplicates keep the smallest doc_id; a batch doc
+    matching the corpus is dropped. Greedy ingestion is order-dependent
+    by design (first-seen wins — what any streaming gate does); the
+    invariants that hold regardless of arrival order are (a) the
+    accepted corpus is pairwise non-duplicate under the LSH check and
+    (b) every rejected doc had a match at rejection time — both asserted
+    in tests/test_streaming.py::test_streaming_dedup_gated_ingestion."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_frame,
+        _signatures,
+        _verify_jaccard,
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sig_new = _signatures(batch.select("doc_id", "text")).localCheckpoint()
+        # within-batch dedup: keep the smallest doc_id of every dup pair
+        nb = _band_frame(sig_new)
+        within = (
+            nb.alias("x")
+            .join(nb.alias("y"), ["b", "bkey"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        drop = _verify_jaccard(within, sig_new, "sh", JACCARD_THRESHOLD).select(
+            F.col("doc_b").alias("doc_id")
+        )
+        try:
+            corpus_sig = spark.read.parquet(corpus_path).select(
+                "doc_id", "sh", *[f"mh{h}" for h in range(12)]
+            )
+            cross = (
+                _band_frame(sig_new).alias("d")
+                .join(_band_frame(corpus_sig).alias("c"), ["b", "bkey"])
+                .select(
+                    F.col("d.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+                )
+                .distinct()
+            )
+            sig_all = sig_new.select("doc_id", "sh").unionByName(
+                corpus_sig.select("doc_id", "sh")
+            )
+            drop = drop.unionByName(
+                _verify_jaccard(cross, sig_all, "sh", JACCARD_THRESHOLD).select(
+                    F.col("doc_a").alias("doc_id")
+                )
+            )
+        except Exception:  # first batch: corpus does not exist yet
+            pass
+        keep = (
+            batch.join(sig_new.drop("bases"), "doc_id")
+            .join(drop.distinct(), "doc_id", "left_anti")
+        )
+        keep.write.mode("append").parquet(corpus_path)
+
+    return docs.writeStream.foreachBatch(_ingest)

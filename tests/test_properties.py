@@ -140,3 +140,43 @@ def test_pack_token_counts_matches_serial_chunking(spark, toks, gap, budget):
     for i, n in zip(ids, toks):
         assert got[i] == (cum // budget, cum % budget, (cum + n - 1) // budget)
         cum += n
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=1, max_size=40
+    )
+)
+@_settings
+def test_cc_alternating_star_matches_union_find(spark, edges):
+    """Alternating large-star/small-star equals a serial union-find on
+    arbitrary graphs (self-loops, duplicate and reversed edges included):
+    every node labels to its component minimum."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import (
+        cc_alternating_star,
+    )
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        parent[find(a)] = find(b)
+    want = {}
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        comp_min[find(n)] = min(comp_min.get(find(n), n), n)
+    for n in parent:
+        want[n] = comp_min[find(n)]
+
+    pairs = spark.createDataFrame(real, "doc_a long, doc_b long")
+    labels, _ = cc_alternating_star(pairs)
+    got = {r.id: r.lbl for r in labels.collect()}
+    assert got == want

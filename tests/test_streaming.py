@@ -570,3 +570,78 @@ def test_sessionize_with_expiry_handles_late_in_watermark_events(spark, sf_dir, 
     # every session well-formed, and the late event really bridged
     assert all(e >= s for _, s, e, _ in got)
     assert [n for uid, _, _, n in sorted(got) if uid == 10] == [3]
+
+
+def test_streaming_dedup_gated_ingestion(spark, sf_dir, tmp_path):
+    """Dedup-gated ingestion: documents stream in micro-batches; each
+    batch is LSH-checked against the accepted corpus (whose parquet
+    carries its signature columns) and within itself; only novel docs
+    append. Invariants that hold for any arrival order:
+    (1) accepted + rejected partition the input,
+    (2) the accepted corpus is pairwise non-duplicate under the check,
+    (3) every rejected doc had a concrete justification at drop time: a
+        >=threshold partner that was accepted in an earlier batch, or a
+        smaller-id partner in its own batch."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_frame,
+        _signatures,
+        _verify_jaccard,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "dg_src")
+    for part in range(3):  # batch index = doc_id % 3 (maxFilesPerTrigger=1)
+        d.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode("append").parquet(src)
+    corpus = str(tmp_path / "dg_corpus")
+
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src),
+            corpus,
+        )
+        .option("checkpointLocation", str(tmp_path / "dg_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    accepted = spark.read.parquet(corpus)
+    all_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+    rej_ids = all_ids - acc_ids
+    assert acc_ids <= all_ids and len(acc_ids) + len(rej_ids) == len(all_ids)
+    assert len(rej_ids) > 0, "fixture has near-dups; something must be rejected"
+
+    # (2) accepted set pairwise clean — rerun the check over stored sigs
+    sig_acc = accepted.select("doc_id", "sh", *[f"mh{h}" for h in range(12)])
+    ab = _band_frame(sig_acc)
+    acc_pairs = (
+        ab.alias("x").join(ab.alias("y"), ["b", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    assert _verify_jaccard(acc_pairs, sig_acc, "sh", JACCARD_THRESHOLD).count() == 0
+
+    # (3) each rejection justified by the drop rule
+    sig_all = _signatures(d)
+    fb = _band_frame(sig_all)
+    pairs = (
+        fb.alias("x").join(fb.alias("y"), ["b", "bkey"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    matches = _verify_jaccard(pairs, sig_all, "sh", JACCARD_THRESHOLD).collect()
+    partners: dict[int, set[int]] = {}
+    for r in matches:
+        partners.setdefault(r.doc_a, set()).add(r.doc_b)
+    for rej in rej_ids:
+        ok = any(
+            (p in acc_ids and p % 3 < rej % 3)  # accepted in an earlier batch
+            or (p % 3 == rej % 3 and p < rej)   # smaller id, same batch
+            for p in partners.get(rej, ())
+        )
+        assert ok, f"doc {rej} rejected without a qualifying partner"
