@@ -360,6 +360,7 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
     in tests/test_streaming.py::test_streaming_dedup_gated_ingestion."""
     from ..operators.dedup import (
         JACCARD_THRESHOLD,
+        N_HASHES,
         _band_frame,
         _signatures,
         _verify_jaccard,
@@ -382,7 +383,7 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         )
         try:
             corpus_sig = spark.read.parquet(corpus_path).select(
-                "doc_id", "sh", *[f"mh{h}" for h in range(12)]
+                "doc_id", "sh", *[f"mh{h}" for h in range(N_HASHES)]
             )
             cross = (
                 _band_frame(sig_new).alias("d")

@@ -584,6 +584,7 @@ def test_streaming_dedup_gated_ingestion(spark, sf_dir, tmp_path):
         smaller-id partner in its own batch."""
     from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import (
         JACCARD_THRESHOLD,
+        N_HASHES,
         _band_frame,
         _signatures,
         _verify_jaccard,
@@ -615,7 +616,7 @@ def test_streaming_dedup_gated_ingestion(spark, sf_dir, tmp_path):
     assert len(rej_ids) > 0, "fixture has near-dups; something must be rejected"
 
     # (2) accepted set pairwise clean — rerun the check over stored sigs
-    sig_acc = accepted.select("doc_id", "sh", *[f"mh{h}" for h in range(12)])
+    sig_acc = accepted.select("doc_id", "sh", *[f"mh{h}" for h in range(N_HASHES)])
     ab = _band_frame(sig_acc)
     acc_pairs = (
         ab.alias("x").join(ab.alias("y"), ["b", "bkey"])

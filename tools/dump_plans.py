@@ -41,6 +41,9 @@ SHOWCASE = [
     ("approx_sketches_exact", "exact twin of the sketch query: distinct counts + discrete percentiles"),
     ("kmeans_assignments", "final Lloyd assignment (broadcast argmin against checkpointed centroids)"),
     ("multimodal_decode_real", "real PPM decode through Arrow-batched mapInPandas"),
+    ("min_cost_supplier", "Q2 shape: correlated MIN as window-min — single fact scan"),
+    ("dedup_incremental", "corpus-vs-delta banded LSH: cost scales with the delta"),
+    ("token_rarity_scores", "df-weighted rarity stats: explode -> vocab agg -> term join -> doc agg"),
 ]
 
 PREAMBLE_NOTES = """\
