@@ -1,0 +1,145 @@
+"""Unit tests for the evidence-policy tooling in tools/driver_check.py —
+the machinery that keeps CORRECTNESS rows honest (staleness gate,
+rotation promises, guarded rebase). No SparkSession needed: the current
+fingerprints are monkeypatched to synthetic values."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "driver_check",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "driver_check.py"),
+)
+dc = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(dc)
+
+
+@pytest.fixture()
+def world(tmp_path, monkeypatch):
+    """A synthetic evidence world: 4 queries, window of 2."""
+    ev = tmp_path / "evidence.json"
+    passf = tmp_path / ".last_full_pass.json"
+    monkeypatch.setattr(dc, "EVIDENCE_FILE", str(ev))
+    monkeypatch.setattr(dc, "PASS_FILE", str(passf))
+    monkeypatch.setattr(dc, "DRIVER_WINDOW", 2)
+    names = ["q1", "q2", "q3", "q4"]
+    fps = {n: f"fp_{n}" for n in names}
+    monkeypatch.setattr(dc, "_current_fingerprints", lambda: (names, dict(fps)))
+    ev.write_text(json.dumps({n: {"fp": fps[n], "round": 1} for n in names}))
+    return {"ev": ev, "passf": passf, "names": names, "fps": fps}
+
+
+def _recorded(world) -> dict:
+    return json.loads(world["ev"].read_text())
+
+
+def test_staleness_green_when_fingerprints_match(world, capsys):
+    with pytest.raises(SystemExit) as e:
+        dc.staleness()
+    assert e.value.code == 0
+    assert "staleness ok" in capsys.readouterr().out
+
+
+def test_staleness_flags_changed_query_outside_window(world, monkeypatch, capsys):
+    cur = dict(world["fps"])
+    cur["q3"] = "DIFFERENT"  # q3 sits outside the 2-entry window
+    monkeypatch.setattr(dc, "_current_fingerprints", lambda: (world["names"], cur))
+    with pytest.raises(SystemExit) as e:
+        dc.staleness()
+    assert e.value.code == 1
+    out = capsys.readouterr().out
+    assert "q3" in out and "changed since r1" in out
+
+
+def test_staleness_reports_outstanding_promises(world, capsys):
+    rec = _recorded(world)
+    rec["q4"]["must_rotate"] = 5
+    world["ev"].write_text(json.dumps(rec))
+    with pytest.raises(SystemExit) as e:
+        dc.staleness()
+    assert e.value.code == 0  # informational, not a failure
+    assert "q4" in capsys.readouterr().out
+
+
+def test_evidence_update_refuses_due_promise_outside_window(world, capsys):
+    rec = _recorded(world)
+    rec["q3"]["must_rotate"] = 2
+    world["ev"].write_text(json.dumps(rec))
+    with pytest.raises(SystemExit) as e:
+        dc.evidence_update(2)
+    assert "q3" in str(e.value)
+    # the refusal must not have rewritten anything
+    assert _recorded(world)["q1"]["round"] == 1
+
+
+def test_evidence_update_honors_future_promise_and_clears_on_rotation(world):
+    rec = _recorded(world)
+    rec["q3"]["must_rotate"] = 99  # not due yet
+    world["ev"].write_text(json.dumps(rec))
+    dc.evidence_update(2)  # window = q1, q2 -> fine
+    rec = _recorded(world)
+    assert rec["q1"]["round"] == 2 and rec["q3"]["round"] == 1
+    assert rec["q3"]["must_rotate"] == 99  # promise survives for later rounds
+
+
+def test_rebase_refuses_without_recorded_pass(world, capsys):
+    with pytest.raises(SystemExit) as e:
+        dc.evidence_rebase()
+    assert "no recorded green full pass" in str(e.value)
+
+
+def test_rebase_refuses_when_sources_postdate_pass(world, tmp_path, monkeypatch):
+    src = tmp_path / "late.py"
+    src.write_text("x = 1\n")
+    monkeypatch.setattr(dc, "_fingerprint_sources", lambda: [str(src)])
+    world["passf"].write_text(json.dumps(
+        {"ts": os.path.getmtime(str(src)) - 60, "sf_dir": "sfX", "n_ok": 4}
+    ))
+    with pytest.raises(SystemExit) as e:
+        dc.evidence_rebase()
+    assert "sources changed after" in str(e.value)
+
+
+def test_rebase_rewrites_and_stamps_audit_trail(world, tmp_path, monkeypatch, capsys):
+    src = tmp_path / "old.py"
+    src.write_text("x = 1\n")
+    monkeypatch.setattr(dc, "_fingerprint_sources", lambda: [str(src)])
+    world["passf"].write_text(json.dumps(
+        {"ts": time.time() + 5, "sf_dir": "sfX", "n_ok": 4}
+    ))
+    cur = dict(world["fps"])
+    cur["q3"] = "NEWFP"
+    monkeypatch.setattr(dc, "_current_fingerprints", lambda: (world["names"], cur))
+    dc.evidence_rebase()
+    rec = _recorded(world)
+    assert rec["q3"]["fp"] == "NEWFP" and rec["q3"]["round"] == 1  # round preserved
+    assert rec["_rebase"]["pass_sf_dir"] == "sfX"
+
+
+def test_must_rotate_rejects_unknown_query(world):
+    with pytest.raises(SystemExit) as e:
+        dc.must_rotate(5, ["nope"])
+    assert "nope" in str(e.value)
+
+
+def test_must_rotate_then_update_round_trip(world, monkeypatch):
+    dc.must_rotate(2, ["q4"])
+    assert _recorded(world)["q4"]["must_rotate"] == 2
+    with pytest.raises(SystemExit):
+        dc.evidence_update(2)  # q4 outside window -> refused
+    # rotate q4 into the window and the update goes through
+    names = ["q4", "q1", "q2", "q3"]
+    cur = dict(world["fps"])
+    monkeypatch.setattr(dc, "_current_fingerprints", lambda: (names, dict(cur)))
+    dc.evidence_update(2)
+    rec = _recorded(world)
+    assert rec["q4"]["round"] == 2
+    assert "must_rotate" not in rec["q4"]  # promise cleared by the fresh row
