@@ -70,7 +70,12 @@ class ThrottledFetcher:
                     return (0, None)
                 self.sleep(2**attempt)
                 continue
-            if code >= 500 and attempt < self.max_retries:
+            # 5xx and 429 are transient: back off and retry. 429 especially
+            # — a rate-limited registry telling a politeness-throttled
+            # client to slow down must produce a later retry, not a
+            # recorded terminal failure (the reference drops the package
+            # on ANY non-200: NpmPackage.scala:9).
+            if (code >= 500 or code == 429) and attempt < self.max_retries:
                 self.sleep(2**attempt)
                 continue
             return (code, text if code == 200 else None)

@@ -69,6 +69,22 @@ def test_connection_errors_exhaust_to_status_zero():
     assert fc.sleeps == [1.0, 2.0, 4.0]  # full backoff ladder, then give up
 
 
+def test_429_backs_off_and_recovers():
+    """A rate-limited response is transient, not terminal: the fetcher
+    backs off 2^attempt and the eventual 200 body survives."""
+    t = fetch.ReplayTransport({"busy": [429, 429, [200, "OK"]]})
+    f, fc = _fetcher(t, rate_per_sec=0, max_retries=3)
+    assert f("busy") == (200, "OK")
+    assert fc.sleeps == [1.0, 2.0]
+
+
+def test_429_exhausts_to_last_status():
+    t = fetch.ReplayTransport({"swamped": [429]})
+    f, fc = _fetcher(t, rate_per_sec=0, max_retries=2)
+    assert f("swamped") == (429, None)
+    assert fc.sleeps == [1.0, 2.0]
+
+
 def test_5xx_exhausts_to_last_status():
     t = fetch.ReplayTransport({"down": [500]})
     f, fc = _fetcher(t, rate_per_sec=0, max_retries=2)
