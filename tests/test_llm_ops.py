@@ -115,6 +115,8 @@ def test_lsh_queries_release_their_caches(spark, sf_dir):
         dedup.chargram_jaccard_pairs,
         dedup.simhash_candidate_pairs,
         dedup.neardup_clusters,
+        dedup.dedup_incremental,
+        similarity.kmeans_clusters,  # kmeans_fit's cache-hygiene claim
     ):
         assert fn(spark, sf_dir).count() > 0
         assert jcache.isEmpty(), f"{fn.__name__} left a cached frame behind"
