@@ -124,6 +124,29 @@ def test_rebase_rewrites_and_stamps_audit_trail(world, tmp_path, monkeypatch, ca
     assert rec["_rebase"]["pass_sf_dir"] == "sfX"
 
 
+def test_evidence_update_reverts_displaced_stamp(world, monkeypatch):
+    """A mid-round window shift must not leave a query stamped with a
+    round whose driver row it will never receive: q1 is stamped round 2
+    while in-window, then displaced by a new query before the driver
+    runs — the second --evidence-update 2 reverts q1 to its true latest
+    round (1), recorded in prev_round at stamp time."""
+    dc.evidence_update(2)  # window = q1, q2; both stamped round 2
+    rec = _recorded(world)
+    assert rec["q1"]["round"] == 2 and rec["q1"]["prev_round"] == 1
+    # a new query q0 enters at the head, displacing q2 from the window
+    names = ["q0", "q1", "q2", "q3"]
+    cur = dict(world["fps"])
+    cur["q0"] = "fp_q0"
+    monkeypatch.setattr(dc, "_current_fingerprints", lambda: (names, dict(cur)))
+    dc.evidence_update(2)
+    rec = _recorded(world)
+    assert rec["q0"]["round"] == 2
+    assert rec["q1"]["round"] == 2 and rec["q1"]["prev_round"] == 1
+    assert rec["q2"]["round"] == 1  # reverted: no r2 row will exist for it
+    assert "prev_round" not in rec["q2"]
+    assert rec["q3"]["round"] == 1  # untouched
+
+
 def test_must_rotate_rejects_unknown_query(world):
     with pytest.raises(SystemExit) as e:
         dc.must_rotate(5, ["nope"])

@@ -329,8 +329,30 @@ def evidence_update(round_no: int) -> None:
             f"{round_no} (must_rotate marker) but sit outside the window: "
             f"{broken}. Rotate them in, or consciously bump the marker."
         )
+    # If the window shifted between two --evidence-update N runs (new
+    # queries inserted mid-round), entries stamped round N earlier but now
+    # displaced will NOT receive an N row from the driver — revert them to
+    # the round of their true latest row (kept in prev_round) so the stamp
+    # never overstates evidence freshness.
+    reverted = []
+    for name, rec in recorded.items():
+        if (not name.startswith("_") and name not in window
+                and rec.get("round") == round_no and "prev_round" in rec):
+            rec["round"] = rec.pop("prev_round")
+            reverted.append(name)
+    if reverted:
+        print(f"note: reverted displaced round-{round_no} stamps to their "
+              f"true latest round: {sorted(reverted)}")
     for name in names[:DRIVER_WINDOW]:
-        recorded[name] = {"fp": cur[name], "round": round_no}
+        prev = recorded.get(name, {}).get("round")
+        entry = {"fp": cur[name], "round": round_no}
+        if prev is not None and prev != round_no:
+            entry["prev_round"] = prev
+        elif prev == round_no and "prev_round" in recorded[name]:
+            entry["prev_round"] = recorded[name]["prev_round"]
+        # must_rotate markers are consciously dropped for window entries:
+        # the fresh round-N row fulfills (or supersedes) the promise.
+        recorded[name] = entry
     # "_"-prefixed keys are audit metadata (e.g. _rebase), not queries
     dropped = [n for n in recorded if n not in names and not n.startswith("_")]
     for n in dropped:
