@@ -63,6 +63,10 @@ _PRIORITY = [
     *["min_cost_supplier", "nation_pair_trade", "part_value_concentration",
       "shipping_delay_priority", "part_supplier_variety",
       "dominant_part_suppliers", "dedup_incremental", "token_rarity_scores"],
+    # round 4 (late additions): retrieval + duplication-signal + split +
+    # event-funnel/cohort analytics — new queries, so window-mandatory
+    *["bm25_topk_docs", "duplicate_ngram_overlap", "dataset_split_assign",
+      "events_funnel_conversion", "events_retention_cohorts"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -74,9 +78,11 @@ _PRIORITY = [
       "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
       "minhash_signatures", "multimodal_decode_features",
       "multimodal_frame_sample", "multimodal_metadata",
-      "multimodal_resize_plan", "pii_scan",
-      "price_histogram", "price_outliers_iqr", "set_except",
-      "simhash_fingerprints", "text_quality_scores"],
+      "multimodal_resize_plan", "pii_scan"],
+    # displaced by the late round-4 additions (window holds 50):
+    # price_histogram, price_outliers_iqr, set_except,
+    # simhash_fingerprints, text_quality_scores — each carries a
+    # must_rotate=5 marker in evidence.json so round 5 cannot skip them.
 ]
 
 

@@ -508,3 +508,157 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+BM25_TERMS = ["table", "window", "hash"]  # the fixed retrieval query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+@REG.add(
+    "bm25_topk_docs",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * ((tf.tf * {BM25_K1 + 1.0}) /
+                     (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+                  AS DECIMAL(18,6)) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY sum(c) DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: the BM25_TOP_K best documents for a fixed query-term
+    set (Okapi BM25, k1/b textbook defaults) — the lexical-search half of
+    every retrieval/RAG data pipeline. Shape: the term filter applies
+    BEFORE the tf aggregate, so only query-term occurrences (a vanishing
+    fraction of the token stream) ever shuffle; df re-aggregates that tiny
+    tf frame; doc length and corpus avgdl come from a lengths-only
+    projection (one row per doc, 1-row stats frame broadcast). Final
+    ordering is a TakeOrdered top-k, never a full sort. Per-term scores
+    are computed in double with the identical expression shape on both
+    engines, then cast to DECIMAL(18,6) so the per-doc SUM is exact and
+    order-independent (registry.py convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_norm).cast("decimal(18,6)").alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("c_sum"))
+        .orderBy(F.desc("c_sum"), "doc_id")
+        .limit(BM25_TOP_K)
+        .select("doc_id", F.col("c_sum").cast("double").alias("bm25"))
+    )
+
+
+DUP_K = 8  # gram width for the cross-document duplication signal
+
+
+@REG.add(
+    "duplicate_ngram_overlap",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({sql_word_shingles('text', DUP_K)}) AS gram FROM documents),
+    shared AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS dup_share
+    FROM g JOIN shared s ON g.gram = s.gram
+    GROUP BY g.doc_id
+    """,
+)
+def duplicate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication signal (the Lee-et-al. "Deduplicating
+    Training Data" diagnostic, doc-level): per document, the fraction of
+    its distinct DUP_K-word grams that also occur in at least one OTHER
+    document. High dup_share marks boilerplate/mirrored text that
+    survives exact and near dedup. Because each doc contributes its
+    grams DISTINCT (word_shingles dedups), a gram's occurrence count IS
+    its document count — no countDistinct needed. Shape: explode ->
+    gram-keyed count (uniform key, no hot partition) -> join back on gram
+    -> per-doc agg; only (doc_id, gram) pairs shuffle, never text. At
+    100 TB, hash the grams to 64-bit ints first (chargram_jaccard_pairs
+    does exactly this) to cut the shuffle width ~10x."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), DUP_K)).alias("gram")
+    )
+    shared = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    is_shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        g.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(is_shared).alias("n_shared"),
+            (F.sum(is_shared).cast("double") / F.count("*")).alias("dup_share"),
+        )
+    )
+
+
+SPLIT_TRAIN_MAX = "c"  # md5 first hex char 0..c -> train (13/16 = 81.25%)
+SPLIT_VAL_MAX = "e"  # d,e -> val (2/16 = 12.5%); f -> test (1/16 = 6.25%)
+
+
+@REG.add(
+    "dataset_split_assign",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '{SPLIT_TRAIN_MAX}'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '{SPLIT_VAL_MAX}'
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split membership is a pure
+    function of the document key (first hex char of md5(doc_id) bucketed
+    ~81/12.5/6.25), so the same document lands in the same split in every
+    job, on every engine, under any partitioning — the reproducibility
+    property a 100 TB dataset split needs that rand()-seeded splits do not
+    have (rand() is partitioning-dependent in Spark). Zero shuffles: the
+    assignment is a row-local expression; downstream writers partition by
+    the split column."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    return d.select(
+        "doc_id", "lang",
+        F.when(h <= SPLIT_TRAIN_MAX, "train")
+        .when(h <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

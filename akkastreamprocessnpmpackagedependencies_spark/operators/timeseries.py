@@ -217,6 +217,110 @@ def events_error_context_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "events_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS funnel, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed view, then a
+    click strictly after their first view, then a purchase strictly after
+    that first qualifying click. Each stage is a per-user min-timestamp
+    aggregate joined to the next event type with a time predicate — never
+    a per-user event-sequence collect. All three joins and aggregates key
+    on user_id, so one partitioning serves the whole cascade, and each
+    stage's frame is at most one row per surviving user (monotonically
+    shrinking). At 100 TB the event filter pushes into the scan and the
+    stage frames are small enough for AQE to broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, n: int, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(label).alias("funnel"), "n_users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionAll(stage(c, 2, "view>click"))
+        .unionAll(stage(p, 3, "view>click>purchase"))
+    )
+
+
+@REG.add(
+    "events_retention_cohorts",
+    """
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first_week f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first event,
+    counted in each subsequent week they were active. Both week stamps are
+    Monday-truncated in both engines, so the day difference is an exact
+    multiple of 7. Shape: two user_id aggregates (first week, distinct
+    active weeks) joined on user_id — the same partitioning end to end —
+    then a small (cohort x offset) hash agg. The distinct collapses the
+    event stream to at most (users x weeks) rows before the join, so the
+    join never sees raw-event cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@REG.add(
     "events_hourly_gapfill",
     f"""
     WITH hourly AS (

@@ -115,6 +115,12 @@ HEADLINE = [
     "dominant_part_suppliers",
     "dedup_incremental",
     "token_rarity_scores",
+    # round-4 late additions: retrieval, duplication signal, split, funnels
+    "bm25_topk_docs",
+    "duplicate_ngram_overlap",
+    "dataset_split_assign",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 

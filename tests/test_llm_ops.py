@@ -341,3 +341,97 @@ def test_pii_scan_detects_all_seeded_docs(spark, sf_dir):
     for lang, n in want.items():
         assert got[lang] == n
     assert all(v == 0 for lang, v in got.items() if lang not in want)
+
+
+def test_bm25_topk_scores_ordered_and_bounded(spark, sf_dir):
+    """BM25 invariants: exactly top-k rows, scores strictly ordered under
+    the (score desc, doc_id) tie-break, every score positive (every
+    returned doc matched at least one query term), and the best doc's
+    score never exceeds the sum of all-term idf*(k1+1) (the tf->inf
+    asymptote of the saturation curve)."""
+    import math
+
+    rows = textops.bm25_topk_docs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= textops.BM25_TOP_K
+    for a, b in zip(rows, rows[1:]):
+        assert (a.bm25, -a.doc_id) >= (b.bm25, -b.doc_id)
+        assert a.bm25 > 0
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # loosest possible idf (df=1) summed over all query terms
+    ceiling = len(textops.BM25_TERMS) * math.log(1 + (n_docs - 1 + 0.5) / 1.5) * (
+        textops.BM25_K1 + 1.0
+    )
+    assert rows[0].bm25 < ceiling
+
+
+def test_duplicate_ngram_overlap_matches_brute_force(spark, sf_dir):
+    """dup_share must equal the brute-force cross-doc computation on a
+    small slice: a gram is shared iff some OTHER doc has it."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import word_shingles
+
+    out = {
+        r.doc_id: r
+        for r in textops.duplicate_ngram_overlap(spark, sf_dir).collect()
+    }
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", word_shingles(F.col("text"), textops.DUP_K).alias("g"))
+        .collect()
+    )
+    grams = {r.doc_id: set(r.g) for r in sh}
+    for doc_id, g in list(grams.items())[:25]:
+        others = set().union(*(v for k, v in grams.items() if k != doc_id))
+        n_shared = len(g & others)
+        assert out[doc_id].n_grams == len(g)
+        assert out[doc_id].n_shared == n_shared
+        assert abs(out[doc_id].dup_share - n_shared / len(g)) < 1e-12
+
+
+def test_dataset_split_assign_deterministic_and_partitioned(spark, sf_dir):
+    """Split assignment is a pure function of doc_id (identical across two
+    runs), covers every doc exactly once, and lands near the designed
+    81.25/12.5/6.25 proportions."""
+    a = {r.doc_id: r.split for r in textops.dataset_split_assign(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in textops.dataset_split_assign(spark, sf_dir).collect()}
+    assert a == b
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(a) == n
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n == pytest.approx(13 / 16, abs=0.08)
+    assert c["val"] / n == pytest.approx(2 / 16, abs=0.06)
+
+
+def test_events_funnel_monotone_and_consistent(spark, sf_dir):
+    """Funnel stage counts must be monotonically non-increasing, and stage 1
+    must equal the number of distinct users with a view event."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import timeseries
+
+    rows = {r.stage: r for r in timeseries.events_funnel_conversion(spark, sf_dir).collect()}
+    assert list(sorted(rows)) == [1, 2, 3]
+    assert rows[1].n_users >= rows[2].n_users >= rows[3].n_users >= 0
+    viewers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id").distinct().count()
+    )
+    assert rows[1].n_users == viewers
+
+
+def test_events_retention_cohort_zero_offset_covers_all_users(spark, sf_dir):
+    """Every user is active in their own cohort week, so the week_offset=0
+    rows must sum to the total distinct-user count, and no offset is
+    negative."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import timeseries
+
+    rows = timeseries.events_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    assert all(r.week_offset >= 0 for r in rows)
+    zero = sum(r.n_users for r in rows if r.week_offset == 0)
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert zero == total_users

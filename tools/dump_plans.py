@@ -44,6 +44,11 @@ SHOWCASE = [
     ("min_cost_supplier", "Q2 shape: correlated MIN as window-min — single fact scan"),
     ("dedup_incremental", "corpus-vs-delta banded LSH: cost scales with the delta"),
     ("token_rarity_scores", "df-weighted rarity stats: explode -> vocab agg -> term join -> doc agg"),
+    ("bm25_topk_docs", "BM25: term filter before tf agg, broadcast df/stats, TakeOrdered top-k"),
+    ("duplicate_ngram_overlap", "cross-doc dup signal: gram-count agg -> gram join -> doc agg"),
+    ("dataset_split_assign", "hash-deterministic split: row-local expression, zero exchanges"),
+    ("events_funnel_conversion", "cascaded min-ts stage aggregates, one user_id partitioning"),
+    ("events_retention_cohorts", "first-week x active-week join on user_id, small cohort agg"),
 ]
 
 PREAMBLE_NOTES = """\
