@@ -280,6 +280,21 @@ def purchases_with_recent_signup(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "signup_ts")
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch left-joins the
+    unbounded event stream to a bounded dimension snapshot. The static
+    side carries a broadcast hint, so the stream never shuffles — the
+    canonical 100 TB shape (the fact stream stays partition-local; only
+    the dimension moves to the executors). Spark re-resolves the static
+    side every micro-batch, so a dimension refreshed in place (e.g. an
+    overwritten parquet snapshot) is picked up without restarting the
+    query. No watermark is needed: the static side holds no streaming
+    state. Complements purchases_with_recent_signup (stream-stream) and
+    the reference's HTTP enrichment (S5), which is this same pattern with
+    the dimension behind a fetch."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None):
     """Start a memory-sink query (test/driver harness helper)."""
     w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)

@@ -646,3 +646,49 @@ def test_streaming_dedup_gated_ingestion(spark, sf_dir, tmp_path):
             for p in partners.get(rej, ())
         )
         assert ok, f"doc {rej} rejected without a qualifying partner"
+
+
+def test_stream_static_dimension_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: streaming purchases enriched with a
+    static per-user dimension must equal the batch left join, users
+    absent from the dimension surface with null attributes, and the
+    executed plan must broadcast the static side (the stream never
+    shuffles for the join)."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    # static dimension: each EVEN user's first signup ts — deliberately
+    # partial so the left join's null path is exercised
+    dim = (
+        e.filter((F.col("event_type") == "signup") & (F.col("user_id") % 2 == 0))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup_ts"))
+    )
+    dim_path = str(tmp_path / "user_dim")
+    dim.write.parquet(dim_path)
+    static_dim = spark.read.parquet(dim_path)
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    enriched = sp.enrich_with_dimension(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+        static_dim,
+    )
+    q = sp.run_to_memory(enriched, "dim_join_out", "append", checkpoint=str(tmp_path / "dimck"))
+    _drain(q)
+    got = sorted(
+        (r.event_id, r.user_id, r.first_signup_ts)
+        for r in spark.sql("SELECT * FROM dim_join_out").collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.first_signup_ts)
+        for r in e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .join(static_dim, "user_id", "left")
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want
+    assert any(ts is None for _, _, ts in got)  # un-signed-up users survive
+    # plan shape: the static side is broadcast, not shuffled
+    plan = enriched._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()
