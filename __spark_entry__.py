@@ -66,7 +66,8 @@ _PRIORITY = [
     # round 4 (late additions): retrieval + duplication-signal + split +
     # event-funnel/cohort analytics — new queries, so window-mandatory
     *["bm25_topk_docs", "duplicate_ngram_overlap", "dataset_split_assign",
-      "events_funnel_conversion", "events_retention_cohorts"],
+      "events_funnel_conversion", "events_retention_cohorts",
+      "embedding_covariance", "embedding_pca_project"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -78,11 +79,12 @@ _PRIORITY = [
       "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
       "minhash_signatures", "multimodal_decode_features",
       "multimodal_frame_sample", "multimodal_metadata",
-      "multimodal_resize_plan", "pii_scan"],
+      ],
     # displaced by the late round-4 additions (window holds 50):
     # price_histogram, price_outliers_iqr, set_except,
-    # simhash_fingerprints, text_quality_scores — each carries a
-    # must_rotate=5 marker in evidence.json so round 5 cannot skip them.
+    # simhash_fingerprints, text_quality_scores, multimodal_resize_plan,
+    # pii_scan — each carries a must_rotate=5 marker in evidence.json so
+    # round 5 cannot skip them.
 ]
 
 

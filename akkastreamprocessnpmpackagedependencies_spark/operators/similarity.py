@@ -521,3 +521,148 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.avg("d2"), 4).alias("mean_d2"),
     )
+
+
+PCA_K = 8  # principal components kept by the projection
+
+
+@REG.add(
+    "embedding_covariance",
+    f"""
+    WITH e AS ({_SQL_CORPUS}),
+    x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val FROM e),
+    n AS (SELECT count(*) AS n FROM e),
+    means AS (
+      SELECT dim, CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+      FROM x GROUP BY dim),
+    c AS (SELECT x.vec_id, x.dim, x.val - m.mu AS cv FROM x JOIN means m USING (dim))
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(sum(CAST(a.cv * b.cv AS DECIMAL(18,6))) AS DOUBLE) / (n.n - 1) AS cov
+    FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim CROSS JOIN n
+    GROUP BY a.dim, b.dim, n.n
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus, computed
+    ORACLE-EXACT: per-dim means from exact decimal sums, centered
+    cross-products cast to decimal before the order-independent sum.
+    Shape: one posexplode -> 64-row mean agg (broadcast back) -> self-join
+    on vec_id (each vector meets only itself: the join key is the vector
+    id, so the pair blowup is d*(d+1)/2 per vector, never cross-vector) ->
+    (i, j) hash agg. This explode-pair form is the exactly-checkable
+    twin; the 100 TB production path is the partial-Gram accumulation in
+    ``embedding_pca_project`` (one d x d numpy matrix per partition,
+    tree-combined), which computes the same matrix in float and never
+    explodes rows."""
+    e = _corpus(spark, sf_dir)
+    x = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    n = e.agg(F.count("*").alias("n"))
+    means = x.groupBy("dim").agg(
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mu")
+    )
+    c = x.join(F.broadcast(means), "dim").select(
+        "vec_id", "dim", (F.col("val") - F.col("mu")).alias("cv")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") <= F.col("b.dim")))
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"), "n")
+        .agg(
+            (
+                F.sum((F.col("a.cv") * F.col("b.cv")).cast("decimal(18,6)")).cast("double")
+                / (F.col("n") - 1)
+            ).alias("cov")
+        )
+        .select("i", "j", "cov")
+    )
+
+
+@REG.add("embedding_pca_project")  # rows-only: eigendecomposition is not SQL
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top PCA_K principal
+    components — the preprocessing step SemDeDup-style pipelines run
+    before clustering/near-dup. Distributed shape (the 100 TB path):
+
+    1. one ``mapInPandas`` pass accumulates PARTIAL Gram statistics per
+       partition (count, sum vector, X^T X matrix — d + d^2 doubles, a
+       few KB regardless of partition row count);
+    2. the partials (one row per partition) collect to the driver —
+       bounded by n_partitions, never by corpus size — and combine into
+       the covariance matrix; numpy's symmetric eigensolver runs on the
+       tiny d x d matrix driver-side (the same division of labor as
+       kmeans_fit's centroid collect);
+    3. the d x PCA_K component matrix broadcasts back inside an
+       Arrow-batched projection UDF; output is (vec_id, comp, coord)
+       scalar rows (exploded, so the driver's canonicalizer can sort).
+
+    Eigenvector sign is fixed deterministically (largest-|.| element
+    positive) and components order by descending eigenvalue, so repeated
+    runs produce identical output. Rows-only by design: the eigenbasis is
+    not SQL-expressible; the pytest asserts orthonormality, per-component
+    variance == eigenvalue, and cross-component decorrelation — the
+    spectral invariants an incorrect implementation cannot fake."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    e = _corpus(spark, sf_dir).select("vec_id", "v")
+    d = DIM
+
+    partial_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("g", ArrayType(DoubleType())),
+    ])
+
+    def gram_partials(batches):
+        n, s, g = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy())
+            n += len(m)
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = e.mapInPandas(gram_partials, partial_schema).collect()
+    n_total = sum(p["n"] for p in parts)
+    s_total = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    g_total = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    mu = s_total / n_total
+    cov = (g_total - n_total * np.outer(mu, mu)) / (n_total - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order]  # d x k
+    # deterministic sign: the largest-|.| coordinate of each component > 0
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    comps = comps * flip
+    comps_b = comps.copy()
+    mu_b = mu.copy()
+
+    proj_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("comp", LongType()),
+        StructField("coord", DoubleType()),
+    ])
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy()) - mu_b
+            p = m @ comps_b  # rows x k
+            n_rows, k = p.shape
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                "comp": np.tile(np.arange(k, dtype="int64"), n_rows),
+                "coord": np.round(p.ravel(), 6),
+            })
+
+    return e.mapInPandas(project, proj_schema)

@@ -121,6 +121,8 @@ HEADLINE = [
     "dataset_split_assign",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "embedding_covariance",
+    "embedding_pca_project",
 ]
 
 

@@ -435,3 +435,58 @@ def test_events_retention_cohort_zero_offset_covers_all_users(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert zero == total_users
+
+
+def test_embedding_covariance_symmetric_psd_diag(spark, sf_dir):
+    """Covariance invariants: the upper triangle reassembled into a full
+    matrix is symmetric by construction, its diagonal is non-negative,
+    and it matches numpy's covariance of the same vectors to the decimal
+    quantization tolerance."""
+    import numpy as np
+
+    rows = similarity.embedding_covariance(spark, sf_dir).collect()
+    d = similarity.DIM
+    assert len(rows) == d * (d + 1) // 2
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    assert (np.diag(cov) >= 0).all()
+    vecs = np.vstack([
+        np.asarray(r.v)
+        for r in similarity._corpus(spark, sf_dir).select("v").collect()
+    ])
+    want = np.cov(vecs, rowvar=False)
+    # decimal(18,6) quantization of each summand bounds the error
+    assert np.abs(cov - want).max() < 1e-5
+
+
+def test_embedding_pca_project_spectral_invariants(spark, sf_dir):
+    """PCA invariants an incorrect implementation cannot fake: the
+    per-component sample variances equal the top eigenvalues of the
+    corpus covariance in descending order, components are mutually
+    decorrelated, and repeated runs are bit-identical (deterministic
+    sign fix)."""
+    import numpy as np
+
+    out = similarity.embedding_pca_project(spark, sf_dir)
+    rows = out.collect()
+    k = similarity.PCA_K
+    ids = sorted({r.vec_id for r in rows})
+    p = np.zeros((len(ids), k))
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in rows:
+        p[idx[r.vec_id], r.comp] = r.coord
+    vecs = np.vstack([
+        np.asarray(r.v)
+        for r in similarity._corpus(spark, sf_dir).select("v").collect()
+    ])
+    evals = np.sort(np.linalg.eigvalsh(np.cov(vecs, rowvar=False)))[::-1][:k]
+    got_var = p.var(axis=0, ddof=1)
+    assert np.allclose(got_var, evals, rtol=1e-3)
+    assert (np.diff(got_var) <= 1e-9).all()  # descending variance
+    centered = p - p.mean(axis=0)
+    cross = centered.T @ centered / (len(ids) - 1)
+    off = cross - np.diag(np.diag(cross))
+    assert np.abs(off).max() < 1e-3
+    rerun = {(r.vec_id, r.comp): r.coord for r in similarity.embedding_pca_project(spark, sf_dir).collect()}
+    assert all(rerun[(r.vec_id, r.comp)] == r.coord for r in rows)

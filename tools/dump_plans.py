@@ -49,6 +49,8 @@ SHOWCASE = [
     ("dataset_split_assign", "hash-deterministic split: row-local expression, zero exchanges"),
     ("events_funnel_conversion", "cascaded min-ts stage aggregates, one user_id partitioning"),
     ("events_retention_cohorts", "first-week x active-week join on user_id, small cohort agg"),
+    ("embedding_covariance", "oracle-exact covariance: posexplode -> mean join -> vec_id self-join"),
+    ("embedding_pca_project", "partial-Gram mapInPandas -> driver eigh -> broadcast projection"),
 ]
 
 PREAMBLE_NOTES = """\
