@@ -237,3 +237,47 @@ def test_part_supplier_variety_anti_join_is_broadcast(spark, sf_dir):
     plan = _plan(relational.part_supplier_variety(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_bm25_filters_before_tf_agg_and_takes_ordered(spark, sf_dir):
+    """BM25's term filter must sit below the tf aggregate (only query-term
+    occurrences shuffle), the df/stats sides must broadcast, and the final
+    top-k must be a TakeOrdered, not a global sort."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import textops
+
+    plan = _plan(textops.bm25_topk_docs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # df frame + stats row
+    # the IN filter on the exploded term appears under the first aggregate
+    assert "Filter" in plan and "term" in plan
+
+
+def test_dataset_split_has_zero_exchanges(spark, sf_dir):
+    """Split assignment is row-local: the executed plan must contain no
+    Exchange of any kind."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import textops
+
+    plan = _plan(textops.dataset_split_assign(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_duplicate_ngram_overlap_joins_on_gram_no_bnlj(spark, sf_dir):
+    """The cross-doc dup signal must be a gram-keyed equi-join (hash or
+    sort-merge), never a nested-loop/cartesian over documents."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import textops
+
+    plan = _plan(textops.duplicate_ngram_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_covariance_self_join_keys_on_vec_id(spark, sf_dir):
+    """The covariance pair join must key on vec_id (pair blowup bounded
+    per vector) with the tiny mean/count frames broadcast — no cartesian
+    across vectors."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_covariance(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "vec_id" in plan
+    assert plan.count("BroadcastExchange") >= 2  # means + n
