@@ -67,7 +67,7 @@ _PRIORITY = [
     # event-funnel/cohort analytics — new queries, so window-mandatory
     *["bm25_topk_docs", "duplicate_ngram_overlap", "dataset_split_assign",
       "events_funnel_conversion", "events_retention_cohorts",
-      "embedding_covariance", "embedding_pca_project"],
+      "embedding_covariance", "embedding_pca_project", "dq_expectations"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)

@@ -1675,3 +1675,117 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+@REG.add(
+    "dq_expectations",
+    """
+    SELECT 'lineitem.l_quantity_positive' AS rule,
+           CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_discount_in_unit_range',
+           CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_returnflag_in_domain',
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique',
+           CAST(coalesce(sum(cnt - 1), 0) AS BIGINT), CAST(sum(cnt) AS BIGINT)
+    FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey_fk_customer',
+           CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey_fk_orders',
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o2
+      ON l_orderkey = o2.o_orderkey
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite: per rule, how many rows
+    violate it (and how many were checked). Three rule families, each in
+    its scale-minimal shape: (1) row-local predicates (nulls, ranges,
+    domain membership) fold into ONE conditional-sum scan per table,
+    unpivoted into per-rule rows via stack() — adding a rule adds a
+    column expression, not a pass; (2) key
+    uniqueness re-aggregates a key-grouped count (sum(cnt-1) counts the
+    extra copies); (3) referential integrity is a LEFT join probing the
+    parent key, counting unmatched rows — AQE broadcasts the parent side
+    when it fits, and the count is a partial-aggregatable sum either way.
+    All counts are integers, so oracle parity is exact. The audit a 100 TB
+    ingest runs before promoting a snapshot — the engine's answer to the
+    reference's silent-skip error model (SURVEY.md §2.7: malformed rows
+    vanish unreported; here every violation is counted and attributed)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def viol(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def row_rules(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+        # one scan, one 1-row aggregate for ALL row-local rules of a table;
+        # stack() unpivots that single row into per-rule rows (a union of
+        # per-rule selects would plan the aggregate — and the scan — once
+        # PER BRANCH: Catalyst does not dedupe common subtrees across union
+        # arms, asserted in test_plans)
+        agg = df.agg(
+            F.count("*").alias("_n"),
+            *[viol(cond).alias(f"_v{i}") for i, (_, cond) in enumerate(rules)],
+        )
+        pairs = ", ".join(f"'{name}', _v{i}" for i, (name, _) in enumerate(rules))
+        return agg.select(
+            F.expr(f"stack({len(rules)}, {pairs})").alias("rule", "n_violations"),
+            F.col("_n").alias("n_checked"),
+        )
+
+    li_rules = row_rules(
+        l,
+        [
+            ("lineitem.l_quantity_positive",
+             F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+            ("lineitem.l_discount_in_unit_range",
+             F.col("l_discount").isNull() | (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            ("lineitem.l_returnflag_in_domain", ~F.col("l_returnflag").isin("A", "N", "R")),
+        ],
+    )
+    uniq = (
+        o.groupBy("o_orderkey").agg(F.count("*").alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("n_violations"),
+            F.sum("cnt").cast("long").alias("n_checked"),
+        )
+        .select(F.lit("orders.o_orderkey_unique").alias("rule"), "n_violations", "n_checked")
+    )
+    # parent keys are DEDUPED before the probe: a duplicated parent key
+    # must not fan out child rows (it would inflate n_checked - caught by
+    # the corrupted-world pytest)
+    cust_keys = c.select("c_custkey").distinct()
+    fk_cust = (
+        o.join(cust_keys, o.o_custkey == cust_keys.c_custkey, "left")
+        .agg(viol(F.col("c_custkey").isNull()).alias("n_violations"),
+             F.count("*").cast("long").alias("n_checked"))
+        .select(F.lit("orders.o_custkey_fk_customer").alias("rule"), "n_violations", "n_checked")
+    )
+    order_keys = o.select("o_orderkey").distinct()
+    fk_ord = (
+        l.select("l_orderkey")
+        .join(order_keys, l.l_orderkey == order_keys.o_orderkey, "left")
+        .agg(viol(F.col("o_orderkey").isNull()).alias("n_violations"),
+             F.count("*").cast("long").alias("n_checked"))
+        .select(F.lit("lineitem.l_orderkey_fk_orders").alias("rule"), "n_violations", "n_checked")
+    )
+    return li_rules.unionAll(uniq).unionAll(fk_cust).unionAll(fk_ord)

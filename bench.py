@@ -123,6 +123,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "embedding_covariance",
     "embedding_pca_project",
+    "dq_expectations",
 ]
 
 

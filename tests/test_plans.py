@@ -281,3 +281,12 @@ def test_embedding_covariance_self_join_keys_on_vec_id(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "vec_id" in plan
     assert plan.count("BroadcastExchange") >= 2  # means + n
+
+
+def test_dq_row_rules_scan_each_table_once(spark, sf_dir):
+    """The row-local rules must fold into ONE lineitem scan (stack()
+    unpivot of a single aggregate) — lineitem appears exactly twice in
+    the whole plan (row rules + the FK probe), never once per rule."""
+    plan = _plan(relational.dq_expectations(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 2
+    assert "stack(" in plan or "Generate" in plan or "Expand" in plan

@@ -69,3 +69,42 @@ def test_observation_metrics_on_pricing_summary(spark, sf_dir):
     got = obs.get
     assert got["rows_scanned"] == l.count()
     assert got["qty_total"] == l.agg(F.sum("l_quantity")).first()[0]
+
+
+def test_dq_expectations_fire_on_corrupted_world(spark, tmp_path):
+    """The expectation suite must COUNT violations, not just pass on clean
+    data: a hand-corrupted mini-world (negative quantity, discount > 1,
+    bogus return flag, duplicated order key, orphan FK rows on both
+    probes) yields exactly the planted violation counts."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+        dq_expectations,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # (orderkey, qty, discount, returnflag): one violation each
+            (1, -5.0, 0.1, "A"),     # qty <= 0
+            (1, 10.0, 1.5, "N"),     # discount > 1
+            (1, 10.0, 0.2, "X"),     # flag outside domain
+            (99, 10.0, 0.0, "R"),    # orphan l_orderkey (no order 99)
+        ],
+        "l_orderkey long, l_quantity double, l_discount double, l_returnflag string",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 777)],  # dup o_orderkey 1; custkey 777 orphan
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame([(100,)], "c_custkey long").write.parquet(
+        f"{d}/customer.parquet"
+    )
+
+    got = {r.rule: (r.n_violations, r.n_checked) for r in dq_expectations(spark, d).collect()}
+    assert got == {
+        "lineitem.l_quantity_positive": (1, 4),
+        "lineitem.l_discount_in_unit_range": (1, 4),
+        "lineitem.l_returnflag_in_domain": (1, 4),
+        "orders.o_orderkey_unique": (1, 3),
+        "orders.o_custkey_fk_customer": (1, 3),
+        "lineitem.l_orderkey_fk_orders": (1, 4),
+    }

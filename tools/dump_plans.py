@@ -51,6 +51,7 @@ SHOWCASE = [
     ("events_retention_cohorts", "first-week x active-week join on user_id, small cohort agg"),
     ("embedding_covariance", "oracle-exact covariance: posexplode -> mean join -> vec_id self-join"),
     ("embedding_pca_project", "partial-Gram mapInPandas -> driver eigh -> broadcast projection"),
+    ("dq_expectations", "DQ audit: stack()-unpivoted single-scan row rules + FK probes"),
 ]
 
 PREAMBLE_NOTES = """\
