@@ -12,6 +12,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from akkastreamprocessnpmpackagedependencies_spark.fixtures import FIXTURES_DIR
 from akkastreamprocessnpmpackagedependencies_spark.operators import npm
@@ -67,7 +68,8 @@ _PRIORITY = [
     # event-funnel/cohort analytics — new queries, so window-mandatory
     *["bm25_topk_docs", "duplicate_ngram_overlap", "dataset_split_assign",
       "events_funnel_conversion", "events_retention_cohorts",
-      "embedding_covariance", "embedding_pca_project", "dq_expectations"],
+      "embedding_covariance", "embedding_pca_project", "dq_expectations",
+      "npm_dependency_pagerank"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -169,10 +171,131 @@ _NPM_REVERSE_ORACLE = f"""
 """
 
 
+PR_ITERS = 3
+PR_DAMP = 0.85  # (1 - PR_DAMP) teleport mass, written 0.15 literally below
+
+
+def _npm_dependency_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the npm dependency graph (src = package, dst = the
+    packages it depends on, runtime + dev, distinct) — "which packages
+    does the ecosystem lean on", the natural ranking query over the edges
+    the reference's data model carries but discards (Version.scala:8).
+    PR_ITERS rounds of the damped power iteration with dangling-mass
+    redistribution.
+
+    Distributed shape per round (the 100 TB design): one shuffle — the
+    contribution agg on dst; the edges⋈degree⋈rank joins all key on src,
+    so pre-partitioning edges by src serves every round; the dangling
+    mass and node count are 1-row broadcast frames. At real graph scale
+    the rank frame would be localCheckpoint-ed per round like kmeans_fit
+    (the fixture graph is 34 nodes, so lineage stays shallow). Every sum
+    is the decimal convention, every scalar expression mirrors the
+    oracle's shape, so the trajectory is engine-lockstep; the oracle
+    unrolls the identical rounds as a CTE chain (the kmeans_assignments
+    technique). sf_dir unused — the fixture world is fixed-size."""
+    docs = spark.read.parquet(os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet"))
+    ver = npm.explode_versions(
+        npm.parse_registry(docs.filter(F.col("status_code") == 200))
+    )
+    empty = F.array().cast("array<string>")
+    edges = (
+        ver.select(
+            F.col("package").alias("src"),
+            F.explode(F.coalesce(F.map_keys("vdoc.dependencies"), empty)).alias("dst"),
+        )
+        .unionAll(
+            ver.select(
+                F.col("package").alias("src"),
+                F.explode(F.coalesce(F.map_keys("vdoc.devDependencies"), empty)).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    dec = "decimal(18,6)"
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .groupBy("dst")
+            .agg(F.sum((F.col("pr") / F.col("deg")).cast(dec)).cast("double").alias("s"))
+        )
+        dang = (
+            pr.join(deg, pr.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum(F.col("pr").cast(dec)).cast("double"), F.lit(0.0)).alias("dang"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib.select(F.col("dst").alias("node"), "s"), "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node", "n",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.col("n"))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")
+
+
+def _sql_pagerank_ctes(iters: int) -> str:
+    """The oracle's unrolled power iteration: round i's CTEs s{i} (per-node
+    contribution sums), g{i} (dangling mass), p{i} (new ranks) mirror the
+    Spark expressions shape-for-shape (decimal sums, double literals,
+    identical parenthesization)."""
+    fix = os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet")
+    ctes = [f"""docs AS (
+      SELECT name, doc FROM read_parquet('{fix}')
+      WHERE status_code = 200 AND json_valid(doc)),
+    ver AS (SELECT d.name AS package, unnest(json_keys(d.doc, '$.versions')) AS version, d.doc
+            FROM docs d),
+    vdoc AS (SELECT package, version,
+                    json_extract(doc, '$.versions."' || version || '"') AS vd FROM ver),
+    edges AS (
+      SELECT DISTINCT package AS src, unnest(json_keys(vd, '$.dependencies')) AS dst FROM vdoc
+      UNION
+      SELECT DISTINCT package, unnest(json_keys(vd, '$.devDependencies')) FROM vdoc),
+    nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+      SELECT e.dst, CAST(sum(CAST(p.pr / d.deg AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM edges e JOIN deg d ON d.src = e.src JOIN p{i-1} p ON p.node = e.src
+      GROUP BY e.dst),
+    g{i} AS (
+      SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(18,6))) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dang
+      FROM p{i-1} p LEFT JOIN deg d ON d.src = p.node WHERE d.src IS NULL),
+    p{i} AS (
+      SELECT nodes.node,
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * (coalesce(s.s, CAST(0.0 AS DOUBLE)) + g.dang / nn.n) AS pr
+      FROM nodes CROSS JOIN nn CROSS JOIN g{i} g LEFT JOIN s{i} s ON s.dst = nodes.node)""")
+    return ",\n    ".join(ctes)
+
+
+_NPM_PAGERANK_ORACLE = f"""
+    WITH {_sql_pagerank_ctes(PR_ITERS)}
+    SELECT node, pr FROM p{PR_ITERS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "npm_dependency_counts": _npm_dependency_counts,
         "npm_reverse_dependency_counts": _npm_reverse_dependency_counts,
+        "npm_dependency_pagerank": _npm_dependency_pagerank,
     }
     for mod in _MODULES:
         out.update(mod.queries)
@@ -183,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {
         "npm_dependency_counts": _NPM_ORACLE,
         "npm_reverse_dependency_counts": _NPM_REVERSE_ORACLE,
+        "npm_dependency_pagerank": _NPM_PAGERANK_ORACLE,
     }
     for mod in _MODULES:
         out.update(mod.oracles)

@@ -124,6 +124,7 @@ HEADLINE = [
     "embedding_covariance",
     "embedding_pca_project",
     "dq_expectations",
+    "npm_dependency_pagerank",
 ]
 
 

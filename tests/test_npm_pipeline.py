@@ -93,3 +93,39 @@ def test_fixture_parquet_matches_inline(spark, fixtures_dir):
     golden_pq = spark.read.parquet(os.path.join(fixtures_dir, "npm_expected_counts.parquet"))
     got = [tuple(r) for r in golden_pq.orderBy("package", "version").collect()]
     assert got == fixtures.expected_counts()
+
+
+def test_pagerank_mass_conserved_and_hubs_rank_high(spark):
+    """Power-iteration invariants: ranks are positive, total mass stays ~1
+    (the decimal quantization bounds the drift per round), and the most
+    depended-upon package outranks every package nothing depends on."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    pr = {r.node: r.pr for r in entry._npm_dependency_pagerank(spark, "").collect()}
+    assert len(pr) == 34
+    assert all(v > 0 for v in pr.values())
+    total = sum(pr.values())
+    assert abs(total - 1.0) < 1e-3
+    # in-degree from the same fixture edges
+    docs = spark.read.parquet(
+        entry.os.path.join(entry.FIXTURES_DIR, "npm_registry_docs.parquet")
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.operators import npm as npm_ops
+
+    ver = npm_ops.explode_versions(
+        npm_ops.parse_registry(docs.filter(F.col("status_code") == 200))
+    )
+    empty = F.array().cast("array<string>")
+    edges = (
+        ver.select(F.col("package").alias("src"),
+                   F.explode(F.coalesce(F.map_keys("vdoc.dependencies"), empty)).alias("dst"))
+        .unionAll(ver.select(F.col("package").alias("src"),
+                             F.explode(F.coalesce(F.map_keys("vdoc.devDependencies"), empty)).alias("dst")))
+        .distinct()
+    )
+    indeg = {r.dst: r.n for r in edges.groupBy("dst").agg(F.count("*").alias("n")).collect()}
+    top_target = max(indeg, key=indeg.get)
+    sources_only = [n for n in pr if n not in indeg]
+    assert sources_only, "fixture graph should have un-depended-upon packages"
+    assert all(pr[top_target] > pr[s] for s in sources_only)
