@@ -589,7 +589,9 @@ DUP_K = 8  # gram width for the cross-document duplication signal
     "duplicate_ngram_overlap",
     f"""
     WITH g AS (
-      SELECT doc_id, unnest({sql_word_shingles('text', DUP_K)}) AS gram FROM documents),
+      SELECT doc_id,
+             unnest(list_distinct({sql_base_hashes(sql_word_shingles('text', DUP_K))})) AS gram
+      FROM documents),
     shared AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
     SELECT g.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
@@ -606,15 +608,21 @@ def duplicate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distinct DUP_K-word grams that also occur in at least one OTHER
     document. High dup_share marks boilerplate/mirrored text that
     survives exact and near dedup. Because each doc contributes its
-    grams DISTINCT (word_shingles dedups), a gram's occurrence count IS
-    its document count — no countDistinct needed. Shape: explode ->
-    gram-keyed count (uniform key, no hot partition) -> join back on gram
-    -> per-doc agg; only (doc_id, gram) pairs shuffle, never text. At
-    100 TB, hash the grams to 64-bit ints first (chargram_jaccard_pairs
-    does exactly this) to cut the shuffle width ~10x."""
+    grams DISTINCT, a gram's occurrence count IS its document count — no
+    countDistinct needed. The grams shuffle as HASHED 32-bit ints (the
+    chargram_jaccard_pairs convention: md5-prefix mod P, identical in
+    the DuckDB oracle — bench sf0.1: 3.5 s string path -> int path), so
+    the shuffle carries ~4 bytes per gram instead of an 8-word string;
+    an in-doc hash collision (~1e-5/doc) shifts n_grams identically on
+    both engines. Shape: explode -> gram-keyed count (uniform key, no
+    hot partition) -> join back on gram -> per-doc agg; text never
+    shuffles."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), DUP_K)).alias("gram")
+        "doc_id",
+        F.explode(
+            F.array_distinct(base_hashes(word_shingles(F.col("text"), DUP_K)))
+        ).alias("gram"),
     )
     shared = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
     is_shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)

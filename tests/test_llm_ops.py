@@ -368,7 +368,10 @@ def test_bm25_topk_scores_ordered_and_bounded(spark, sf_dir):
 def test_duplicate_ngram_overlap_matches_brute_force(spark, sf_dir):
     """dup_share must equal the brute-force cross-doc computation on a
     small slice: a gram is shared iff some OTHER doc has it."""
-    from akkastreamprocessnpmpackagedependencies_spark.functions.text import word_shingles
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import (
+        base_hashes,
+        word_shingles,
+    )
 
     out = {
         r.doc_id: r
@@ -376,7 +379,12 @@ def test_duplicate_ngram_overlap_matches_brute_force(spark, sf_dir):
     }
     sh = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", word_shingles(F.col("text"), textops.DUP_K).alias("g"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                base_hashes(word_shingles(F.col("text"), textops.DUP_K))
+            ).alias("g"),
+        )
         .collect()
     )
     grams = {r.doc_id: set(r.g) for r in sh}
