@@ -80,13 +80,13 @@ _PRIORITY = [
       "events_sliding_1h_30m", "events_tumbling_1h", "grouped_median_pandas",
       "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
       "minhash_signatures", "multimodal_decode_features",
-      "multimodal_frame_sample", "multimodal_metadata",
       ],
     # displaced by the late round-4 additions (window holds 50):
     # price_histogram, price_outliers_iqr, set_except,
     # simhash_fingerprints, text_quality_scores, multimodal_resize_plan,
-    # pii_scan — each carries a must_rotate=5 marker in evidence.json so
-    # round 5 cannot skip them.
+    # pii_scan, multimodal_metadata, multimodal_frame_sample — each
+    # carries a must_rotate=5 marker in evidence.json so round 5 cannot
+    # skip them.
 ]
 
 
