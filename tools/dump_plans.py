@@ -52,6 +52,7 @@ SHOWCASE = [
     ("embedding_covariance", "oracle-exact covariance: posexplode -> mean join -> vec_id self-join"),
     ("embedding_pca_project", "partial-Gram mapInPandas -> driver eigh -> broadcast projection"),
     ("dq_expectations", "DQ audit: stack()-unpivoted single-scan row rules + FK probes"),
+    ("npm_dependency_pagerank", "damped power iteration: per-round dst agg, broadcast mass frames"),
 ]
 
 PREAMBLE_NOTES = """\
