@@ -1789,3 +1789,68 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem.l_orderkey_fk_orders").alias("rule"), "n_violations", "n_checked")
     )
     return li_rules.unionAll(uniq).unionAll(fk_cust).unionAll(fk_ord)
+
+
+@REG.add(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 3)
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           old.o_totalprice AS old_price,
+           new.o_totalprice AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice <> new.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: given two versions of a keyed table,
+    classify every key as added / removed / changed (unchanged rows are
+    dropped). The two "snapshots" derive deterministically from orders
+    (old = keys not divisible by 7; new = keys not ≡3 mod 5, with keys
+    divisible by 3 repriced) so both engines see identical inputs. Shape:
+    one FULL OUTER hash join on the key — each side shuffles once, the
+    change classification and value compare are row-local, and the
+    unchanged-row filter drops the (dominant) matched-equal population
+    before anything else consumes it. This is the diff a 100 TB pipeline
+    runs to validate an incremental load against a full rebuild; at that
+    scale the same plan applies per partition, or a table format's
+    (Delta/Iceberg) snapshot metadata short-circuits the untouched
+    files. Both price operands come off identical expressions, so the
+    inequality compare is engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("old_price")
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 3).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = old.join(new, old.k_old == new.k_new, "full_outer")
+    return (
+        j.filter(
+            F.col("k_old").isNull()
+            | F.col("k_new").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce(F.col("k_old"), F.col("k_new")).alias("o_orderkey"),
+            F.when(F.col("k_old").isNull(), "added")
+            .when(F.col("k_new").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+    )

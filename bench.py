@@ -125,6 +125,7 @@ HEADLINE = [
     "embedding_pca_project",
     "dq_expectations",
     "npm_dependency_pagerank",
+    "snapshot_diff",
 ]
 
 

@@ -4,6 +4,7 @@ for the rest of the module lives in tools/oracle_check.py."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from akkastreamprocessnpmpackagedependencies_spark.operators import relational
@@ -108,3 +109,37 @@ def test_dq_expectations_fire_on_corrupted_world(spark, tmp_path):
         "orders.o_custkey_fk_customer": (1, 3),
         "lineitem.l_orderkey_fk_orders": (1, 4),
     }
+
+
+def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
+    """The diff classes must be disjoint, complete, and agree with the
+    planted derivation: added = keys ∉ old snapshot (div by 7) that are in
+    new; removed = keys ≡3 mod 5 that are in old; changed = repriced keys
+    (div by 3) present in both."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+        snapshot_diff,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    rows = snapshot_diff(spark, sf_dir).collect()
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))  # one verdict per key
+    for r in rows:
+        k = r.o_orderkey
+        if r.change_type == "added":
+            assert k % 7 == 0 and k % 5 != 3
+            assert r.old_price is None and r.new_price is not None
+        elif r.change_type == "removed":
+            assert k % 5 == 3 and k % 7 != 0
+            assert r.new_price is None and r.old_price is not None
+        else:
+            assert r.change_type == "changed"
+            assert k % 3 == 0 and k % 7 != 0 and k % 5 != 3
+            assert r.new_price == pytest.approx(r.old_price * 1.1)
+    all_keys = {
+        r.o_orderkey
+        for r in load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    }
+    want_changed = {k for k in all_keys if k % 3 == 0 and k % 7 != 0 and k % 5 != 3}
+    got_changed = {r.o_orderkey for r in rows if r.change_type == "changed"}
+    assert got_changed == want_changed
