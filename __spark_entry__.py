@@ -39,14 +39,15 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # hygiene), the new oracle-green twins + executable decode, and the three
 # queries displaced from the r3 window whose latest CORRECTNESS rows date
 # to r1/r2 (dedup_exact_hash, set_union, deterministic_sample — VERDICT
-# r3 #1). Remaining slots rotate the r2-resting block, oldest evidence
-# first; the twelve that don't fit (the scalar-func showcases plus
-# sql_api_revenue_by_nation, stratified_sample, text_normalize,
-# token_counts, udtf_sentences, vocab_top_terms,
-# order_priority_by_quarter — single-pass shapes untouched since r2)
-# carry enforceable ``must_rotate=5`` markers in evidence.json
-# (`driver_check.py --must-rotate`), so round 5's --evidence-update
-# refuses a window without them.
+# r3 #1), and the eleven queries NEW this round (new queries are
+# window-mandatory: no prior row exists). Remaining slots rotate the
+# r2-resting block, oldest evidence first; everything that doesn't fit
+# (the scalar-func showcases, the single-pass text/profile shapes
+# untouched since r2, and the r2-resting entries the new queries
+# displaced) carries an enforceable ``must_rotate=5`` marker in
+# evidence.json (`driver_check.py --must-rotate`), so round 5's
+# --evidence-update refuses a window without them — 23 promises total,
+# under half of round 5's 50 slots.
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
