@@ -46,7 +46,7 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # untouched since r2, and the r2-resting entries the new queries
 # displaced) carries an enforceable ``must_rotate=5`` marker in
 # evidence.json (`driver_check.py --must-rotate`), so round 5's
-# --evidence-update refuses a window without them — 23 promises total,
+# --evidence-update refuses a window without them — 22 promises total,
 # under half of round 5's 50 slots.
 _PRIORITY = [
     # flagship stays pinned in-window every round
