@@ -66,12 +66,30 @@ round 3's flagged regressions (`cosine_topk_bruteforce` 3.4x,
 `window_rank_variants` 2.4x on byte-identical code) disappeared under
 median-of-3 (r4: 0.400 s / 0.462 s, back at r2 levels), confirming them
 as one-shot JIT/GC scheduling artifacts of the single-JVM loop, not plan
-regressions. Deltas that REMAIN under this methodology are real; the two
-intentional ones are `kmeans_clusters`/`kmeans_assignments` (~3 s: full
-Lloyd now runs inside the timed span instead of leaking into untimed
-construction) and `neardup_clusters` (~2 s: alternating-star rounds are
-2 actions + a checkpoint each — the price of bounded convergence on
-adversarial components).
+regressions. Deltas that REMAIN under this methodology are real; the
+intentional ones:
+
+- `kmeans_clusters`/`kmeans_assignments` (~4 s): full Lloyd now runs
+  inside the timed span instead of leaking into untimed construction;
+- `neardup_clusters` (~2 s): alternating-star rounds are 2 actions + a
+  checkpoint each — the price of bounded convergence on adversarial
+  components;
+- the LSH/simhash family (`minhash_lsh_neardup` 0.34->0.8 s,
+  `simhash_candidate_pairs` 1.2->2.7, `simhash_fingerprints`
+  0.14->~0.5-1.0, `cosine_topk_lsh` 0.27->0.6, `fuzzy_dedup_keep_one`
+  0.39->2.4): the round-3 numbers were FLATTERED by the cache leak the
+  round-3 verdict ordered fixed (#7) — persisted signature frames were
+  never released, and Spark's cache manager matches plan FRAGMENTS, so
+  every later family query in the bench loop silently reused them.
+  With caches correctly released (asserted empty after each query in
+  tests/test_llm_ops.py), each query now pays its own full cost.
+  Verified in isolation: simhash_fingerprints steady-state is ~0.55 s
+  in a fresh session — the 0.14 s r3 reading was a cross-query cache
+  hit, not achievable per-query cost.
+
+Sub-second drifts of <0.35 s absolute on small aggregate queries
+(bracket_revenue, promo_revenue_ratio, ...) are single-JVM run noise at
+median-of-3 resolution.
 
 ## Semantics notes
 
