@@ -692,3 +692,57 @@ def test_stream_static_dimension_enrichment(spark, sf_dir, tmp_path):
     # plan shape: the static side is broadcast, not shuffled
     plan = enriched._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in plan or "broadcast" in plan.lower()
+
+
+def test_observed_metrics_batch_single_pass(spark, sf_dir):
+    """Batch observe: the violation counters must equal an independent
+    recount, delivered by the SAME action that consumed the frame (no
+    second scan issued by the helper)."""
+    from akkastreamprocessnpmpackagedependencies_spark.observability import (
+        observed_quality,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    df, obs = observed_quality(
+        e,
+        {
+            "null_value": F.col("value").isNull(),
+            "big_value": F.col("value") > 50,
+            "error_rows": F.col("event_type") == "error",
+        },
+    )
+    n = df.count()  # the one action; metrics ride this pass
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["error_rows"] == e.filter(F.col("event_type") == "error").count()
+    assert got["big_value"] == e.filter(F.col("value") > 50).count()
+    assert got["null_value"] == e.filter(F.col("value").isNull()).count()
+
+
+def test_observed_metrics_streaming_progress(spark, sf_dir, tmp_path):
+    """Streaming observe: per-micro-batch metrics surface in the query's
+    recentProgress observedMetrics, and their sum across batches equals
+    the batch truth."""
+    from akkastreamprocessnpmpackagedependencies_spark.observability import (
+        observe_stream,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    metered = observe_stream(
+        ev, "batch_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    q = sp.run_to_memory(metered, "obs_out", "append", checkpoint=str(tmp_path / "obsck"))
+    _drain(q)
+    rows = errors = 0
+    for p in q.recentProgress:
+        om = p["observedMetrics"].get("batch_metrics") if p.get("observedMetrics") else None
+        if om:
+            rows += om["n_rows"]
+            errors += om["n_errors"]
+    e = load_events(spark, sf_dir)
+    assert rows == e.count()
+    assert errors == e.filter(F.col("event_type") == "error").count()
