@@ -451,3 +451,130 @@ def pack_token_counts(
             f"(cum - 1) DIV {budget} AS end_seq",
         )
     )
+
+
+def _corpus_pipeline_oracle() -> str:
+    from .textops import (
+        REG as TXT_REG,
+    )
+    from .textops import (
+        N_PROBE_DOCS,
+        SPLIT_TRAIN_MAX,
+        SPLIT_VAL_MAX,
+    )
+
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS norm_hash,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    exact AS (
+      SELECT doc_id, n_tokens,
+             min(doc_id) OVER (PARTITION BY norm_hash) AS exact_keeper
+      FROM norm),
+    qual AS ({REG.oracles["quality_filter_composite"]}),
+    fuzzy AS ({REG.oracles["fuzzy_dedup_keep_one"]}),
+    contam AS ({TXT_REG.oracles["contamination_ngram_hits"]}),
+    verdicts AS (
+      SELECT e.doc_id,
+             CASE WHEN e.doc_id < {N_PROBE_DOCS}          THEN 'probe_holdout'
+                  WHEN e.exact_keeper <> e.doc_id         THEN 'exact_dup'
+                  WHEN NOT q.keep                         THEN 'quality'
+                  WHEN NOT f.keep                         THEN 'near_dup'
+                  WHEN coalesce(c.n_gram_hits, 0) > 0     THEN 'contaminated'
+                  ELSE 'kept' END AS verdict,
+             CAST(e.n_tokens AS BIGINT) AS n_tokens
+      FROM exact e
+      JOIN qual q  ON q.doc_id = e.doc_id
+      JOIN fuzzy f ON f.doc_id = e.doc_id
+      LEFT JOIN contam c ON c.doc_id = e.doc_id)
+    SELECT doc_id, verdict, n_tokens,
+           CASE WHEN verdict = 'kept' THEN
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '{SPLIT_TRAIN_MAX}'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '{SPLIT_VAL_MAX}'
+                  THEN 'val' ELSE 'test' END
+           END AS split
+    FROM verdicts
+    """
+
+
+def _register_corpus_pipeline() -> None:
+    REG.add("corpus_pipeline_verdicts", _corpus_pipeline_oracle())(corpus_pipeline_verdicts)
+
+
+def corpus_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full training-data prep pipeline as one composition — per
+    document, the first-failing-stage verdict plus the split assignment
+    and token count a kept doc ships with:
+
+      probe_holdout  doc is in the held-out benchmark set (never trains)
+      exact_dup      another doc normalizes to the same text (min-id wins)
+      quality        fails the C4/Gopher composite gate
+      near_dup       loses its MinHash-LSH connected component
+      contaminated   shares a 5-gram with the probe set
+      kept           survives everything; gets train/val/test + n_tokens
+
+    Every stage reuses an oracle-verified operator (text_normalize's
+    canonical form, quality_flags, fuzzy_dedup_keep_one's component
+    verdicts, contamination_ngram_hits, dataset_split_assign's hash
+    split), and each stage's verdict is computed over the FULL corpus —
+    verdicts are stable facts about a document, not survivor-order
+    artifacts, so stages can run (and be audited) independently; the
+    CASE only decides which reason reports first. Shape: four doc_id
+    equi-joins over per-doc frames (the heavy lifting — LSH banding,
+    connected components, gram joins — happens inside the reused
+    operators in their audited shapes); the exact-dup window
+    hash-partitions on norm_hash. The composition a real corpus run
+    executes nightly — and the closest thing this engine has to a second
+    flagship."""
+    from .textops import N_PROBE_DOCS, SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+    from .textops import contamination_ngram_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    exact = base.withColumn(
+        "exact_keeper", F.min("doc_id").over(W.partitionBy("norm_hash"))
+    )
+    q = quality_flags(d).select("doc_id", F.col("keep").alias("q_keep"))
+    fz = fuzzy_dedup_keep_one(spark, sf_dir).select("doc_id", F.col("keep").alias("f_keep"))
+    c = contamination_ngram_hits(spark, sf_dir)
+    j = (
+        exact.join(q, "doc_id")
+        .join(fz, "doc_id")
+        .join(c, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("doc_id") < N_PROBE_DOCS, "probe_holdout")
+        .when(F.col("exact_keeper") != F.col("doc_id"), "exact_dup")
+        .when(~F.col("q_keep"), "quality")
+        .when(~F.col("f_keep"), "near_dup")
+        .when(F.coalesce(F.col("n_gram_hits"), F.lit(0)) > 0, "contaminated")
+        .otherwise("kept")
+    )
+    h = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    split_class = (
+        F.when(h <= SPLIT_TRAIN_MAX, "train")
+        .when(h <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return j.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        "n_tokens",
+        F.when(verdict == "kept", split_class).alias("split"),
+    )
+
+
+_register_corpus_pipeline()

@@ -126,6 +126,7 @@ HEADLINE = [
     "dq_expectations",
     "npm_dependency_pagerank",
     "snapshot_diff",
+    "corpus_pipeline_verdicts",
 ]
 
 

@@ -131,3 +131,44 @@ def test_pack_sequences_is_exact_stream_chunking(spark, sf_dir):
         F.sum(F.size(F.split("text", " ")))
     ).first()[0]
     assert cum == total
+
+
+def test_corpus_pipeline_verdicts_consistent_with_stages(spark, sf_dir):
+    """The capstone composition must agree with each reused stage: every
+    verdict is the FIRST failing stage in the documented precedence,
+    kept docs (and only kept docs) carry a split, and token counts match
+    the raw corpus."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        corpus_pipeline_verdicts,
+        fuzzy_dedup_keep_one,
+        quality_flags,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.operators.textops import (
+        N_PROBE_DOCS,
+        contamination_ngram_hits,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    out = {r.doc_id: r for r in corpus_pipeline_verdicts(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    assert len(out) == d.count()
+    q = {r.doc_id: r.keep for r in quality_flags(d).collect()}
+    fz = {r.doc_id: r.keep for r in fuzzy_dedup_keep_one(spark, sf_dir).collect()}
+    contam = {r.doc_id: r.n_gram_hits for r in contamination_ngram_hits(spark, sf_dir).collect()}
+    from collections import Counter
+
+    verdicts = Counter(r.verdict for r in out.values())
+    assert verdicts["kept"] > 0 and verdicts["probe_holdout"] == N_PROBE_DOCS
+    for r in out.values():
+        if r.verdict == "kept":
+            assert r.split in ("train", "val", "test")
+            assert q[r.doc_id] and fz[r.doc_id] and not contam.get(r.doc_id)
+            assert r.doc_id >= N_PROBE_DOCS
+        else:
+            assert r.split is None
+        if r.verdict == "quality":
+            assert not q[r.doc_id]
+        if r.verdict == "near_dup":
+            assert q[r.doc_id] and not fz[r.doc_id]
+        if r.verdict == "contaminated":
+            assert q[r.doc_id] and fz[r.doc_id] and contam.get(r.doc_id, 0) > 0

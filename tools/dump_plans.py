@@ -53,6 +53,8 @@ SHOWCASE = [
     ("embedding_pca_project", "partial-Gram mapInPandas -> driver eigh -> broadcast projection"),
     ("dq_expectations", "DQ audit: stack()-unpivoted single-scan row rules + FK probes"),
     ("npm_dependency_pagerank", "damped power iteration: per-round dst agg, broadcast mass frames"),
+    ("snapshot_diff", "CDC diff: one full-outer key join, row-local classification"),
+    ("corpus_pipeline_verdicts", "full corpus-prep composition: 4 doc_id joins over audited stages"),
 ]
 
 PREAMBLE_NOTES = """\
