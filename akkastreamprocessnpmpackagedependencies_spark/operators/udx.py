@@ -134,3 +134,52 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@REG.add(
+    "asof_cogroup_pandas",
+    """
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join implemented on the COGROUP surface: both sides
+    co-partition on user_id and each key's (purchases, signups) pair
+    lands in one Arrow-batched pandas function, where
+    ``pd.merge_asof`` does the per-key backward search. Same semantics
+    as ``asof_purchase_signup`` (timeseries.py) — which solves it with a
+    union + running last_value window, the preferred pure-JVM plan —
+    registered as the second physical strategy to pin the cogroup API:
+    at 100 TB you pick the window form unless the per-key logic outgrows
+    SQL (model scoring, custom matching), at which point this shape is
+    the escape hatch with the same one-shuffle-per-side cost. The same
+    DuckDB ASOF oracle verifies both, so the two strategies are provably
+    value-identical."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+
+    def merge(p: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [], "ts": [], "signup_ts": []})
+        p = p.sort_values(["ts", "event_id"])
+        if len(s) == 0:
+            out = p.copy()
+            out["signup_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "signup_ts"]]
+        s = s.sort_values("ts").rename(columns={"ts": "signup_ts"})[["signup_ts"]]
+        out = pd.merge_asof(
+            p, s, left_on="ts", right_on="signup_ts", direction="backward"
+        )
+        return out[["event_id", "user_id", "ts", "signup_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(merge, "event_id long, user_id long, ts timestamp, signup_ts timestamp")
+    )

@@ -127,6 +127,7 @@ HEADLINE = [
     "npm_dependency_pagerank",
     "snapshot_diff",
     "corpus_pipeline_verdicts",
+    "asof_cogroup_pandas",
 ]
 
 
