@@ -71,7 +71,7 @@ _PRIORITY = [
       "events_funnel_conversion", "events_retention_cohorts",
       "embedding_covariance", "embedding_pca_project", "dq_expectations",
       "npm_dependency_pagerank", "snapshot_diff", "corpus_pipeline_verdicts",
-      "asof_cogroup_pandas"],
+      "asof_cogroup_pandas", "scd2_user_tiers"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -80,14 +80,14 @@ _PRIORITY = [
       "dedup_exact_summary", "dedup_normalized_hash", "doc_fingerprints",
       "embedding_centroids", "events_hourly_gapfill", "events_sessionize",
       "events_sliding_1h_30m", "events_tumbling_1h", "grouped_median_pandas",
-      "json_corrupt_tolerant", "json_funcs",
+      "json_corrupt_tolerant",
       ],
     # displaced by the late round-4 additions (window holds 50):
     # price_histogram, price_outliers_iqr, set_except,
     # simhash_fingerprints, text_quality_scores, multimodal_resize_plan,
     # pii_scan, multimodal_metadata, multimodal_frame_sample,
-    # multimodal_decode_features, minhash_signatures, lang_id_heuristic
-    # — each
+    # multimodal_decode_features, minhash_signatures, lang_id_heuristic,
+    # json_funcs — each
     # carries a must_rotate=5 marker in evidence.json so round 5 cannot
     # skip them.
 ]

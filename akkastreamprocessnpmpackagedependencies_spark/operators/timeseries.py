@@ -383,3 +383,77 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.last("vsum", ignorenulls=True).over(w).alias("vsum_ff"),
     )
+
+
+VALUE_TIER_EDGE = 50.0  # value > edge -> 'high', else 'low'
+
+
+@REG.add(
+    "scd2_user_tiers",
+    f"""
+    WITH tiered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value > {VALUE_TIER_EDGE} THEN 'high' ELSE 'low' END AS tier
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, tier,
+             CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+                  THEN 1 ELSE 0 END AS is_change
+      FROM tiered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, tier,
+             CAST(sum(is_change) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, run_id, tier,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY user_id, run_id, tier)
+    SELECT user_id, run_id AS version, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM intervals
+    """,
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build: compress each user's event stream into
+    validity intervals of a derived attribute (value tier), one row per
+    (user, consecutive-tier run) with valid_from / valid_to and the
+    current interval open-ended (valid_to NULL) — the
+    slowly-changing-dimension table a warehouse maintains for as-of
+    attribute lookups. Classic change-point compression: lag-change flag
+    -> running-sum run ids (the sessionize idiom with a value predicate
+    instead of a time gap) -> per-run min/count -> lead() for the
+    closing bound. One shuffle on user_id serves all three windows and
+    the aggregate — they share the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    tier = F.when(F.col("value") > VALUE_TIER_EDGE, "high").otherwise("low")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", tier.alias("tier"), "event_id"
+    ).withColumn(
+        "is_change",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.select(
+        "user_id", "ts", "tier",
+        F.sum("is_change")
+        .over(W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    intervals = runs.groupBy("user_id", "run_id", "tier").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wl = W.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        F.col("run_id").alias("version"),
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    )

@@ -128,6 +128,7 @@ HEADLINE = [
     "snapshot_diff",
     "corpus_pipeline_verdicts",
     "asof_cogroup_pandas",
+    "scd2_user_tiers",
 ]
 
 
