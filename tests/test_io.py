@@ -185,3 +185,58 @@ def test_training_shards_balanced_deterministic_complete(spark, sf_dir, tmp_path
     assert o1 == o2  # deterministic rerun, including row order
     # shuffled: at least one shard's row order differs from sorted doc_id
     assert any(ids != sorted(ids) for ids in o1.values())
+
+
+def test_auditsink_writer_manifest_and_roundtrip(spark, tmp_path):
+    """Custom Python DataSource WRITER: the committed manifest's totals
+    must equal the frame's truth (row count and integer checksum over the
+    audited column), every manifest part must exist on disk, and reading
+    the part files back yields exactly the written rows."""
+    import glob
+    import json
+    import os
+
+    from akkastreamprocessnpmpackagedependencies_spark.sources import audit
+
+    audit.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(500).selectExpr("id", "id * 3 AS v").repartition(5)
+    df.write.format("auditsink").option("path", out).option("audit_col", "v").mode(
+        "append"
+    ).save()
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["n_rows"] == 500
+    assert man["checksum"] == sum(i * 3 for i in range(500))
+    listed = {p["file"] for p in man["parts"]}
+    on_disk = {os.path.basename(p) for p in glob.glob(out + "/part-*.jsonl")}
+    assert listed == on_disk
+    assert sum(p["n_rows"] for p in man["parts"]) == man["n_rows"]
+    rows = []
+    for p in glob.glob(out + "/part-*.jsonl"):
+        rows += [json.loads(line) for line in open(p)]
+    assert sorted((r["id"], r["v"]) for r in rows) == [(i, i * 3) for i in range(500)]
+
+
+def test_auditsink_abort_removes_parts(tmp_path):
+    """The abort path must delete every part a failed attempt created —
+    exercised unit-style on the writer object (Spark only calls abort on
+    job failure, which a green test can't produce)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from akkastreamprocessnpmpackagedependencies_spark.sources.audit import (
+        AuditSinkWriter,
+    )
+
+    out = str(tmp_path / "aborted")
+    w = AuditSinkWriter({"path": out, "audit_col": "v"})
+    msgs = [
+        w.write(iter([Row(id=1, v=10), Row(id=2, v=20)])),
+        w.write(iter([Row(id=3, v=30)])),
+    ]
+    assert all(os.path.exists(m.part_file) for m in msgs)
+    assert [m.n_rows for m in msgs] == [2, 1]
+    assert [m.checksum for m in msgs] == [30, 30]
+    w.abort(msgs)
+    assert not any(os.path.exists(m.part_file) for m in msgs)
