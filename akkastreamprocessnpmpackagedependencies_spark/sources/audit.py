@@ -21,7 +21,12 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -72,6 +77,44 @@ class AuditSinkWriter(DataSourceWriter):
                 os.remove(m.part_file)
 
 
+class AuditSinkStreamWriter(DataSourceStreamWriter):
+    """Streaming side of the sink: same partition-local parts + audit
+    records, but committed PER EPOCH — each micro-batch lands an
+    epoch manifest ``_MANIFEST-<batchId>.json`` naming only that batch's
+    succeeded parts. Replayed epochs (restart after a commit-side crash)
+    overwrite their own manifest idempotently; a reader that consumes
+    manifests in batchId order observes exactly-once output."""
+
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+        self._audit_col = options.get("audit_col")
+
+    def write(self, iterator) -> AuditCommit:
+        return AuditSinkWriter(
+            {"path": self._path, "audit_col": self._audit_col}
+        ).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        done = sorted((m for m in messages if m is not None), key=lambda m: m.part_file)
+        manifest = {
+            "batch_id": batchId,
+            "parts": [
+                {"file": os.path.basename(m.part_file), "n_rows": m.n_rows,
+                 "checksum": m.checksum}
+                for m in done
+            ],
+            "n_rows": sum(m.n_rows for m in done),
+            "checksum": sum(m.checksum for m in done) % (1 << 61),
+        }
+        with open(os.path.join(self._path, f"_MANIFEST-{batchId}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.part_file):
+                os.remove(m.part_file)
+
+
 class AuditSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -79,6 +122,9 @@ class AuditSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AuditSinkWriter:
         return AuditSinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> AuditSinkStreamWriter:
+        return AuditSinkStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -746,3 +746,42 @@ def test_observed_metrics_streaming_progress(spark, sf_dir, tmp_path):
     e = load_events(spark, sf_dir)
     assert rows == e.count()
     assert errors == e.filter(F.col("event_type") == "error").count()
+
+
+def test_auditsink_stream_writer_per_epoch_manifests(spark, sf_dir, tmp_path):
+    """Streaming custom sink: each micro-batch commits its own epoch
+    manifest; the union of manifest parts must cover every part file on
+    disk and their totals must equal the batch truth."""
+    import glob
+    import json
+    import os as _os
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+    from akkastreamprocessnpmpackagedependencies_spark.sources import audit
+
+    audit.register(spark)
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "audit_out")
+    q = (
+        ev.selectExpr("event_id", "user_id")
+        .writeStream.format("auditsink")
+        .option("path", out)
+        .option("audit_col", "event_id")
+        .option("checkpointLocation", str(tmp_path / "audit_ck"))
+        .start()
+    )
+    _drain(q)
+    manifests = sorted(glob.glob(out + "/_MANIFEST-*.json"))
+    assert len(manifests) >= 2  # multiple micro-batches committed epochs
+    total_rows = total_sum = 0
+    listed = set()
+    for mp in manifests:
+        man = json.load(open(mp))
+        total_rows += man["n_rows"]
+        total_sum += man["checksum"]
+        listed |= {p["file"] for p in man["parts"]}
+    e = load_events(spark, sf_dir)
+    assert total_rows == e.count()
+    assert total_sum == e.selectExpr("sum(event_id)").first()[0]
+    on_disk = {_os.path.basename(p) for p in glob.glob(out + "/part-*.jsonl")}
+    assert listed == on_disk
