@@ -180,3 +180,117 @@ def test_cc_alternating_star_matches_union_find(spark, edges):
     labels, _ = cc_alternating_star(pairs)
     got = {r.id: r.lbl for r in labels.collect()}
     assert got == want
+
+
+# ---- event-sequence operators vs serial references ----------------------
+
+_event_seqs = st.lists(  # per-user sequences of (minute_offset, type_idx, value)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _write_events(spark, rows):
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+@given(seqs=_event_seqs)
+@_settings
+def test_scd2_intervals_match_serial_compression(spark, seqs):
+    """scd2_user_tiers must equal the obvious serial run-length
+    compression of each user's tier sequence (unique timestamps per user
+    — the operator's defined-behavior domain)."""
+    import datetime as dt
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        VALUE_TIER_EDGE,
+        scd2_user_tiers,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    serial = {}
+    for u, seq in enumerate(seqs):
+        seen = {}
+        for off, _, v in seq:
+            seen[off] = v  # dedupe timestamps per user, last wins
+        ordered = sorted(seen.items())
+        rows += [
+            (eid + i, base + dt.timedelta(minutes=off), u, "view", v, "{}")
+            for i, (off, v) in enumerate(ordered)
+        ]
+        eid += len(ordered)
+        tiers = ["high" if v > VALUE_TIER_EDGE else "low" for _, v in ordered]
+        runs = []
+        for (off, _), t in zip(ordered, tiers):
+            ts = base + dt.timedelta(minutes=off)
+            if runs and runs[-1][0] == t:
+                runs[-1][2] += 1
+            else:
+                runs.append([t, ts, 1])
+        serial[u] = runs
+    d = _write_events(spark, rows)
+    got = {}
+    for r in scd2_user_tiers(spark, d).collect():
+        got.setdefault(r.user_id, []).append(r)
+    assert set(got) == set(serial)
+    for u, runs in serial.items():
+        g = sorted(got[u], key=lambda r: r.version)
+        assert [r.version for r in g] == list(range(1, len(runs) + 1))
+        for r, (tier, start, n), i in zip(g, runs, range(len(runs))):
+            assert (r.tier, r.valid_from, r.n_events) == (tier, start, n)
+            want_to = runs[i + 1][1] if i + 1 < len(runs) else None
+            assert r.valid_to == want_to
+
+
+@given(seqs=_event_seqs)
+@_settings
+def test_funnel_counts_match_serial_scan(spark, seqs):
+    """events_funnel_conversion must equal the serial per-user scan:
+    first view, first click strictly after it, first purchase strictly
+    after that."""
+    import datetime as dt
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        events_funnel_conversion,
+    )
+
+    types = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    s1 = s2 = s3 = 0
+    for u, seq in enumerate(seqs):
+        evs = sorted((off, types[t]) for off, t, _ in seq)
+        rows += [
+            (eid + i, base + dt.timedelta(minutes=off), u, t, 0.0, "{}")
+            for i, (off, t) in enumerate(evs)
+        ]
+        eid += len(evs)
+        t1 = min((o for o, t in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        s1 += 1
+        t2 = min((o for o, t in evs if t == "click" and o > t1), default=None)
+        if t2 is None:
+            continue
+        s2 += 1
+        if any(t == "purchase" and o > t2 for o, t in evs):
+            s3 += 1
+    d = _write_events(spark, rows)
+    got = {r.stage: r.n_users for r in events_funnel_conversion(spark, d).collect()}
+    assert got == {1: s1, 2: s2, 3: s3}
