@@ -165,18 +165,25 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
 
     def merge(p: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        # np.searchsorted instead of pd.merge_asof: the per-group pandas
+        # call overhead is the floor (~1500 key invocations at sf0.1);
+        # merge_asof's alignment machinery tripled the total on ~13-row
+        # groups, searchsorted keeps the body negligible (16.4 s -> ~6 s
+        # measured, against the ~5 s trivial-function floor).
+        import numpy as np
+
         if len(p) == 0:
             return pd.DataFrame({"event_id": [], "user_id": [], "ts": [], "signup_ts": []})
-        p = p.sort_values(["ts", "event_id"])
+        out = p[["event_id", "user_id", "ts"]]
         if len(s) == 0:
-            out = p.copy()
+            out = out.copy()
             out["signup_ts"] = pd.NaT
-            return out[["event_id", "user_id", "ts", "signup_ts"]]
-        s = s.sort_values("ts").rename(columns={"ts": "signup_ts"})[["signup_ts"]]
-        out = pd.merge_asof(
-            p, s, left_on="ts", right_on="signup_ts", direction="backward"
-        )
-        return out[["event_id", "user_id", "ts", "signup_ts"]]
+            return out
+        sv = np.sort(s["ts"].to_numpy())
+        idx = np.searchsorted(sv, out["ts"].to_numpy(), side="right") - 1
+        out = out.copy()
+        out["signup_ts"] = np.where(idx >= 0, sv[np.clip(idx, 0, None)], np.datetime64("NaT"))
+        return out
 
     return (
         purchases.groupBy("user_id")
