@@ -290,3 +290,30 @@ def test_dq_row_rules_scan_each_table_once(spark, sf_dir):
     plan = _plan(relational.dq_expectations(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 2
     assert "stack(" in plan or "Generate" in plan or "Expand" in plan
+
+
+def test_scd2_rides_one_user_partitioning(spark, sf_dir):
+    """The whole SCD2 pipeline — change-flag window, running-sum window,
+    interval aggregate, lead() closing window — must execute on a single
+    user_id exchange: HashPartitioning(user_id) satisfies the aggregate's
+    (user_id, run_id, tier) clustering, so no re-shuffle appears."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        scd2_user_tiers,
+    )
+
+    plan = _plan(scd2_user_tiers(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_snapshot_diff_is_one_keyed_full_outer(spark, sf_dir):
+    """The CDC diff must be a keyed full-outer join (hash or sort-merge),
+    never a nested loop, with the change classification row-local above
+    it."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    plan = _plan(snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
