@@ -55,6 +55,8 @@ SHOWCASE = [
     ("npm_dependency_pagerank", "damped power iteration: per-round dst agg, broadcast mass frames"),
     ("snapshot_diff", "CDC diff: one full-outer key join, row-local classification"),
     ("corpus_pipeline_verdicts", "full corpus-prep composition: 4 doc_id joins over audited stages"),
+    ("scd2_user_tiers", "SCD2 interval build: two windows + agg + lead on ONE user_id exchange"),
+    ("asof_cogroup_pandas", "as-of via cogroup applyInPandas (the per-key pandas escape hatch)"),
 ]
 
 PREAMBLE_NOTES = """\
