@@ -396,14 +396,14 @@ VALUE_TIER_EDGE = 50.0  # value > edge -> 'high', else 'low'
              CASE WHEN value > {VALUE_TIER_EDGE} THEN 'high' ELSE 'low' END AS tier
       FROM events),
     flagged AS (
-      SELECT user_id, ts, tier,
+      SELECT user_id, ts, event_id, tier,
              CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
                   THEN 1 ELSE 0 END AS is_change
       FROM tiered
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     runs AS (
       SELECT user_id, ts, tier,
-             CAST(sum(is_change) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
       FROM flagged),
     intervals AS (
@@ -442,7 +442,7 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = flagged.select(
         "user_id", "ts", "tier",
         F.sum("is_change")
-        .over(W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("run_id"),
     )
     intervals = runs.groupBy("user_id", "run_id", "tier").agg(
