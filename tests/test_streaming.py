@@ -785,3 +785,71 @@ def test_auditsink_stream_writer_per_epoch_manifests(spark, sf_dir, tmp_path):
     assert total_sum == e.selectExpr("sum(event_id)").first()[0]
     on_disk = {_os.path.basename(p) for p in glob.glob(out + "/part-*.jsonl")}
     assert listed == on_disk
+
+
+def test_auditsink_stream_restart_writes_no_new_epochs(spark, sf_dir, tmp_path):
+    """Restarting the audit-sink query against the same checkpoint after a
+    full drain must not re-emit committed epochs: manifest set and part
+    files are unchanged."""
+    import glob
+
+    from akkastreamprocessnpmpackagedependencies_spark.sources import audit
+
+    audit.register(spark)
+    src = str(tmp_path / "rs_src")
+    _write_time_sliced(
+        __import__(
+            "akkastreamprocessnpmpackagedependencies_spark.session", fromlist=["load_events"]
+        ).load_events(spark, sf_dir),
+        src,
+        3,
+    )
+    out, ck = str(tmp_path / "rs_out"), str(tmp_path / "rs_ck")
+
+    def start():
+        return (
+            sp.read_events_stream(spark, src, max_files=1)
+            .selectExpr("event_id", "user_id")
+            .writeStream.format("auditsink")
+            .option("path", out)
+            .option("audit_col", "event_id")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    _drain(q)
+    manifests1 = sorted(glob.glob(out + "/_MANIFEST-*.json"))
+    parts1 = sorted(glob.glob(out + "/part-*.jsonl"))
+    q2 = start()
+    _drain(q2)
+    assert sorted(glob.glob(out + "/_MANIFEST-*.json")) == manifests1
+    assert sorted(glob.glob(out + "/part-*.jsonl")) == parts1
+
+
+def test_streaming_quality_gate_reports_observed_metrics(spark, sf_dir, tmp_path):
+    """Production observability on a gated stream: per-micro-batch
+    observed metrics (rows seen, rows failing the gate) must sum to the
+    batch truth of the same quality rules."""
+    from akkastreamprocessnpmpackagedependencies_spark.observability import observe_stream
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    bad = F.col("value").isNull() | (F.col("value") < 0) | (F.col("user_id").isNull())
+    metered = observe_stream(
+        ev, "gate",
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_rejected"),
+    ).filter(~bad)
+    q = sp.run_to_memory(metered, "gated_out", "append", checkpoint=str(tmp_path / "gck"))
+    _drain(q)
+    seen = rejected = 0
+    for p in q.recentProgress:
+        om = (p.get("observedMetrics") or {}).get("gate")
+        if om:
+            seen += om["n_seen"]
+            rejected += om["n_rejected"]
+    e = load_events(spark, sf_dir)
+    assert seen == e.count()
+    assert rejected == e.filter(bad).count()
+    assert spark.sql("SELECT count(*) FROM gated_out").first()[0] == seen - rejected
