@@ -46,8 +46,8 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # untouched since r2, and the r2-resting entries the new queries
 # displaced) carries an enforceable ``must_rotate=5`` marker in
 # evidence.json (`driver_check.py --must-rotate`), so round 5's
-# --evidence-update refuses a window without them — 22 promises total,
-# under half of round 5's 50 slots.
+# --evidence-update refuses a window without them — 29 promises total,
+# well under round 5's 50 slots.
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
@@ -72,6 +72,12 @@ _PRIORITY = [
       "embedding_covariance", "embedding_pca_project", "dq_expectations",
       "npm_dependency_pagerank", "snapshot_diff", "corpus_pipeline_verdicts",
       "asof_cogroup_pandas", "scd2_user_tiers"],
+    # round 4 (final additions): bounded graph closure, interval analytics
+    # (join-free concurrency + bucketed interval self-join), and the
+    # distributed-global-rank equi-depth histogram — new, so
+    # window-mandatory
+    *["npm_transitive_deps", "session_concurrency_hourly",
+      "session_overlap_pairs", "equi_depth_deciles"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
@@ -79,15 +85,15 @@ _PRIORITY = [
       "cosine_topk_bruteforce", "cosine_topk_ivf", "cosine_topk_lsh",
       "dedup_exact_summary", "dedup_normalized_hash", "doc_fingerprints",
       "embedding_centroids", "events_hourly_gapfill", "events_sessionize",
-      "events_sliding_1h_30m", "events_tumbling_1h", "grouped_median_pandas",
-      "json_corrupt_tolerant",
       ],
     # displaced by the late round-4 additions (window holds 50):
     # price_histogram, price_outliers_iqr, set_except,
     # simhash_fingerprints, text_quality_scores, multimodal_resize_plan,
     # pii_scan, multimodal_metadata, multimodal_frame_sample,
     # multimodal_decode_features, minhash_signatures, lang_id_heuristic,
-    # json_funcs — each
+    # json_funcs, and (displaced by the final-additions block)
+    # events_sliding_1h_30m, events_tumbling_1h, grouped_median_pandas,
+    # json_corrupt_tolerant — each
     # carries a must_rotate=5 marker in evidence.json so round 5 cannot
     # skip them.
 ]
@@ -176,6 +182,96 @@ _NPM_REVERSE_ORACLE = f"""
 
 PR_ITERS = 3
 PR_DAMP = 0.85  # (1 - PR_DAMP) teleport mass, written 0.15 literally below
+TC_HOPS = 3  # transitive-closure search depth
+
+
+def _npm_edges(spark: SparkSession) -> DataFrame:
+    """The distinct npm dependency edge list (src depends on dst, runtime +
+    dev) — the graph the reference's data model carries but discards
+    (Version.scala:8). Shared by the pagerank and transitive-closure
+    queries; each oracle rebuilds the identical CTE chain."""
+    docs = spark.read.parquet(os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet"))
+    ver = npm.explode_versions(
+        npm.parse_registry(docs.filter(F.col("status_code") == 200))
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        ver.select(
+            F.col("package").alias("src"),
+            F.explode(F.coalesce(F.map_keys("vdoc.dependencies"), empty)).alias("dst"),
+        )
+        .unionAll(
+            ver.select(
+                F.col("package").alias("src"),
+                F.explode(F.coalesce(F.map_keys("vdoc.devDependencies"), empty)).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+
+
+def _npm_transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure over the npm dependency graph: every
+    (package, dep) pair reachable in ≤ TC_HOPS hops with the MINIMUM hop
+    count — "what does this package actually pull in", the install-time
+    question the flagship's per-version counts only answer at depth 1.
+
+    Frontier-style iterative expansion (bounded BFS): round h joins the
+    previous frontier's dst against edge src — ONE equi-join shuffle per
+    round, both sides keyed on the join column — then ``distinct()``
+    collapses the frontier so path multiplicity never compounds
+    (without it a dense graph multiplies candidate rows by average
+    degree every round). The final min-hop agg dedupes across rounds.
+    At real graph scale each frontier would be localCheckpoint-ed per
+    round (the kmeans_fit idiom) to keep lineage flat, and the edge list
+    pre-partitioned on src so every round reuses one exchange. The
+    oracle is the identical expansion as a bounded recursive CTE —
+    UNION ALL plus the same terminal min-hop GROUP BY, so both engines
+    agree row-for-row even on cyclic subgraphs (depth bound, not visited
+    set, terminates both). sf_dir unused — the fixture world is
+    fixed-size."""
+    edges = _npm_edges(spark)
+    frontier = edges.withColumn("hops", F.lit(1))
+    reach = frontier
+    for h in range(2, TC_HOPS + 1):
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.lit(h).alias("hops"),
+            )
+            .distinct()
+        )
+        reach = reach.unionAll(frontier)
+    return reach.groupBy("src", "dst").agg(
+        F.min("hops").cast("long").alias("hops")
+    ).select(F.col("src").alias("package"), F.col("dst").alias("dep"), "hops")
+
+
+_NPM_TRANSITIVE_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT name, doc
+      FROM read_parquet('{os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet")}')
+      WHERE status_code = 200 AND json_valid(doc)),
+    ver AS (SELECT d.name AS package, unnest(json_keys(d.doc, '$.versions')) AS version, d.doc
+            FROM docs d),
+    vdoc AS (SELECT package, version,
+                    json_extract(doc, '$.versions."' || version || '"') AS vd FROM ver),
+    edges AS (
+      SELECT DISTINCT package AS src, unnest(json_keys(vd, '$.dependencies')) AS dst FROM vdoc
+      UNION
+      SELECT DISTINCT package, unnest(json_keys(vd, '$.devDependencies')) FROM vdoc),
+    r AS (
+      SELECT src, dst, 1 AS hops FROM edges
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1
+      FROM r JOIN edges e ON e.src = r.dst
+      WHERE r.hops < {TC_HOPS})
+    SELECT src AS package, dst AS dep, CAST(min(hops) AS BIGINT) AS hops
+    FROM r GROUP BY 1, 2
+"""
 
 
 def _npm_dependency_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,24 +292,7 @@ def _npm_dependency_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's shape, so the trajectory is engine-lockstep; the oracle
     unrolls the identical rounds as a CTE chain (the kmeans_assignments
     technique). sf_dir unused — the fixture world is fixed-size."""
-    docs = spark.read.parquet(os.path.join(FIXTURES_DIR, "npm_registry_docs.parquet"))
-    ver = npm.explode_versions(
-        npm.parse_registry(docs.filter(F.col("status_code") == 200))
-    )
-    empty = F.array().cast("array<string>")
-    edges = (
-        ver.select(
-            F.col("package").alias("src"),
-            F.explode(F.coalesce(F.map_keys("vdoc.dependencies"), empty)).alias("dst"),
-        )
-        .unionAll(
-            ver.select(
-                F.col("package").alias("src"),
-                F.explode(F.coalesce(F.map_keys("vdoc.devDependencies"), empty)).alias("dst"),
-            )
-        )
-        .distinct()
-    )
+    edges = _npm_edges(spark)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -299,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "npm_dependency_counts": _npm_dependency_counts,
         "npm_reverse_dependency_counts": _npm_reverse_dependency_counts,
         "npm_dependency_pagerank": _npm_dependency_pagerank,
+        "npm_transitive_deps": _npm_transitive_deps,
     }
     for mod in _MODULES:
         out.update(mod.queries)
@@ -310,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "npm_dependency_counts": _NPM_ORACLE,
         "npm_reverse_dependency_counts": _NPM_REVERSE_ORACLE,
         "npm_dependency_pagerank": _NPM_PAGERANK_ORACLE,
+        "npm_transitive_deps": _NPM_TRANSITIVE_ORACLE,
     }
     for mod in _MODULES:
         out.update(mod.oracles)

@@ -1854,3 +1854,90 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+N_DECILES = 10
+RANK_RANGE_PARTS = 32  # range partitions for the distributed global rank
+
+
+@REG.add(
+    "equi_depth_deciles",
+    f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+      FROM orders),
+    n AS (SELECT count(*) AS n FROM orders)
+    SELECT CAST(floor((rnk - 1) * {N_DECILES} / n.n) + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           {sql_dsum("o_totalprice")} AS total_price
+    FROM r CROSS JOIN n
+    GROUP BY 1
+    """,
+)
+def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of order value — built on a DISTRIBUTED
+    global rank, the operation a naive plan does with one
+    row_number() over an unpartitioned window (all 100 TB through a
+    single task; exactly what the oracle is allowed to do at sf0.01 and
+    the engine is not). Two-pass shape, the pack_sequences prefix-sum
+    idiom applied to ranking:
+
+      1. ``repartitionByRange`` on the full sort key (unique composite, so
+         ranges are disjoint and output is deterministic regardless of
+         where the sampled boundaries fall) + per-partition row_number —
+         parallel across range partitions;
+      2. per-partition row counts (tiny: one row per partition) are
+         prefix-summed in a single-partition window over
+         RANK_RANGE_PARTS rows and broadcast back; global rank = local
+         rank + partition offset.
+
+    The decile id is then a row-local expression (floor((rank-1)*10/N),
+    the identical formula the oracle computes from its row_number — NOT
+    ntile(), whose remainder distribution differs), and the per-decile
+    stats are one partial-aggregatable hash agg. The window after the
+    range repartition keys on the range-partition ordinal, so rows are
+    already co-located; Spark still plans a pid hash exchange (keying a
+    window on spark_partition_id is opaque to the optimizer) — the
+    accepted cost of avoiding the single-task global sort."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    part = o.repartitionByRange(
+        RANK_RANGE_PARTS, "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = part.withColumn("lrank", F.row_number().over(wp))
+    # one row per range partition; the unpartitioned window is over
+    # RANK_RANGE_PARTS rows by construction (pack_sequences idiom)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    nn = o.agg(F.count("*").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets.select("pid", "off")), "pid")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("rnk", F.col("lrank") + F.col("off"))
+    )
+    decile = (
+        F.floor((F.col("rnk") - 1) * N_DECILES / F.col("n")) + 1
+    ).cast("long")
+    return (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

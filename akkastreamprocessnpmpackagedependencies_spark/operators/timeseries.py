@@ -302,8 +302,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream to at most (users x weeks) rows before the join, so the
     join never sees raw-event cardinality."""
     e = load_table(spark, sf_dir, "events")
+    # DATE, not timestamp: DuckDB's date_trunc('week', ts) yields a DATE,
+    # Spark's a midnight timestamp — align on the date form
     first_week = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
     )
     active = e.select(
         "user_id", F.date_trunc("week", "ts").alias("week")
@@ -457,3 +459,108 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wl).alias("valid_to"),
         "n_events",
     )
+
+
+@REG.add(
+    "session_concurrency_hourly",
+    f"""
+    WITH sessions AS ({_SESSION_SQL})
+    SELECT h AS hour, CAST(count(*) AS BIGINT) AS n_active_sessions
+    FROM (
+      SELECT unnest(generate_series(date_trunc('hour', session_start),
+                                    date_trunc('hour', session_end),
+                                    INTERVAL 1 HOUR)) AS h
+      FROM sessions)
+    GROUP BY h
+    """,
+)
+def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour session concurrency: how many sessions were open during
+    each hour bucket. The scale lesson is the JOIN-FREE interval shape:
+    instead of an interval join of sessions against an hour grid (a range
+    theta-join that degenerates at 100 TB), each session EXPLODES into
+    exactly the hour ticks it covers — output bounded by session length,
+    embarrassingly parallel, and the only shuffle is the final hash agg
+    on the hour tick. Sessions come from the sessionize operator, so the
+    whole plan is one user_id shuffle (shared by both its windows), one
+    narrow explode, one hour agg. No reference analogue (the reference
+    has no timestamps — SURVEY.md §2.8); this is the north-star
+    event-time surface."""
+    s = events_sessionize(spark, sf_dir)
+    hours = s.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("session_start")),
+                F.date_trunc("hour", F.col("session_end")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour")
+    )
+    return hours.groupBy("hour").agg(
+        F.count("*").cast("long").alias("n_active_sessions")
+    )
+
+
+@REG.add(
+    "session_overlap_pairs",
+    f"""
+    WITH sessions AS ({_SESSION_SQL})
+    SELECT CAST(greatest(a.session_start, b.session_start) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_overlap_pairs
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id
+     AND a.session_start <= b.session_end
+     AND b.session_start <= a.session_end
+    GROUP BY 1
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user concurrent-session pairs per day — the interval
+    self-join, done with BUCKETED BLOCKING instead of the quadratic
+    theta-join the oracle runs (DuckDB's IEJoin is fine at sf0.01; a
+    naive inequality join over 100 TB of sessions is not). Each session
+    is exploded into its covering hour buckets; candidate pairs come
+    from an EQUI-join on the bucket (co-partitioned, shuffle on the hour
+    key); the true overlap predicate then filters candidates, and each
+    overlapping pair is counted exactly once by keeping it only in the
+    FIRST bucket the two sessions share (hour == greatest of the two
+    truncated starts — the same dedupe-at-first-block trick the
+    chargram/simhash banded pipelines use, operators/dedup.py). Within a
+    bucket the pair count is bounded by per-hour concurrency, not corpus
+    size, so the worst case is skew on a hot hour — the named mitigation
+    is salting the hour key (operators/relational.py skew_salted_join).
+    Same-user pairs are excluded (a user's sessions are disjoint by
+    construction: a >30-min gap separates them)."""
+    s = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    b = s.withColumn(
+        "hour",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("session_start")),
+                F.date_trunc("hour", F.col("session_end")),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(c, (F.col("a.hour") == F.col("b.hour")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .filter(
+            (F.col("a.session_start") <= F.col("b.session_end"))
+            & (F.col("b.session_start") <= F.col("a.session_end"))
+        )
+        .filter(
+            F.col("a.hour")
+            == F.greatest(
+                F.date_trunc("hour", F.col("a.session_start")),
+                F.date_trunc("hour", F.col("b.session_start")),
+            )
+        )
+    )
+    return pairs.groupBy(
+        F.to_date(
+            F.greatest(F.col("a.session_start"), F.col("b.session_start"))
+        ).alias("day")
+    ).agg(F.count("*").cast("long").alias("n_overlap_pairs"))

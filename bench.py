@@ -129,6 +129,12 @@ HEADLINE = [
     "corpus_pipeline_verdicts",
     "asof_cogroup_pandas",
     "scd2_user_tiers",
+    # round-4 final additions: graph closure, interval analytics,
+    # distributed global rank
+    "npm_transitive_deps",
+    "session_concurrency_hourly",
+    "session_overlap_pairs",
+    "equi_depth_deciles",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Behavioral checks for the round-4 final additions: bounded transitive
+closure over the npm graph, session interval analytics, and the
+distributed-global-rank equi-depth deciles. Each is also oracle-verified
+(tools/oracle_check.py); these tests assert the semantic invariants a
+wrong implementation cannot fake — serial recomputation for the interval
+ops, graph axioms for the closure, balance/order axioms for the rank."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+    equi_depth_deciles,
+)
+from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+    events_sessionize,
+    session_concurrency_hourly,
+    session_overlap_pairs,
+)
+
+
+def _sessions(spark, sf_dir):
+    return [
+        (r.user_id, r.session_start, r.session_end)
+        for r in events_sessionize(spark, sf_dir).collect()
+    ]
+
+
+def test_transitive_depth1_equals_direct_edges(spark):
+    tc = entry._npm_transitive_deps(spark, "").collect()
+    direct = {(r.src, r.dst) for r in entry._npm_edges(spark).collect()}
+    got1 = {(r.package, r.dep) for r in tc if r.hops == 1}
+    assert got1 == direct
+    # min-hop: no pair at hops>1 may also be a direct edge
+    for r in tc:
+        if r.hops > 1:
+            assert (r.package, r.dep) not in direct
+    assert all(1 <= r.hops <= entry.TC_HOPS for r in tc)
+
+
+def test_transitive_matches_serial_bfs(spark):
+    """Serial bounded BFS over the collected edge list must agree
+    pair-for-pair with the distributed closure."""
+    edges = [(r.src, r.dst) for r in entry._npm_edges(spark).collect()]
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want: dict[tuple[str, str], int] = {}
+    frontier = {(s, d) for s, d in edges}
+    for h in range(1, entry.TC_HOPS + 1):
+        for s, d in frontier:
+            want.setdefault((s, d), h)
+        frontier = {
+            (s, n) for s, d in frontier for n in adj.get(d, ())
+        }
+    got = {
+        (r.package, r.dep): r.hops
+        for r in entry._npm_transitive_deps(spark, "").collect()
+    }
+    assert got == want
+
+
+def test_session_concurrency_matches_serial_sweep(spark, sf_dir):
+    """Serial recount: for every hour tick the engine reports, count the
+    collected sessions whose [start, end] interval touches that hour."""
+    import datetime
+
+    sess = _sessions(spark, sf_dir)
+    got = {
+        r.hour: r.n_active_sessions
+        for r in session_concurrency_hourly(spark, sf_dir).collect()
+    }
+    want: dict[datetime.datetime, int] = {}
+    for _, s, e in sess:
+        h = s.replace(minute=0, second=0, microsecond=0)
+        end_h = e.replace(minute=0, second=0, microsecond=0)
+        while h <= end_h:
+            want[h] = want.get(h, 0) + 1
+            h += datetime.timedelta(hours=1)
+    assert got == want
+
+
+def test_session_overlap_pairs_match_serial_quadratic(spark, sf_dir):
+    """Serial O(n^2) overlap count per day must equal the bucketed join's
+    output — the blocking must neither drop a pair (recall) nor count one
+    twice (the first-shared-bucket dedupe)."""
+    sess = _sessions(spark, sf_dir)
+    want: dict = {}
+    for i in range(len(sess)):
+        for j in range(len(sess)):
+            (ua, sa, ea), (ub, sb, eb) = sess[i], sess[j]
+            if ua < ub and sa <= eb and sb <= ea:
+                day = max(sa, sb).date()
+                want[day] = want.get(day, 0) + 1
+    got = {
+        r.day: r.n_overlap_pairs
+        for r in session_overlap_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_equi_depth_deciles_are_balanced_and_ordered(spark, sf_dir):
+    rows = sorted(equi_depth_deciles(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # exact equi-depth
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # value ranges are disjoint and ascending

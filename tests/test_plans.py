@@ -317,3 +317,51 @@ def test_snapshot_diff_is_one_keyed_full_outer(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_overlap_pairs_is_bucketed_equi_join(spark, sf_dir):
+    """The interval self-join must come from the hour-bucket EQUI-join
+    (candidates co-partitioned on the bucket key), never a nested-loop /
+    cartesian theta-join over sessions — that is the whole scale point
+    vs the oracle's IEJoin."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        session_overlap_pairs,
+    )
+
+    plan = _plan(session_overlap_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hour" in plan
+
+
+def test_session_concurrency_is_join_free(spark, sf_dir):
+    """Hourly concurrency must be explode + hash agg — no join operator of
+    any kind in the plan (the interval-grid join is the anti-pattern)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        session_concurrency_hourly,
+    )
+
+    plan = _plan(session_concurrency_hourly(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_equi_depth_rank_is_range_partitioned_not_single_task(spark, sf_dir):
+    """The global rank must ride a range repartition (parallel per-range
+    row_number), NOT one unpartitioned window over the full orders frame:
+    the only unpartitioned window allowed is the offsets prefix-sum over
+    one row per range partition. Detect: a rangepartitioning exchange on
+    the sort key exists, and the full-frame window keys on pid."""
+    plan = _plan(relational.equi_depth_deciles(spark, sf_dir))
+    assert "rangepartitioning(o_totalprice" in plan
+    assert "windowspecdefinition(pid" in plan
+
+
+def test_transitive_deps_rounds_are_equi_joins(spark):
+    """Every frontier expansion must be a keyed equi-join on the
+    (frontier.dst = edges.src) column — no cartesian growth."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._npm_transitive_deps(spark, ""))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

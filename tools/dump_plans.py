@@ -57,6 +57,10 @@ SHOWCASE = [
     ("corpus_pipeline_verdicts", "full corpus-prep composition: 4 doc_id joins over audited stages"),
     ("scd2_user_tiers", "SCD2 interval build: two windows + agg + lead on ONE user_id exchange"),
     ("asof_cogroup_pandas", "as-of via cogroup applyInPandas (the per-key pandas escape hatch)"),
+    ("npm_transitive_deps", "bounded min-hop closure: per-round frontier equi-join + distinct"),
+    ("session_concurrency_hourly", "join-free interval analytics: covering-hour explode + hash agg"),
+    ("session_overlap_pairs", "interval self-join via hour-bucket equi-join + first-bucket dedupe"),
+    ("equi_depth_deciles", "distributed exact global rank: range repartition + offset prefix sum"),
 ]
 
 PREAMBLE_NOTES = """\
