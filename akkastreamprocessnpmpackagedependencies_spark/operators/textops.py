@@ -670,3 +670,105 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+MIX_TOKEN_BUDGET = 1_000_000  # target token budget the mixture allocates
+
+
+@REG.add(
+    "source_mixing_weights",
+    f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    raw AS (
+      SELECT source, n_docs, n_tokens, sqrt(n_tokens) AS raw_w
+      FROM per_source),
+    tot AS (
+      SELECT CAST(sum(CAST(raw_w AS DECIMAL(18,6))) AS DOUBLE) AS total_w
+      FROM raw)
+    SELECT source, n_docs, n_tokens,
+           raw_w / total_w AS weight,
+           raw_w / total_w * {MIX_TOKEN_BUDGET} / n_tokens AS epochs
+    FROM raw CROSS JOIN tot
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per corpus source with temperature
+    rebalancing — the data-mixing step of an LLM pipeline (the published
+    multilingual/temperature-sampling recipe: raise each source's token
+    mass to a power < 1 so small sources are upsampled relative to their
+    natural share, then renormalize). Exponent fixed at 0.5 (sqrt)
+    deliberately: sqrt is IEEE correctly-rounded, so both engines get
+    bit-identical raw weights, while pow(x, 0.7) is libm-dependent and
+    would flake the value hash. ``epochs`` converts the weight into how
+    many passes over a source the MIX_TOKEN_BUDGET implies (>1 means
+    upsampled/repeated, <1 means subsampled). Shape: one documents scan
+    into a partial-aggregatable (source) agg — sources are few, so the
+    normalizing total is a 1-row broadcast frame; everything after the
+    scan is driver-trivial. At 100 TB the scan dominates and parallelizes
+    per input split; the token count reuses the token_counts whitespace
+    tokenizer so mixture mass matches the profiling queries."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    raw = per_source.withColumn("raw_w", F.sqrt(F.col("n_tokens")))
+    # normalizing total via an unpartitioned window over the PER-SOURCE
+    # frame (<= #sources rows — the pack_sequences tiny-frame idiom), NOT a
+    # separate aggregate: a second agg branch re-scans documents (Spark
+    # does not dedupe shared subplans), doubling the 100 TB scan
+    raw = raw.withColumn(
+        "total_w",
+        F.sum(F.col("raw_w").cast("decimal(18,6)")).over(W.partitionBy()).cast("double"),
+    )
+    return raw.select(
+        "source", "n_docs", "n_tokens",
+        (F.col("raw_w") / F.col("total_w")).alias("weight"),
+        (F.col("raw_w") / F.col("total_w") * MIX_TOKEN_BUDGET / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+SAMPLE_P = 2_147_483_647  # hash modulus (2^31 - 1)
+SAMPLE_CHARS_AT_P1 = 2000  # docs this long (or longer) are always kept
+
+
+@REG.add(
+    "length_weighted_sample",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % {SAMPLE_P}
+          < least({SAMPLE_P},
+                  n_chars * {SAMPLE_P // SAMPLE_CHARS_AT_P1})
+    """,
+)
+def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with EXACT integer arithmetic: keep a
+    document with probability proportional to its length (capped at 1 at
+    SAMPLE_CHARS_AT_P1 chars) by comparing a 31-bit key hash against an
+    integer threshold — the deterministic form of importance sampling a
+    training-data pipeline uses to favor long documents. Everything is
+    integer (md5-derived hash, integer-division scale factor), so
+    membership is bit-identical across engines, runs, and partitionings —
+    no pow/exp in sight (the classic u^(1/w) reservoir key needs
+    transcendentals whose last-ulp differs between libms; near-threshold
+    rows would flake a cross-engine gate). Row-local predicate, zero
+    shuffles, trivially pushdown-friendly at 100 TB. Same md5-prefix
+    idiom as deterministic_sample / dataset_split_assign
+    (relational.py / above)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_P
+    )
+    threshold = F.least(
+        F.lit(SAMPLE_P),
+        F.col("n_chars") * F.lit(SAMPLE_P // SAMPLE_CHARS_AT_P1),
+    )
+    return d.filter(h < threshold).select("doc_id", "source", "n_chars")

@@ -135,6 +135,8 @@ HEADLINE = [
     "session_concurrency_hourly",
     "session_overlap_pairs",
     "equi_depth_deciles",
+    "source_mixing_weights",
+    "length_weighted_sample",
 ]
 
 

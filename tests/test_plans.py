@@ -365,3 +365,25 @@ def test_transitive_deps_rounds_are_equi_joins(spark):
     plan = _plan(entry._npm_transitive_deps(spark, ""))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_weighted_sample_is_row_local(spark, sf_dir):
+    """Weighted Bernoulli membership is a pure row predicate — the plan
+    must contain no Exchange at all."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import textops
+
+    plan = _plan(textops.length_weighted_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_source_mixing_is_one_scan_with_partial_agg(spark, sf_dir):
+    """Mixture weights must read documents ONCE (the normalizing total
+    rides a window over the tiny per-source frame, not a second agg
+    branch — Spark does not dedupe shared subplans, so a second branch
+    would re-scan the corpus), aggregating with map-side combine."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import textops
+
+    plan = _plan(textops.source_mixing_weights(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "partial_" in plan
+    assert "Window" in plan

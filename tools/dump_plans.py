@@ -61,6 +61,8 @@ SHOWCASE = [
     ("session_concurrency_hourly", "join-free interval analytics: covering-hour explode + hash agg"),
     ("session_overlap_pairs", "interval self-join via hour-bucket equi-join + first-bucket dedupe"),
     ("equi_depth_deciles", "distributed exact global rank: range repartition + offset prefix sum"),
+    ("source_mixing_weights", "temperature mixing weights: one scan, tiny-frame normalizing window"),
+    ("length_weighted_sample", "weighted Bernoulli sample: integer hash threshold, zero exchanges"),
 ]
 
 PREAMBLE_NOTES = """\
