@@ -1941,3 +1941,91 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+from ..functions.layout import sql_morton_key as _sql_morton_key
+
+_SQL_MORTON = _sql_morton_key("l_partkey", "l_suppkey")
+
+ZBUCKET_SHIFT = 10  # morton key >> 10: fine-grained curve buckets
+
+
+@REG.add(
+    "zorder_bucket_profile",
+    f"""
+    SELECT ({_SQL_MORTON} >> {ZBUCKET_SHIFT}) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def zorder_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout profile over (l_partkey, l_suppkey):
+    interleave the two key dimensions' bits into one curve key and profile
+    each high-order curve bucket — the clustering behind Delta/Iceberg
+    Z-ORDER. Each bucket's (part_lo..part_hi, supp_lo..supp_hi) box is a
+    small rectangle of the 2-D key space, which is exactly why a file
+    layout sorted by the curve key gives selective parquet min/max zone
+    maps on EITHER dimension (single-column range clustering,
+    io.write_sorted_for_zone_maps, only prunes its own column). The key
+    is pure integer shifts/masks (functions/layout.py) mirrored
+    character-for-character in the oracle — no floats, bit-identical
+    across engines. Row-local key + one partial-aggregatable hash agg;
+    the write-side counterpart is io.write_zordered (pytest measures the
+    per-file rectangle shrink vs a naive layout)."""
+    from ..functions.layout import morton_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = morton_key(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.groupBy(F.shiftright(z, ZBUCKET_SHIFT).alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+    )
+
+
+@REG.add(
+    "key_skew_profile",
+    """
+    WITH k AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT)            AS n_keys,
+           CAST(max(cnt) AS BIGINT)            AS max_cnt,
+           CAST(min(cnt) AS BIGINT)            AS min_cnt,
+           CAST(sum(cnt) AS BIGINT)            AS n_rows,
+           CAST(max(cnt) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) / count(*))
+                                               AS skew_ratio
+    FROM k
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key cardinality profile collapsed
+    to the numbers that predict whether a groupBy/join on this key will
+    hot-spot — max vs mean per-key row count (skew_ratio ~1 = uniform;
+    >>1 = a straggler task at shuffle time). This is the query you run
+    BEFORE a 100 TB join to decide between a plain hash join, salting
+    (skew_salted_join), or AQE skew-split. Two partial-aggregatable
+    stages: (key) counts, then a 1-row reduce over them; the wide row
+    count never leaves stage one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return k.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.min("cnt").cast("long").alias("min_cnt"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count("*"))
+        ).alias("skew_ratio"),
+    )

@@ -185,3 +185,47 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered layout: range-partition and sort by the Morton
+    interleave of two key columns (functions/layout.py), so EVERY output
+    file covers a small rectangle of the 2-D key space and parquet
+    min/max zone maps prune on either dimension. The single-column
+    variant (write_sorted_for_zone_maps) leaves the second column
+    unclustered — a predicate on it scans every file. One range shuffle
+    + narrow in-partition sort, same cost shape as the 1-D layout.
+
+    Dimensions are NORMALIZED to the full 16-bit scale from their actual
+    min/max before interleaving (one tiny pre-aggregation — the same
+    trick Delta's OPTIMIZE ZORDER uses via per-column range ids): raw
+    interleave of unequal-cardinality keys degenerates to sorting by the
+    wider key alone, because the narrow key's high bits are constant
+    zero and never reach the curve's top bits."""
+    from ..functions.layout import MORTON_MASK, morton_key
+
+    st = df.agg(
+        F.min(x_col).alias("xl"), F.max(x_col).alias("xh"),
+        F.min(y_col).alias("yl"), F.max(y_col).alias("yh"),
+    ).first()
+
+    def scaled(col: str, lo, hi):
+        span = max(1, hi - lo)
+        return F.floor((F.col(col) - F.lit(lo)) * MORTON_MASK / F.lit(span))
+
+    z = morton_key(scaled(x_col, st.xl, st.xh), scaled(y_col, st.yl, st.yh))
+    (
+        df.withColumn("__zkey", z)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -137,6 +137,8 @@ HEADLINE = [
     "equi_depth_deciles",
     "source_mixing_weights",
     "length_weighted_sample",
+    "zorder_bucket_profile",
+    "key_skew_profile",
 ]
 
 

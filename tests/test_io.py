@@ -240,3 +240,31 @@ def test_auditsink_abort_removes_parts(tmp_path):
     assert [m.checksum for m in msgs] == [30, 30]
     w.abort(msgs)
     assert not any(os.path.exists(m.part_file) for m in msgs)
+
+
+def test_zordered_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Per-file key rectangles: the z-ordered layout must shrink the
+    average per-file extent of BOTH dimensions vs a naive (unclustered)
+    write; the 1-D range layout only shrinks its own sort column."""
+    import akkastreamprocessnpmpackagedependencies_spark.sources.io as sio
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, npath = str(tmp_path / "zord"), str(tmp_path / "naive")
+    sio.write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(npath)
+
+    def mean_extent(path: str, col: str) -> float:
+        import glob
+        import pyarrow.parquet as pq
+
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                widths.append(max(t) - min(t))
+        return sum(widths) / len(widths)
+
+    for col in ("l_partkey", "l_suppkey"):
+        assert mean_extent(zpath, col) < 0.7 * mean_extent(npath, col), col

@@ -387,3 +387,18 @@ def test_source_mixing_is_one_scan_with_partial_agg(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert "partial_" in plan
     assert "Window" in plan
+
+
+def test_zorder_profile_key_is_row_local(spark, sf_dir):
+    """The Morton key must be a pure projection — exactly one exchange in
+    the whole plan (the profile agg), nothing for the key itself."""
+    plan = _plan(relational.zorder_bucket_profile(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Scan parquet" in plan
+
+
+def test_key_skew_profile_reduces_in_two_partial_stages(spark, sf_dir):
+    """Both stages must show map-side partial aggregation; the raw row
+    count never crosses a shuffle un-combined."""
+    plan = _plan(relational.key_skew_profile(spark, sf_dir))
+    assert plan.count("partial_") >= 2

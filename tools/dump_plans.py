@@ -63,6 +63,8 @@ SHOWCASE = [
     ("equi_depth_deciles", "distributed exact global rank: range repartition + offset prefix sum"),
     ("source_mixing_weights", "temperature mixing weights: one scan, tiny-frame normalizing window"),
     ("length_weighted_sample", "weighted Bernoulli sample: integer hash threshold, zero exchanges"),
+    ("zorder_bucket_profile", "Morton-curve layout profile: row-local integer key + hash agg"),
+    ("key_skew_profile", "skew diagnostic: two partial-aggregatable stages, 1-row reduce"),
 ]
 
 PREAMBLE_NOTES = """\
