@@ -294,3 +294,31 @@ def test_funnel_counts_match_serial_scan(spark, seqs):
     d = _write_events(spark, rows)
     got = {r.stage: r.n_users for r in events_funnel_conversion(spark, d).collect()}
     assert got == {1: s1, 2: s2, 3: s3}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_morton_key_matches_bit_interleave(spark, xys):
+    """The shift/mask cascade must equal the literal per-bit interleave,
+    and the key must be monotone under the curve's locality property
+    (equal prefixes => nearby cells share high bits)."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions.layout import morton_key
+
+    def serial(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(xys, "x long, y long").select(
+        "x", "y", morton_key(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == serial(r.x, r.y), (r.x, r.y)
