@@ -32,7 +32,7 @@ from ..functions.text import (
     sql_word_shingles,
     word_shingles,
 )
-from ..session import load_scaled, load_table
+from ..session import ckpt, load_scaled, load_table
 from .registry import Registry
 
 REG = Registry()
@@ -225,7 +225,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query (round-3 verdict #7; asserted by
     tests/test_llm_ops.py::test_lsh_queries_release_their_caches)."""
     sig = _signatures(load_scaled(spark, sf_dir, "documents")).persist()
-    pairs = _banded_pairs(sig, "sh", JACCARD_THRESHOLD).localCheckpoint()
+    pairs = _banded_pairs(sig, "sh", JACCARD_THRESHOLD).transform(ckpt)
     sig.unpersist()
     return pairs
 
@@ -309,9 +309,9 @@ def cc_alternating_star(
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(ckpt)
     )
-    cur = edges.localCheckpoint()
+    cur = edges.transform(ckpt)
     rounds = 0
     for _ in range(max_rounds):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -333,7 +333,7 @@ def cc_alternating_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        new = small.localCheckpoint()
+        new = small.transform(ckpt)
         rounds += 1
         converged = new.count() == cur.count() and cur.exceptAll(new).isEmpty()
         cur = new
@@ -567,7 +567,7 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the (small) pair set, then release the fingerprint cache
     # — no persisted frame outlives the query (round-3 verdict #7)
-    out = cross.unionByName(within).localCheckpoint()
+    out = cross.unionByName(within).transform(ckpt)
     sim.unpersist()
     return out
 
@@ -636,7 +636,7 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the intersect work runs wide.
     pairs = _banded_pairs(
         sig, "hb", CHARGRAM_JACCARD, pin_partitions=spark.sparkContext.defaultParallelism
-    ).localCheckpoint()
+    ).transform(ckpt)
     sig.unpersist()
     return pairs
 
@@ -702,7 +702,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("corpus_doc"),
             "jaccard",
         )
-        .localCheckpoint()
+        .transform(ckpt)
     )
     sig.unpersist()
     return pairs

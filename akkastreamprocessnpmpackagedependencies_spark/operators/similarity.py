@@ -34,7 +34,7 @@ from ..functions.vector import (
     sql_cosine,
     sql_lsh_bucket,
 )
-from ..session import load_scaled
+from ..session import ckpt, load_scaled
 from .registry import Registry
 
 REG = Registry()
@@ -437,7 +437,7 @@ def kmeans_fit(
         inertia.append(asg.agg(F.sum("d2")).first()[0])
         if prev is not None:
             prev.unpersist()
-        cent = _update(asg).localCheckpoint()
+        cent = _update(asg).transform(ckpt)
     e.unpersist()
     if asg is not None:
         asg.unpersist()

@@ -158,11 +158,27 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the escape hatch with the same one-shuffle-per-side cost. The same
     DuckDB ASOF oracle verifies both, so the two strategies are provably
     value-identical."""
-    e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    # The two sides are built from SEPARATE scans on purpose. Deriving
+    # both from one events DataFrame makes this a self-source cogroup:
+    # DeduplicateRelations re-ids the right child's attributes, and
+    # ColumnPruning then strips the right side down to its grouping key
+    # whenever the consumer doesn't read the full cogroup output (count(),
+    # select of a subset) — the pandas function receives signups WITHOUT
+    # its ts column and the join silently can't do its job (observed on
+    # Spark 4.1: `out.count()` delivered scols=['user_id']). Independent
+    # scans keep the attribute ids unique so pruning preserves both
+    # sides; the merge function also hard-fails on the symptom below
+    # rather than returning wrong rows.
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
     )
-    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    signups = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+    )
 
     def merge(p: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
         # np.searchsorted instead of pd.merge_asof: the per-group pandas
@@ -172,6 +188,13 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured, against the ~5 s trivial-function floor).
         import numpy as np
 
+        if "ts" not in s.columns:
+            raise ValueError(
+                "cogroup right side arrived without its data columns "
+                f"(got {list(s.columns)}): the self-source cogroup pruning "
+                "hazard — see the scan-separation comment in "
+                "asof_cogroup_pandas"
+            )
         if len(p) == 0:
             return pd.DataFrame({"event_id": [], "user_id": [], "ts": [], "signup_ts": []})
         out = p[["event_id", "user_id", "ts"]]

@@ -95,3 +95,27 @@ def load_events(spark: SparkSession, sf_dir: str):
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+# Lineage-truncation points in the iterative/eager operators route through
+# ``ckpt`` so tooling can bypass them: tools/dump_plans.py sets
+# CHECKPOINT_ENABLED = False to capture the REAL physical plan — a
+# localCheckpoint (eager OR lazy: the Dataset is rebuilt over a
+# LogicalRDD at creation time either way) replaces everything beneath it
+# with "Scan ExistingRDD" in explain output, hiding the very shapes
+# PLANS.md exists to show. Production behavior is the module default —
+# checkpoint on; the bypass exists only for plan capture, where nothing
+# is executed and lineage truncation is irrelevant.
+CHECKPOINT_ENABLED = True
+
+
+def ckpt(df):
+    """Locally checkpoint ``df`` (lineage truncation point). Under plan
+    capture the checkpoint becomes a ``persist()`` instead: explain keeps
+    the full plan visible (InMemoryRelation retains its child plan where
+    LogicalRDD discards it), while construction-time actions in the
+    iterative operators (the CC convergence checks) still materialize
+    once per round instead of re-deriving every prior round."""
+    import akkastreamprocessnpmpackagedependencies_spark.session as _s
+
+    return df.localCheckpoint() if _s.CHECKPOINT_ENABLED else df.persist()

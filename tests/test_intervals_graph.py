@@ -105,3 +105,21 @@ def test_equi_depth_deciles_are_balanced_and_ordered(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1  # exact equi-depth
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo  # value ranges are disjoint and ascending
+
+
+def test_asof_cogroup_survives_partial_consumption(spark, sf_dir):
+    """Regression: counting (or selecting a subset of) the cogroup output
+    lets ColumnPruning reach the cogroup node; with both sides derived
+    from ONE events frame the right side lost its ts column entirely and
+    every group crashed. The fix builds the sides from independent scans —
+    count() and a single-column select must both work and agree with full
+    collection."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.udx import (
+        asof_cogroup_pandas,
+    )
+
+    full = asof_cogroup_pandas(spark, sf_dir).collect()
+    n = asof_cogroup_pandas(spark, sf_dir).count()
+    assert n == len(full)
+    ids = asof_cogroup_pandas(spark, sf_dir).select("event_id").count()
+    assert ids == n

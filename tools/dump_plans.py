@@ -115,7 +115,14 @@ median-of-3 resolution.
 
 def main() -> None:
     import __spark_entry__ as entrymod
+    import akkastreamprocessnpmpackagedependencies_spark.session as sess
     from akkastreamprocessnpmpackagedependencies_spark.session import get_spark
+
+    # bypass checkpoints during plan capture: a localCheckpoint (eager or
+    # lazy) collapses everything beneath it to "Scan ExistingRDD" in
+    # explain output, hiding exactly the shapes this file exists to show
+    # (the banded-LSH join, the incremental-dedup delta asymmetry, ...)
+    sess.CHECKPOINT_ENABLED = False
 
     spark = get_spark("plans", shuffle_partitions=8)
     qs = entrymod.queries()
