@@ -1909,9 +1909,14 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
     local = part.withColumn("lrank", F.row_number().over(wp))
     # one row per range partition; the unpartitioned window is over
-    # RANK_RANGE_PARTS rows by construction (pack_sequences idiom)
+    # RANK_RANGE_PARTS rows by construction (pack_sequences idiom).
+    # Derived from ``part`` (pre-window), NOT ``local``: Spark does not
+    # share subplans between branches, so hanging this off ``local``
+    # re-executes the per-partition Sort+Window just to count rows — the
+    # counts branch is the canonical two-pass ranking's histogram pass
+    # (scan + range exchange + agg) and nothing more.
     offsets = (
-        local.groupBy("pid")
+        part.groupBy("pid")
         .agg(F.count("*").alias("cnt"))
         .withColumn(
             "off",

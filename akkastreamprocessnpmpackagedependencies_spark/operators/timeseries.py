@@ -530,7 +530,11 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, so the worst case is skew on a hot hour — the named mitigation
     is salting the hour key (operators/relational.py skew_salted_join).
     Same-user pairs are excluded (a user's sessions are disjoint by
-    construction: a >30-min gap separates them)."""
+    construction: a >30-min gap separates them). Known trade-off: the
+    self-join's two branches each re-derive sessionize from the base scan
+    (Spark shares no subplans); a production pipeline materializes the
+    session table once and self-joins that — here the double derivation
+    keeps the query self-contained and oracle-lockstep."""
     s = events_sessionize(spark, sf_dir).select(
         "user_id", "session_id", "session_start", "session_end"
     )
