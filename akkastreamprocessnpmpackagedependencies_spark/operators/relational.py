@@ -1857,7 +1857,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_DECILES = 10
-RANK_RANGE_PARTS = 32  # range partitions for the distributed global rank
+RANK_BUCKETS = 64  # deterministic value buckets for the distributed rank
 
 
 @REG.add(
@@ -1885,36 +1885,47 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine is not). Two-pass shape, the pack_sequences prefix-sum
     idiom applied to ranking:
 
-      1. ``repartitionByRange`` on the full sort key (unique composite, so
-         ranges are disjoint and output is deterministic regardless of
-         where the sampled boundaries fall) + per-partition row_number —
-         parallel across range partitions;
-      2. per-partition row counts (tiny: one row per partition) are
-         prefix-summed in a single-partition window over
-         RANK_RANGE_PARTS rows and broadcast back; global rank = local
-         rank + partition offset.
+      1. a VALUE-DERIVED bucket id — equi-width on [min, max] of the sort
+         column, computed from a column-pruned scalar pre-aggregation —
+         keys a per-bucket row_number window (parallel across buckets);
+      2. per-bucket row counts (tiny: one row per bucket) are
+         prefix-summed in a single-partition window over RANK_BUCKETS
+         rows, with the grand total taken off the same tiny frame, and
+         broadcast back; global rank = local rank + bucket offset.
+
+    The bucket id is deliberately a PURE FUNCTION OF THE VALUE, not
+    ``repartitionByRange`` + ``spark_partition_id``: RangePartitioner
+    SAMPLES its boundaries with a per-RDD seed, so the histogram branch
+    re-executing the exchange could land rows in different partitions
+    than the rank branch and silently corrupt the offsets unless
+    exchange reuse happens to kick in (review finding). A value-derived
+    bucket recomputes identically in every branch, and correctness needs
+    only disjoint ordered buckets — not balanced ones. Skew trade-off:
+    equi-width buckets inherit the value distribution's skew;
+    RANK_BUCKETS (64) over-partitions to smooth it, and the named
+    upgrade at real scale is quantile-derived boundaries from an
+    approx-quantile pre-pass.
 
     The decile id is then a row-local expression (floor((rank-1)*10/N),
     the identical formula the oracle computes from its row_number — NOT
     ntile(), whose remainder distribution differs), and the per-decile
-    stats are one partial-aggregatable hash agg. The window after the
-    range repartition keys on the range-partition ordinal, so rows are
-    already co-located; Spark still plans a pid hash exchange (keying a
-    window on spark_partition_id is opaque to the optimizer) — the
-    accepted cost of avoiding the single-task global sort."""
+    stats are one partial-aggregatable hash agg."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    part = o.repartitionByRange(
-        RANK_RANGE_PARTS, "o_totalprice", "o_orderkey"
-    ).withColumn("pid", F.spark_partition_id())
+    st = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    span = max(st.hi - st.lo, 1e-12)
+    bucket = F.least(
+        F.lit(RANK_BUCKETS - 1),
+        F.floor((F.col("o_totalprice") - F.lit(st.lo)) / F.lit(span) * RANK_BUCKETS),
+    ).cast("int")
+    part = o.withColumn("pid", bucket)
     wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
     local = part.withColumn("lrank", F.row_number().over(wp))
-    # one row per range partition; the unpartitioned window is over
-    # RANK_RANGE_PARTS rows by construction (pack_sequences idiom).
-    # Derived from ``part`` (pre-window), NOT ``local``: Spark does not
-    # share subplans between branches, so hanging this off ``local``
-    # re-executes the per-partition Sort+Window just to count rows — the
-    # counts branch is the canonical two-pass ranking's histogram pass
-    # (scan + range exchange + agg) and nothing more.
+    # one row per bucket; the unpartitioned window is over RANK_BUCKETS
+    # rows by construction (pack_sequences idiom). The branch re-derives
+    # the bucket expression from the scan — identical by construction —
+    # and the grand total rides the same tiny frame, so no third scan.
     offsets = (
         part.groupBy("pid")
         .agg(F.count("*").alias("cnt"))
@@ -1927,13 +1938,11 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ),
         )
+        .withColumn("n", F.sum("cnt").over(W.partitionBy()))
     )
-    nn = o.agg(F.count("*").alias("n"))
-    ranked = (
-        local.join(F.broadcast(offsets.select("pid", "off")), "pid")
-        .crossJoin(F.broadcast(nn))
-        .withColumn("rnk", F.col("lrank") + F.col("off"))
-    )
+    ranked = local.join(
+        F.broadcast(offsets.select("pid", "off", "n")), "pid"
+    ).withColumn("rnk", F.col("lrank") + F.col("off"))
     decile = (
         F.floor((F.col("rnk") - 1) * N_DECILES / F.col("n")) + 1
     ).cast("long")

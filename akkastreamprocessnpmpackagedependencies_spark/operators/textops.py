@@ -734,6 +734,9 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_P = 2_147_483_647  # hash modulus (2^31 - 1)
 SAMPLE_CHARS_AT_P1 = 2000  # docs this long (or longer) are always kept
+# CEILING division: floor would leave a 1647-hash sliver of always-keep
+# docs droppable (n_chars*floor_scale < SAMPLE_P at exactly 2000 chars)
+SAMPLE_SCALE = -(-SAMPLE_P // SAMPLE_CHARS_AT_P1)
 
 
 @REG.add(
@@ -744,7 +747,7 @@ SAMPLE_CHARS_AT_P1 = 2000  # docs this long (or longer) are always kept
     WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
             % {SAMPLE_P}
           < least({SAMPLE_P},
-                  n_chars * {SAMPLE_P // SAMPLE_CHARS_AT_P1})
+                  n_chars * {SAMPLE_SCALE})
     """,
 )
 def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +772,6 @@ def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     threshold = F.least(
         F.lit(SAMPLE_P),
-        F.col("n_chars") * F.lit(SAMPLE_P // SAMPLE_CHARS_AT_P1),
+        F.col("n_chars") * F.lit(SAMPLE_SCALE),
     )
     return d.filter(h < threshold).select("doc_id", "source", "n_chars")

@@ -115,7 +115,6 @@ def ckpt(df):
     the full plan visible (InMemoryRelation retains its child plan where
     LogicalRDD discards it), while construction-time actions in the
     iterative operators (the CC convergence checks) still materialize
-    once per round instead of re-deriving every prior round."""
-    import akkastreamprocessnpmpackagedependencies_spark.session as _s
-
-    return df.localCheckpoint() if _s.CHECKPOINT_ENABLED else df.persist()
+    once per round instead of re-deriving every prior round. The global
+    is read at call time, so tooling's module-attribute flip is seen."""
+    return df.localCheckpoint() if CHECKPOINT_ENABLED else df.persist()

@@ -215,6 +215,9 @@ def write_zordered(
         F.min(x_col).alias("xl"), F.max(x_col).alias("xh"),
         F.min(y_col).alias("yl"), F.max(y_col).alias("yh"),
     ).first()
+    if st.xl is None or st.yl is None:  # empty input: nothing to cluster
+        df.write.mode(mode).parquet(path)
+        return
 
     def scaled(col: str, lo, hi):
         span = max(1, hi - lo)

@@ -346,15 +346,18 @@ def test_session_concurrency_is_join_free(spark, sf_dir):
     assert "Generate explode" in plan
 
 
-def test_equi_depth_rank_is_range_partitioned_not_single_task(spark, sf_dir):
-    """The global rank must ride a range repartition (parallel per-range
-    row_number), NOT one unpartitioned window over the full orders frame:
-    the only unpartitioned window allowed is the offsets prefix-sum over
-    one row per range partition. Detect: a rangepartitioning exchange on
-    the sort key exists, and the full-frame window keys on pid."""
+def test_equi_depth_rank_is_bucket_partitioned_not_single_task(spark, sf_dir):
+    """The global rank must ride value-derived buckets (parallel
+    per-bucket row_number over a pid hash exchange), NOT one
+    unpartitioned window over the full orders frame — and NOT
+    repartitionByRange, whose sampled boundaries are not stable across
+    the rank and histogram branches. Orders is scanned exactly twice
+    (rank branch + histogram branch; N rides the tiny offsets frame)."""
     plan = _plan(relational.equi_depth_deciles(spark, sf_dir))
-    assert "rangepartitioning(o_totalprice" in plan
     assert "windowspecdefinition(pid" in plan
+    assert "Exchange hashpartitioning(pid" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("orders.parquet") == 2
 
 
 def test_transitive_deps_rounds_are_equi_joins(spark):

@@ -47,9 +47,10 @@ def main() -> None:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     tot_o = sum(old[q] for q in both)
     tot_n = sum(new[q] for q in both)
+    rate = f"{tot_n / tot_o:.2f}x" if tot_o else "n/a"
     print(
         f"common {len(both)} queries: {tot_o:.2f}s -> {tot_n:.2f}s "
-        f"({tot_n / tot_o:.2f}x); flagged >{ratio}x: {len(flagged)}"
+        f"({rate}); flagged >{ratio}x: {len(flagged)}"
     )
 
 
