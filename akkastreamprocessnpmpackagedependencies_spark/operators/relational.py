@@ -1856,6 +1856,40 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_global_rank(df, bucket, order_cols, rank_name="rnk"):
+    """Distributed exact global ranking — the shared two-pass idiom behind
+    equi_depth_deciles and dataset_shuffle_order (textops). ``bucket``
+    MUST be a deterministic pure function of row values ALIGNED with the
+    total order (every row in bucket i sorts before every row in bucket
+    i+1): a value-derived bucket recomputes identically in the rank and
+    histogram branches, where repartitionByRange's sampled boundaries
+    would not (see equi_depth_deciles' docstring for the hazard).
+    Returns ``df`` plus ``rank_name`` (global 1-based rank, long) and
+    ``__n`` (total row count, from the tiny histogram frame — no extra
+    scan); callers drop the ``__``-prefixed columns they don't use."""
+    part = df.withColumn("__pid", bucket)
+    wp = W.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__lrank", F.row_number().over(wp))
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__n", F.sum("__cnt").over(W.partitionBy()))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off", "__n")), "__pid")
+        .withColumn(rank_name, (F.col("__lrank") + F.col("__off")).cast("long"))
+    )
+
+
 N_DECILES = 10
 RANK_BUCKETS = 64  # deterministic value buckets for the distributed rank
 
@@ -1919,32 +1953,9 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(RANK_BUCKETS - 1),
         F.floor((F.col("o_totalprice") - F.lit(st.lo)) / F.lit(span) * RANK_BUCKETS),
     ).cast("int")
-    part = o.withColumn("pid", bucket)
-    wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    local = part.withColumn("lrank", F.row_number().over(wp))
-    # one row per bucket; the unpartitioned window is over RANK_BUCKETS
-    # rows by construction (pack_sequences idiom). The branch re-derives
-    # the bucket expression from the scan — identical by construction —
-    # and the grand total rides the same tiny frame, so no third scan.
-    offsets = (
-        part.groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("cnt").over(
-                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn("n", F.sum("cnt").over(W.partitionBy()))
-    )
-    ranked = local.join(
-        F.broadcast(offsets.select("pid", "off", "n")), "pid"
-    ).withColumn("rnk", F.col("lrank") + F.col("off"))
+    ranked = bucketed_global_rank(o, bucket, ["o_totalprice", "o_orderkey"])
     decile = (
-        F.floor((F.col("rnk") - 1) * N_DECILES / F.col("n")) + 1
+        F.floor((F.col("rnk") - 1) * N_DECILES / F.col("__n")) + 1
     ).cast("long")
     return (
         ranked.groupBy(decile.alias("decile"))

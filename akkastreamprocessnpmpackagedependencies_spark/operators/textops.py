@@ -775,3 +775,54 @@ def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars") * F.lit(SAMPLE_SCALE),
     )
     return d.filter(h < threshold).select("doc_id", "source", "n_chars")
+
+
+SHUFFLE_SEED = "epoch1"  # change per epoch for a fresh deterministic order
+SHUFFLE_BUCKET_BITS = 6  # 64 hash buckets for the distributed rank
+
+
+@REG.add(
+    "dataset_shuffle_order",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}'), 1, 8)
+                  AS BIGINT) AS skey
+      FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS shuffle_pos
+    FROM k
+    """,
+)
+def dataset_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training data: every document gets
+    a global position in a pseudo-random order that is a pure function of
+    (doc_id, SHUFFLE_SEED) — the same order on every engine, every run,
+    every partitioning, which is what makes a training run reproducible
+    and resumable mid-epoch (position N is always the same document; a
+    new seed gives an independent order for the next epoch). rand()-based
+    orderBy has neither property in Spark.
+
+    Built on the shared ``bucketed_global_rank`` two-pass idiom
+    (relational.py): the bucket is the hash key's TOP BITS, which is the
+    ideal case for value-derived bucketing — the md5-derived key is
+    uniform, so the 64 buckets are balanced by construction (where
+    equi_depth_deciles' value buckets inherit data skew). No global
+    sort, no sampled range boundaries; the oracle is the single-task
+    row_number the engine deliberately avoids."""
+    from .relational import bucketed_global_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    skey = (
+        F.conv(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))).substr(1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("skey")
+    )
+    keyed = d.select("doc_id", skey)
+    bucket = F.shiftright(F.col("skey"), 32 - SHUFFLE_BUCKET_BITS).cast("int")
+    ranked = bucketed_global_rank(keyed, bucket, ["skey", "doc_id"], "shuffle_pos")
+    return ranked.select("doc_id", "shuffle_pos")

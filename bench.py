@@ -139,6 +139,7 @@ HEADLINE = [
     "length_weighted_sample",
     "zorder_bucket_profile",
     "key_skew_profile",
+    "dataset_shuffle_order",
 ]
 
 

@@ -123,3 +123,18 @@ def test_asof_cogroup_survives_partial_consumption(spark, sf_dir):
     assert n == len(full)
     ids = asof_cogroup_pandas(spark, sf_dir).select("event_id").count()
     assert ids == n
+
+
+def test_shuffle_order_is_a_permutation_and_seed_stable(spark, sf_dir):
+    from akkastreamprocessnpmpackagedependencies_spark.operators.textops import (
+        dataset_shuffle_order,
+    )
+
+    rows = dataset_shuffle_order(spark, sf_dir).collect()
+    pos = sorted(r.shuffle_pos for r in rows)
+    assert pos == list(range(1, len(rows) + 1))  # exact permutation
+    again = {r.doc_id: r.shuffle_pos for r in dataset_shuffle_order(spark, sf_dir).collect()}
+    assert {r.doc_id: r.shuffle_pos for r in rows} == again  # run-stable
+    # and genuinely shuffled: not the identity order
+    by_doc = sorted(rows, key=lambda r: r.doc_id)
+    assert [r.shuffle_pos for r in by_doc] != sorted(r.shuffle_pos for r in by_doc)

@@ -354,8 +354,8 @@ def test_equi_depth_rank_is_bucket_partitioned_not_single_task(spark, sf_dir):
     the rank and histogram branches. Orders is scanned exactly twice
     (rank branch + histogram branch; N rides the tiny offsets frame)."""
     plan = _plan(relational.equi_depth_deciles(spark, sf_dir))
-    assert "windowspecdefinition(pid" in plan
-    assert "Exchange hashpartitioning(pid" in plan
+    assert "windowspecdefinition(__pid" in plan
+    assert "Exchange hashpartitioning(__pid" in plan
     assert "rangepartitioning" not in plan
     assert plan.count("orders.parquet") == 2
 
@@ -405,3 +405,14 @@ def test_key_skew_profile_reduces_in_two_partial_stages(spark, sf_dir):
     count never crosses a shuffle un-combined."""
     plan = _plan(relational.key_skew_profile(spark, sf_dir))
     assert plan.count("partial_") >= 2
+
+
+def test_shuffle_order_rank_is_bucket_partitioned(spark, sf_dir):
+    """The epoch shuffle must ride the same bucketed-rank shape: hash
+    exchange on the derived bucket, no rangepartitioning, no
+    unpartitioned window over the full documents frame."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import textops
+
+    plan = _plan(textops.dataset_shuffle_order(spark, sf_dir))
+    assert "windowspecdefinition(__pid" in plan
+    assert "rangepartitioning" not in plan

@@ -65,6 +65,7 @@ SHOWCASE = [
     ("length_weighted_sample", "weighted Bernoulli sample: integer hash threshold, zero exchanges"),
     ("zorder_bucket_profile", "Morton-curve layout profile: row-local integer key + hash agg"),
     ("key_skew_profile", "skew diagnostic: two partial-aggregatable stages, 1-row reduce"),
+    ("dataset_shuffle_order", "seeded epoch shuffle: bucketed global rank on uniform hash key"),
 ]
 
 PREAMBLE_NOTES = """\
