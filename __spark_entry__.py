@@ -46,7 +46,7 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # untouched since r2, and the r2-resting entries the new queries
 # displaced) carries an enforceable ``must_rotate=5`` marker in
 # evidence.json (`driver_check.py --must-rotate`), so round 5's
-# --evidence-update refuses a window without them — 34 promises total,
+# --evidence-update refuses a window without them — 35 promises total,
 # under round 5's 50 slots.
 _PRIORITY = [
     # flagship stays pinned in-window every round
@@ -79,13 +79,13 @@ _PRIORITY = [
     *["npm_transitive_deps", "session_concurrency_hourly",
       "session_overlap_pairs", "equi_depth_deciles",
       "source_mixing_weights", "length_weighted_sample",
-      "zorder_bucket_profile", "key_skew_profile", "dataset_shuffle_order"],
+      "zorder_bucket_profile", "key_skew_profile", "dataset_shuffle_order",
+      "multimodal_decode_audio"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
     *["pricing_summary", "asof_purchase_signup", "contamination_ngram_hits",
       "cosine_topk_bruteforce", "cosine_topk_ivf", "cosine_topk_lsh",
-      "dedup_exact_summary",
       ],
     # displaced by the late round-4 additions (window holds 50):
     # price_histogram, price_outliers_iqr, set_except,
@@ -95,7 +95,8 @@ _PRIORITY = [
     # json_funcs, and (displaced by the final-additions block)
     # events_sliding_1h_30m, events_tumbling_1h, grouped_median_pandas,
     # json_corrupt_tolerant, events_hourly_gapfill, events_sessionize,
-    # doc_fingerprints, embedding_centroids, dedup_normalized_hash — each
+    # doc_fingerprints, embedding_centroids, dedup_normalized_hash,
+    # dedup_exact_summary — each
     # carries a must_rotate=5 marker in evidence.json so round 5 cannot
     # skip them.
 ]

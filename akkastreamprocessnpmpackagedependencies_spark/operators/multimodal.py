@@ -314,3 +314,111 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(long_w, F.lit(224)).otherwise((F.lit(224) * w).cast("long") / h).cast("int").alias("dst_w"),
         F.when(long_w, ((F.lit(224) * h).cast("long") / w).cast("int")).otherwise(F.lit(224)).alias("dst_h"),
     )
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, duration_ms double, "
+    "rms double, peak int"
+)
+AUDIO_RATE = 16000  # Hz, the fixture corpus' nominal sample rate
+
+
+def decode_audio_real(df: DataFrame) -> DataFrame:
+    """Production audio-decode operator over RIFF/WAV payloads, parsed
+    with the stdlib ``wave`` module — a REAL container parse (chunk
+    layout, fmt block, frame extraction), no codec library needed for
+    PCM. Compressed formats (mp3/ogg/...) would need an external decoder
+    and raise ``wave.Error`` here — the honest seam, same contract as
+    ``decode_image_real``'s PIL branch.
+
+    Execution shape: payloads stay on the scanning executor
+    (Arrow-batched ``mapInPandas``); only small typed feature rows
+    return. rms is sqrt(sum(s^2)/n) with the sum in exact int64 (max
+    |sample|^2 * chars << 2^53) and sqrt correctly rounded, so the value
+    is engine-deterministic."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "n_samples", "sample_rate", "duration_ms", "rms", "peak"
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                sq = int((s * s).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(n * 1000.0 / rate)
+                out["rms"].append(float(np.sqrt(sq / n)) if n else 0.0)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema=_AUDIO_SCHEMA)
+
+
+@REG.add(
+    "multimodal_decode_audio",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(split(text, ''), ch -> (unicode(ch) - 128) * 256)
+               AS samples
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(samples) AS BIGINT)                          AS n_samples,
+           {AUDIO_RATE}                                          AS sample_rate,
+           len(samples) * 1000.0 / {AUDIO_RATE}                  AS duration_ms,
+           sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
+                / len(samples))                                  AS rms,
+           CAST(list_max(list_transform(samples, x -> abs(x))) AS INTEGER)
+                                                                 AS peak
+    FROM s
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: every document becomes a valid 16-bit
+    PCM mono WAV — each ASCII byte maps to one sample, (byte-128)*256 —
+    written with the stdlib ``wave`` writer, and ``decode_audio_real``
+    parses those actual RIFF bytes back and computes duration / RMS
+    energy / peak amplitude. The oracle recomputes every feature straight
+    from the text with the same sample mapping, so writer and parser must
+    agree on the PCM encoding bit-for-bit for parity to hold (the image
+    twin ``multimodal_decode_real`` proves the same property for Netpbm).
+    At 100 TB the WAV payload never leaves the scanning executor."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = (np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+                     .astype(np.int64) - 128) * 256
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(AUDIO_RATE)
+                    w.writeframes(s.astype("<i2").tobytes())
+                ids.append(doc_id)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wavs = d.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return decode_audio_real(wavs)

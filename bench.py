@@ -140,6 +140,7 @@ HEADLINE = [
     "zorder_bucket_profile",
     "key_skew_profile",
     "dataset_shuffle_order",
+    "multimodal_decode_audio",
 ]
 
 

@@ -96,3 +96,52 @@ def test_multimodal_decode_real_query_matches_header(spark, sf_dir):
         assert r.height == 3 + r.doc_id % 11
         assert r.channels == 3
         assert 0.0 <= r.mean_intensity <= 255.0
+
+
+def test_decode_audio_real_roundtrip_and_rms(spark):
+    """Hand-built WAV with known samples: decode must recover frame count,
+    rate, peak, and the exact RMS."""
+    import io
+    import math
+    import wave
+
+    import pandas as pd
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    samples = [0, 1000, -2000, 32000, -32000, 5]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        import struct
+
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [buf.getvalue()]})
+    )
+    r = decode_audio_real(df).collect()[0]
+    assert (r.n_samples, r.sample_rate, r.peak) == (len(samples), 8000, 32000)
+    assert r.duration_ms == len(samples) * 1000.0 / 8000
+    want_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(r.rms - want_rms) < 1e-9
+
+
+def test_decode_audio_real_rejects_non_wav(spark):
+    """A non-RIFF payload must fail loudly (the honest compressed-codec
+    seam), not return garbage features."""
+    import pandas as pd
+    import pytest
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"ID3\x04mp3-ish-bytes"]})
+    )
+    with pytest.raises(Exception):
+        decode_audio_real(df).collect()

@@ -66,6 +66,7 @@ SHOWCASE = [
     ("zorder_bucket_profile", "Morton-curve layout profile: row-local integer key + hash agg"),
     ("key_skew_profile", "skew diagnostic: two partial-aggregatable stages, 1-row reduce"),
     ("dataset_shuffle_order", "seeded epoch shuffle: bucketed global rank on uniform hash key"),
+    ("multimodal_decode_audio", "real WAV decode: wave-module parse in Arrow-batched mapInPandas"),
 ]
 
 PREAMBLE_NOTES = """\
