@@ -39,14 +39,14 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # hygiene), the new oracle-green twins + executable decode, and the three
 # queries displaced from the r3 window whose latest CORRECTNESS rows date
 # to r1/r2 (dedup_exact_hash, set_union, deterministic_sample — VERDICT
-# r3 #1), and the eleven queries NEW this round (new queries are
+# r3 #1), and every query NEW this round (new queries are
 # window-mandatory: no prior row exists). Remaining slots rotate the
 # r2-resting block, oldest evidence first; everything that doesn't fit
 # (the scalar-func showcases, the single-pass text/profile shapes
 # untouched since r2, and the r2-resting entries the new queries
 # displaced) carries an enforceable ``must_rotate=5`` marker in
 # evidence.json (`driver_check.py --must-rotate`), so round 5's
-# --evidence-update refuses a window without them — 35 promises total,
+# --evidence-update refuses a window without them — 36 promises total,
 # under round 5's 50 slots.
 _PRIORITY = [
     # flagship stays pinned in-window every round
@@ -80,12 +80,12 @@ _PRIORITY = [
       "session_overlap_pairs", "equi_depth_deciles",
       "source_mixing_weights", "length_weighted_sample",
       "zorder_bucket_profile", "key_skew_profile", "dataset_shuffle_order",
-      "multimodal_decode_audio"],
+      "multimodal_decode_audio", "events_mad_outliers"],
     # rotation leads: displaced from the r3 window, rows oldest in repo
     *["dedup_exact_hash", "set_union", "deterministic_sample"],
     # rotation: the r2-resting block (latest rows from round 2)
     *["pricing_summary", "asof_purchase_signup", "contamination_ngram_hits",
-      "cosine_topk_bruteforce", "cosine_topk_ivf", "cosine_topk_lsh",
+      "cosine_topk_bruteforce", "cosine_topk_ivf",
       ],
     # displaced by the late round-4 additions (window holds 50):
     # price_histogram, price_outliers_iqr, set_except,
@@ -96,7 +96,7 @@ _PRIORITY = [
     # events_sliding_1h_30m, events_tumbling_1h, grouped_median_pandas,
     # json_corrupt_tolerant, events_hourly_gapfill, events_sessionize,
     # doc_fingerprints, embedding_centroids, dedup_normalized_hash,
-    # dedup_exact_summary — each
+    # dedup_exact_summary, cosine_topk_lsh — each
     # carries a must_rotate=5 marker in evidence.json so round 5 cannot
     # skip them.
 ]

@@ -568,3 +568,68 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a.session_start"), F.col("b.session_start"))
         ).alias("day")
     ).agg(F.count("*").cast("long").alias("n_overlap_pairs"))
+
+
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 estimates sigma
+MAD_FENCE = 3.0  # flag beyond 3 robust sigmas
+
+
+@REG.add(
+    "events_mad_outliers",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, m.med,
+             abs(CAST(e.value AS DOUBLE) - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           any_value(dev.med) AS med,
+           any_value(mad.mad) AS mad,
+           CAST(count(*) FILTER (WHERE dev.d > {MAD_FENCE} * {MAD_K} * mad.mad)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    with the 1.4826 consistency constant and a 3-robust-sigma fence —
+    the outlier gate that, unlike mean/stddev z-scores (stats_moments) or
+    IQR fences (price_outliers_iqr), is itself immune to the outliers it
+    hunts. Exact grouped medians via Spark's percentile (same continuous
+    interpolation DuckDB's quantile_cont uses, so both engines round
+    identically).
+
+    Shape: three passes over a two-column pruned scan — per-type median,
+    deviations joined against the broadcast 5-row median frame, per-type
+    MAD, then the fence count against the broadcast MAD frame. The
+    iterated-scalar pattern: each pass is a partial-aggregatable agg or a
+    broadcast join; at 100 TB you cache the projected (event_type,
+    value) frame once and all three passes hit memory."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = e.groupBy("event_type").agg(F.percentile("v", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > MAD_FENCE * MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

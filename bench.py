@@ -141,6 +141,7 @@ HEADLINE = [
     "key_skew_profile",
     "dataset_shuffle_order",
     "multimodal_decode_audio",
+    "events_mad_outliers",
 ]
 
 
