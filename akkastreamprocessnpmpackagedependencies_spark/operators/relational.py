@@ -1856,6 +1856,28 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_bucket(df, value_col: str, n_buckets: int):
+    """Skew-resistant bucket expression for ``bucketed_global_rank``:
+    boundaries from an approx-quantile PRE-PASS (collected once to the
+    driver, then inlined as literals), so buckets are near-balanced under
+    ANY value distribution where equi-width buckets collapse onto the
+    dense region. Safe for the two-branch rank: the boundaries are fixed
+    literals by the time the bucket expression exists, so rank and
+    histogram branches bucket identically no matter how approxQuantile's
+    partition-order-dependent merge would have resolved on a re-run.
+    Cost: one extra column-pruned pass (the sketch), O(n_buckets) driver
+    memory."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(value_col, probs, 0.01)
+    # strictly increasing unique boundaries; duplicates (heavy ties)
+    # collapse — fewer, still-ordered buckets
+    uniq = sorted(set(bounds))
+    expr = F.lit(0)
+    for i, b in enumerate(uniq):
+        expr = F.when(F.col(value_col) > F.lit(b), i + 1).otherwise(expr)
+    return expr.cast("int")
+
+
 def bucketed_global_rank(df, bucket, order_cols, rank_name="rnk"):
     """Distributed exact global ranking — the shared two-pass idiom behind
     equi_depth_deciles and dataset_shuffle_order (textops). ``bucket``
@@ -1864,6 +1886,8 @@ def bucketed_global_rank(df, bucket, order_cols, rank_name="rnk"):
     i+1): a value-derived bucket recomputes identically in the rank and
     histogram branches, where repartitionByRange's sampled boundaries
     would not (see equi_depth_deciles' docstring for the hazard).
+    ``quantile_bucket`` above builds a skew-resistant bucket expression
+    when the value distribution would collapse equi-width buckets.
     Returns ``df`` plus ``rank_name`` (global 1-based rank, long) and
     ``__n`` (total row count, from the tiny histogram frame — no extra
     scan); callers drop the ``__``-prefixed columns they don't use."""

@@ -138,3 +138,32 @@ def test_shuffle_order_is_a_permutation_and_seed_stable(spark, sf_dir):
     # and genuinely shuffled: not the identity order
     by_doc = sorted(rows, key=lambda r: r.doc_id)
     assert [r.shuffle_pos for r in by_doc] != sorted(r.shuffle_pos for r in by_doc)
+
+
+def test_quantile_buckets_rank_correct_and_balanced_under_skew(spark):
+    """On a heavily skewed distribution, equi-width buckets collapse onto
+    the dense region while quantile buckets stay balanced — and the
+    global rank built on them is still the exact permutation."""
+    from pyspark.sql import functions as F
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+        bucketed_global_rank,
+        quantile_bucket,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id").cast("double") ** 3).alias("v")
+    )
+    qb = quantile_bucket(df, "v", 16)
+    ranked = bucketed_global_rank(df, qb, ["v", "id"], "rnk").collect()
+    # exact permutation in value order
+    by_rank = sorted(ranked, key=lambda r: r.rnk)
+    assert [r.rnk for r in by_rank] == list(range(1, n + 1))
+    assert [r.id for r in by_rank] == sorted(range(n))  # v is monotone in id
+    # balance: largest quantile bucket within 3x of ideal; the equi-width
+    # bucket over the same data holds ~50% of all rows in bucket 0
+    from collections import Counter
+
+    counts = Counter(r["__pid"] for r in ranked)
+    assert max(counts.values()) <= 3 * (n / 16)
