@@ -33,3 +33,21 @@ python tools/oracle_check.py /root/testdata/sf0.01 | tail -1
 
 echo "== 3/4 bench =="
 python bench.py 2>/dev/null | tail -1 | python -c "import json,sys; d=json.load(sys.stdin); print('bench ok:', d['value'], d['unit'], len(d['queries']), 'queries')"
+
+# Optional density sweep: SF01_SWEEP=1 re-checks the driver window at
+# sf0.1 (two real bugs only ever appeared at that density), skipping the
+# LSH-family queries whose DuckDB oracles are prohibitively slow there
+# (they are covered at sf0.01 above).
+if [[ "${SF01_SWEEP:-0}" == "1" ]]; then
+  echo "== 4/4 sf0.1 density sweep (driver window minus slow LSH oracles) =="
+  python - <<'PYEOF'
+import subprocess, sys
+import __spark_entry__ as e
+slow = {"minhash_lsh_neardup", "chargram_jaccard_pairs", "simhash_candidate_pairs",
+        "fuzzy_dedup_keep_one", "neardup_clusters", "dedup_incremental",
+        "corpus_pipeline_verdicts", "semdedup_keep_one"}
+names = [q for q in e._PRIORITY if q not in slow]
+r = subprocess.run([sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.1", *names])
+sys.exit(r.returncode)
+PYEOF
+fi
