@@ -67,6 +67,7 @@ SHOWCASE = [
     ("key_skew_profile", "skew diagnostic: two partial-aggregatable stages, 1-row reduce"),
     ("dataset_shuffle_order", "seeded epoch shuffle: bucketed global rank on uniform hash key"),
     ("multimodal_decode_audio", "real WAV decode: wave-module parse in Arrow-batched mapInPandas"),
+    ("events_mad_outliers", "robust MAD fences: three partial-agg passes, broadcast scalar frames"),
 ]
 
 PREAMBLE_NOTES = """\
