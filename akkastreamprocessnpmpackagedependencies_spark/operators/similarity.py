@@ -431,13 +431,14 @@ def kmeans_fit(
     )
     inertia = []
     asg = None
-    for _ in range(iters):
+    for i in range(iters):
         prev, asg = asg, _assign(e, cent)
         asg.persist()
         inertia.append(asg.agg(F.sum("d2")).first()[0])
         if prev is not None:
             prev.unpersist()
-        cent = _update(asg).transform(ckpt)
+        if i < iters - 1:  # the final update's centroids are never read —
+            cent = _update(asg).transform(ckpt)  # don't pay its eager job
     e.unpersist()
     if asg is not None:
         asg.unpersist()

@@ -530,7 +530,8 @@ BM25_TOP_K = 20
     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
     contrib AS (
       SELECT tf.doc_id,
-             CAST(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             CAST(CAST(CAST(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                            AS DECIMAL(18,6)) AS DOUBLE)
                   * ((tf.tf * {BM25_K1 + 1.0}) /
                      (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
                   AS DECIMAL(18,6)) AS c
@@ -551,7 +552,17 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is a TakeOrdered top-k, never a full sort. Per-term scores
     are computed in double with the identical expression shape on both
     engines, then cast to DECIMAL(18,6) so the per-doc SUM is exact and
-    order-independent (registry.py convention)."""
+    order-independent (registry.py convention).
+
+    Determinism: ln() is the one transcendental here and JVM vs libm can
+    differ in the last ulp, which would make the per-row decimal cast a
+    rounding-tie lottery across thousands of contrib rows. The IDF is
+    therefore QUANTIZED to decimal(18,6) (and back to double) at its
+    source — idf has only len(BM25_TERMS) distinct values, so tie
+    exposure collapses from per-row to per-term; every downstream
+    operand (tf, dl, avgdl ratios) is exact rational arithmetic on
+    bit-identical doubles, so the per-row cast rounds identical inputs
+    identically."""
     d = load_table(spark, sf_dir, "documents")
     dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -562,7 +573,11 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
     tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
         F.col("tf")
         + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))

@@ -413,7 +413,7 @@ VALUE_TIER_EDGE = 50.0  # value > edge -> 'high', else 'low'
              min(ts) AS valid_from, count(*) AS n_events
       FROM runs GROUP BY user_id, run_id, tier)
     SELECT user_id, run_id AS version, tier, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
              AS valid_to,
            n_events
     FROM intervals
@@ -450,7 +450,11 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = runs.groupBy("user_id", "run_id", "tier").agg(
         F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
     )
-    wl = W.partitionBy("user_id").orderBy("valid_from")
+    # order the closing bound by run_id, not valid_from: two adjacent runs
+    # can share a start timestamp (same-ts events of different tiers), and
+    # run_id is strictly increasing and chronologically consistent where
+    # valid_from alone would leave the lead() tie order engine-arbitrary
+    wl = W.partitionBy("user_id").orderBy("run_id")
     return intervals.select(
         "user_id",
         F.col("run_id").alias("version"),

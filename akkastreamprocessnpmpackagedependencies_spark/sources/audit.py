@@ -36,6 +36,22 @@ class AuditCommit(WriterCommitMessage):
     checksum: int
 
 
+def _manifest(messages) -> dict:
+    """Manifest body shared by the batch and per-epoch commit paths — one
+    place defines the part list, row count, and checksum modulus, so the
+    two kinds of manifest can never drift apart."""
+    done = sorted((m for m in messages if m is not None), key=lambda m: m.part_file)
+    return {
+        "parts": [
+            {"file": os.path.basename(m.part_file), "n_rows": m.n_rows,
+             "checksum": m.checksum}
+            for m in done
+        ],
+        "n_rows": sum(m.n_rows for m in done),
+        "checksum": sum(m.checksum for m in done) % (1 << 61),
+    }
+
+
 class AuditSinkWriter(DataSourceWriter):
     def __init__(self, options) -> None:
         self._path = options["path"]
@@ -58,18 +74,8 @@ class AuditSinkWriter(DataSourceWriter):
         return AuditCommit(part_file=part, n_rows=n, checksum=checksum)
 
     def commit(self, messages) -> None:
-        done = sorted((m for m in messages if m is not None), key=lambda m: m.part_file)
-        manifest = {
-            "parts": [
-                {"file": os.path.basename(m.part_file), "n_rows": m.n_rows,
-                 "checksum": m.checksum}
-                for m in done
-            ],
-            "n_rows": sum(m.n_rows for m in done),
-            "checksum": sum(m.checksum for m in done) % (1 << 61),
-        }
         with open(os.path.join(self._path, "_MANIFEST.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
+            json.dump(_manifest(messages), f, indent=1)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -95,17 +101,7 @@ class AuditSinkStreamWriter(DataSourceStreamWriter):
         ).write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        done = sorted((m for m in messages if m is not None), key=lambda m: m.part_file)
-        manifest = {
-            "batch_id": batchId,
-            "parts": [
-                {"file": os.path.basename(m.part_file), "n_rows": m.n_rows,
-                 "checksum": m.checksum}
-                for m in done
-            ],
-            "n_rows": sum(m.n_rows for m in done),
-            "checksum": sum(m.checksum for m in done) % (1 << 61),
-        }
+        manifest = {"batch_id": batchId, **_manifest(messages)}
         with open(os.path.join(self._path, f"_MANIFEST-{batchId}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
 

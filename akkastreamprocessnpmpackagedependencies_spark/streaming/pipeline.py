@@ -382,6 +382,8 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
     )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
         sig_new = _signatures(batch.select("doc_id", "text")).localCheckpoint()
         # within-batch dedup: keep the smallest doc_id of every dup pair
@@ -396,7 +398,12 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         drop = _verify_jaccard(within, sig_new, "sh", JACCARD_THRESHOLD).select(
             F.col("doc_b").alias("doc_id")
         )
-        try:
+        # Explicit existence check, NOT a blanket try/except around the
+        # corpus analysis: swallowing arbitrary errors here would silently
+        # skip the cross-corpus gate on e.g. a schema drift or a corrupt
+        # footer and admit duplicates forever; only the legitimate
+        # first-batch missing-path case may bypass it.
+        if os.path.isdir(corpus_path):
             corpus_sig = spark.read.parquet(corpus_path).select(
                 "doc_id", "sh", *[f"mh{h}" for h in range(N_HASHES)]
             )
@@ -416,8 +423,6 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
                     F.col("doc_a").alias("doc_id")
                 )
             )
-        except Exception:  # first batch: corpus does not exist yet
-            pass
         keep = (
             batch.join(sig_new.drop("bases"), "doc_id")
             .join(drop.distinct(), "doc_id", "left_anti")

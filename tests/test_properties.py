@@ -322,3 +322,30 @@ def test_morton_key_matches_bit_interleave(spark, xys):
     )
     for r in df.collect():
         assert r.z == serial(r.x, r.y), (r.x, r.y)
+
+
+def test_scd2_same_timestamp_runs_close_deterministically(spark):
+    """Two same-ts events of different tiers produce two runs with equal
+    valid_from; the closing lead() orders by run_id (strictly increasing),
+    so run 1 closes at the shared timestamp and run 2 stays current —
+    ordering by valid_from alone would leave that tie engine-arbitrary."""
+    import datetime as dt
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import (
+        VALUE_TIER_EDGE,
+        scd2_user_tiers,
+    )
+
+    t = dt.datetime(2024, 3, 1, 12, 0)
+    lo, hi = VALUE_TIER_EDGE - 1, VALUE_TIER_EDGE + 1
+    rows = [
+        (1, t, 7, "view", lo, "{}"),
+        (2, t, 7, "view", hi, "{}"),  # same ts, tier flips on event_id order
+        (3, t + dt.timedelta(hours=1), 7, "view", hi, "{}"),
+    ]
+    d = _write_events(spark, rows)
+    got = sorted(scd2_user_tiers(spark, d).collect(), key=lambda r: r.version)
+    assert [(r.version, r.tier, r.valid_from, r.valid_to, r.n_events) for r in got] == [
+        (1, "low", t, t, 1),
+        (2, "high", t, None, 2),
+    ]

@@ -60,6 +60,7 @@ moves with the behavior.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -192,6 +193,37 @@ def _current_fingerprints():
     qs, orc = e.queries(), e.oracle_sql()
     names = list(qs)
     return names, {n: _fingerprint(fn, orc.get(n, "")) for n, fn in qs.items()}
+
+
+def _latest_green_round(name: str, before: int) -> int | None:
+    """Ground truth for a query's evidence age: the highest round r <
+    ``before`` whose driver CORRECTNESS_r{r}.json holds a green (or
+    documented rows-only) row for ``name``. Used when a displaced
+    entry's prev_round was lost (pre-field entries, --evidence-rebase)."""
+    import glob
+    import re
+
+    best = None
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        r = int(m.group(1))
+        if r >= before:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        rec = rows.get(name)
+        if rec is None:
+            continue
+        ok = rec.get("hash_match") is True or rec.get("err") == "no_oracle"
+        if ok and (best is None or r > best):
+            best = r
+    return best
 
 
 def _load_evidence() -> dict:
@@ -334,15 +366,35 @@ def evidence_update(round_no: int) -> None:
     # displaced will NOT receive an N row from the driver — revert them to
     # the round of their true latest row (kept in prev_round) so the stamp
     # never overstates evidence freshness.
-    reverted = []
-    for name, rec in recorded.items():
+    reverted, forgotten = [], []
+    for name, rec in list(recorded.items()):
         if (not name.startswith("_") and name not in window
-                and rec.get("round") == round_no and "prev_round" in rec):
-            rec["round"] = rec.pop("prev_round")
-            reverted.append(name)
+                and rec.get("round") == round_no):
+            if "prev_round" in rec:
+                rec["round"] = rec.pop("prev_round")
+                reverted.append(name)
+                continue
+            # No prev_round recorded (entry predates the field, or was
+            # rewritten by --evidence-rebase): fall back to the GROUND
+            # TRUTH — the latest CORRECTNESS_r*.json that actually holds
+            # a green row for this query. A brand-new query stamped this
+            # round then displaced before the driver ran has no such row;
+            # keeping any stamp for it would launder freshness, so its
+            # entry is deleted and --staleness demands a window slot
+            # again.
+            true_round = _latest_green_round(name, before=round_no)
+            if true_round is not None:
+                rec["round"] = true_round
+                reverted.append(name)
+            else:
+                del recorded[name]
+                forgotten.append(name)
     if reverted:
         print(f"note: reverted displaced round-{round_no} stamps to their "
               f"true latest round: {sorted(reverted)}")
+    if forgotten:
+        print(f"note: dropped displaced never-verified round-{round_no} "
+              f"stamps entirely (query is new again): {sorted(forgotten)}")
     for name in names[:DRIVER_WINDOW]:
         prev = recorded.get(name, {}).get("round")
         entry = {"fp": cur[name], "round": round_no}
