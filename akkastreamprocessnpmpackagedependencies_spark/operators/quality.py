@@ -534,6 +534,12 @@ def corpus_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import contamination_ngram_hits
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE(round-5): this normalization chain is the third inline copy of
+    # text_normalize's canonical form (textops.py also has the SQL twin);
+    # extract a shared norm_expr()/sql_norm() pair when text_normalize and
+    # dedup_normalized_hash rotate into the round-5 window (their
+    # must_rotate markers already force that), so the capstone's
+    # exact_dup stage can never drift from the audited operators.
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
