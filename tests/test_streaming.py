@@ -853,3 +853,32 @@ def test_streaming_quality_gate_reports_observed_metrics(spark, sf_dir, tmp_path
     assert seen == e.count()
     assert rejected == e.filter(bad).count()
     assert spark.sql("SELECT count(*) FROM gated_out").first()[0] == seen - rejected
+
+
+def test_dedup_gate_fails_loudly_on_corpus_schema_drift(spark, sf_dir, tmp_path):
+    """Regression: a corpus whose parquet lacks the signature columns must
+    FAIL the micro-batch, not silently skip the cross-corpus check (the
+    old blanket except swallowed any analysis error and admitted every
+    duplicate from then on)."""
+    import pytest
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "drift_src")
+    d.limit(20).coalesce(1).write.parquet(src)
+    corpus = str(tmp_path / "drift_corpus")
+    # poison: corpus exists but carries no mh*/sh signature columns
+    d.limit(5).write.parquet(corpus)
+
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src),
+            corpus,
+        )
+        .option("checkpointLocation", str(tmp_path / "drift_ck"))
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
