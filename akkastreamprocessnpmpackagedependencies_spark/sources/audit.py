@@ -36,6 +36,14 @@ class AuditCommit(WriterCommitMessage):
     checksum: int
 
 
+def _remove_parts(messages) -> None:
+    """Abort-path cleanup shared by the batch and per-epoch writers —
+    same single-definition rationale as _manifest."""
+    for m in messages:
+        if m is not None and os.path.exists(m.part_file):
+            os.remove(m.part_file)
+
+
 def _manifest(messages) -> dict:
     """Manifest body shared by the batch and per-epoch commit paths — one
     place defines the part list, row count, and checksum modulus, so the
@@ -78,9 +86,7 @@ class AuditSinkWriter(DataSourceWriter):
             json.dump(_manifest(messages), f, indent=1)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.part_file):
-                os.remove(m.part_file)
+        _remove_parts(messages)
 
 
 class AuditSinkStreamWriter(DataSourceStreamWriter):
@@ -106,9 +112,7 @@ class AuditSinkStreamWriter(DataSourceStreamWriter):
             json.dump(manifest, f, indent=1)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.part_file):
-                os.remove(m.part_file)
+        _remove_parts(messages)
 
 
 class AuditSinkDataSource(DataSource):

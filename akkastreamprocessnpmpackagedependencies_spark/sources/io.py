@@ -220,8 +220,25 @@ def write_zordered(
         return
 
     def scaled(col: str, lo, hi):
-        span = max(1, hi - lo)
-        return F.floor((F.col(col) - F.lit(lo)) * MORTON_MASK / F.lit(span))
+        # Overflow-safe normalization (review fix): the old form computed
+        # (delta * 65535) / span with int64 multiply + double divide,
+        # which WRAPS for wide key ranges (delta > 2^63/65535, e.g.
+        # epoch-nanos keys) and silently scrambles every z-key. Instead:
+        # a driver-computed exact bucket width w = ceil(span / 65536)
+        # and a pre-shift keeping delta within double's exact-integer
+        # range, then scaled = delta DIV w — no executor-side multiply
+        # can overflow. (A 1-ulp floor edge on the division moves a
+        # boundary row one cell — harmless for a storage layout.)
+        span = max(1, int(hi) - int(lo))
+        shift = 0
+        while (span >> shift) > (1 << 37):  # keep delta*MASK within 2^53
+            shift += 1
+        red_span = max(1, span >> shift)
+        delta = F.shiftright((F.col(col) - F.lit(int(lo))).cast("long"), shift)
+        return F.least(
+            F.lit(MORTON_MASK),
+            F.floor(delta * F.lit(MORTON_MASK) / F.lit(red_span)),
+        )
 
     z = morton_key(scaled(x_col, st.xl, st.xh), scaled(y_col, st.yl, st.yh))
     (

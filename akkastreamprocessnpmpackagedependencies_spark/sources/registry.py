@@ -140,30 +140,60 @@ class NpmRegistryBatchReader(DataSourceReader):
 class NpmRegistryStreamReader(SimpleDataSourceStreamReader):
     """Offset = {"index": n} into the sorted package universe. read()
     admits at most ``rate`` rows per micro-batch; readBetweenOffsets
-    replays any committed slice exactly (checkpoint recovery)."""
+    replays any committed slice exactly (checkpoint recovery).
+
+    Fetch-mode laziness (review fix): in live/replay mode only the NAME
+    LIST is materialized up front; each micro-batch fetches just its
+    [lo, hi) slice of the sorted universe. The old code resolved every
+    document in the first ``read()`` — at a polite rate that meant the
+    first micro-batch blocked for the whole universe (~50 min for 1000
+    names at 1/3 s) before emitting ``rate`` rows, and a checkpoint
+    replay re-fetched everything to serve one slice. Fixture mode keeps
+    the cheap cached local read. Live-mode replay determinism is the
+    registry's to give (a re-fetch may observe new data); ``replay``
+    mode serves canned transcripts and replays exactly."""
 
     def __init__(self, options: dict) -> None:
         self.options = options
         self.rate = int(options.get("rate", 5))
         self._rows: list[tuple] | None = None
+        self._names: list[str] | None = None
+
+    def _fetch_mode(self) -> bool:
+        return (self.options.get("mode") or "fixture").lower() in ("live", "replay")
+
+    def _universe_names(self) -> list[str]:
+        if self._names is None:
+            names = _package_names(self.options)
+            assert names is not None, "live/replay mode requires packages_path"
+            # sorted: slice order must equal the sorted-row order
+            # _load_docs emits, so offsets index one stable universe
+            self._names = sorted(names)
+        return self._names
 
     def _universe(self) -> list[tuple]:
         if self._rows is None:
             self._rows = _load_docs(self.options)
         return self._rows
 
+    def _size(self) -> int:
+        return len(self._universe_names()) if self._fetch_mode() else len(self._universe())
+
+    def _slice(self, lo: int, hi: int) -> list[tuple]:
+        if self._fetch_mode():
+            return _load_docs(self.options, names_override=self._universe_names()[lo:hi])
+        return self._universe()[lo:hi]
+
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows = self._universe()
         lo = start["index"]
-        hi = min(lo + self.rate, len(rows))
-        return iter(rows[lo:hi]), {"index": hi}
+        hi = min(lo + self.rate, self._size())
+        return iter(self._slice(lo, hi)), {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows = self._universe()
-        return iter(rows[start["index"] : end["index"]])
+        return iter(self._slice(start["index"], end["index"]))
 
 
 class NpmRegistryDataSource(DataSource):

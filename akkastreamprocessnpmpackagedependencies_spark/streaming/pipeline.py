@@ -285,11 +285,14 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id
     unbounded event stream to a bounded dimension snapshot. The static
     side carries a broadcast hint, so the stream never shuffles — the
     canonical 100 TB shape (the fact stream stays partition-local; only
-    the dimension moves to the executors). Spark re-resolves the static
-    side every micro-batch, so a dimension refreshed in place (e.g. an
-    overwritten parquet snapshot) is picked up without restarting the
-    query. No watermark is needed: the static side holds no streaming
-    state. Complements purchases_with_recent_signup (stream-stream) and
+    the dimension moves to the executors). Refresh caveat: Spark
+    re-EXECUTES the static subplan per micro-batch, but a path-based
+    parquet DataFrame pins its FILE LISTING at creation
+    (InMemoryFileIndex), so an in-place overwritten snapshot is NOT
+    picked up — it serves stale rows or fails on the deleted files. For
+    a refreshable dimension, re-create the DataFrame inside foreachBatch
+    or read via a catalog table + ``REFRESH TABLE``. No watermark is
+    needed: the static side holds no streaming state. Complements purchases_with_recent_signup (stream-stream) and
     the reference's HTTP enrichment (S5), which is this same pattern with
     the dimension behind a fetch."""
     return events.join(F.broadcast(dim), key, "left")
@@ -334,16 +337,21 @@ def write_hourly_partitions(events: DataFrame, out_path: str):
     couple of hour directories, never the table."""
 
     def _write(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
         tagged = batch.withColumn("event_hour", F.date_trunc("hour", "ts")).localCheckpoint()
         merged = tagged
-        try:
+        # Explicit first-batch existence check, NEVER a blanket except:
+        # swallowing a transient read failure here would let the dynamic
+        # overwrite below replace a touched hour partition with ONLY the
+        # batch's rows — silent data loss. Any read error on an existing
+        # table must fail the batch (same fix as write_dedup_gated).
+        if os.path.isdir(out_path):
             # localCheckpoint materializes the read BEFORE the overwrite job
             # runs — never read and rewrite the same files in one job
             existing = read_touched_hours(spark, out_path, tagged).localCheckpoint()
             merged = tagged.unionByName(existing).dropDuplicates(["event_id"])
-        except Exception:  # first batch: nothing written yet
-            pass
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -408,7 +416,7 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
                 "doc_id", "sh", *[f"mh{h}" for h in range(N_HASHES)]
             )
             cross = (
-                _band_frame(sig_new).alias("d")
+                nb.alias("d")
                 .join(_band_frame(corpus_sig).alias("c"), ["b", "bkey"])
                 .select(
                     F.col("d.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
@@ -424,7 +432,7 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
                 )
             )
         keep = (
-            batch.join(sig_new.drop("bases"), "doc_id")
+            batch.join(sig_new, "doc_id")
             .join(drop.distinct(), "doc_id", "left_anti")
         )
         keep.write.mode("append").parquet(corpus_path)
