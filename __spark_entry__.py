@@ -33,73 +33,46 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # ONE rule, enforced by ``tools/driver_check.py --staleness`` against the
 # per-query fingerprints in tools/evidence.json: every query whose
 # fingerprint differs from the code its last green CORRECTNESS row was
-# computed against must be inside the window. Round 4 must-haves: the
-# fingerprint-changed queries (the LSH family's cache-release rework, the
-# large-star/small-star rewrite of neardup_clusters, kmeans cache
-# hygiene), the new oracle-green twins + executable decode, and the three
-# queries displaced from the r3 window whose latest CORRECTNESS rows date
-# to r1/r2 (dedup_exact_hash, set_union, deterministic_sample — VERDICT
-# r3 #1), and every query NEW this round (new queries are
-# window-mandatory: no prior row exists). Remaining slots rotate the
-# r2-resting block, oldest evidence first; everything that doesn't fit
-# (the scalar-func showcases, the single-pass text/profile shapes
-# untouched since r2, and the r2-resting entries the new queries
-# displaced) carries an enforceable ``must_rotate=5`` marker in
-# evidence.json (`driver_check.py --must-rotate`), so round 5's
-# --evidence-update refuses a window without them — 36 promises total,
-# under round 5's 50 slots.
+# computed against must be inside the window, plus every query promised a
+# fresh row via a ``must_rotate`` marker, plus every NEW query (no prior
+# row exists). Prior windows live in git history (this list is rewritten
+# every round).
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 4: fingerprint-changed (localCheckpoint + cache release in the
-    # LSH family, alternating-star connected components, kmeans_fit
-    # cache hygiene)
-    *["minhash_lsh_neardup", "chargram_jaccard_pairs",
-      "simhash_candidate_pairs", "neardup_clusters", "kmeans_clusters",
-      "fuzzy_dedup_keep_one"],
-    # round 4: new queries (oracle-green twins for the sketch/iterative
-    # families + the executable multimodal decode)
-    *["approx_sketches_exact", "kmeans_assignments", "multimodal_decode_real"],
-    # round 4: TPC-H gap shapes (Q2/Q7/Q11/Q12/Q16/Q20 — completing the
-    # 22-query shape coverage) + incremental corpus-vs-delta dedup
-    *["min_cost_supplier", "nation_pair_trade", "part_value_concentration",
-      "shipping_delay_priority", "part_supplier_variety",
-      "dominant_part_suppliers", "dedup_incremental", "token_rarity_scores"],
-    # round 4 (late additions): retrieval + duplication-signal + split +
-    # event-funnel/cohort analytics — new queries, so window-mandatory
-    *["bm25_topk_docs", "duplicate_ngram_overlap", "dataset_split_assign",
-      "events_funnel_conversion", "events_retention_cohorts",
-      "embedding_covariance", "embedding_pca_project", "dq_expectations",
-      "npm_dependency_pagerank", "snapshot_diff", "corpus_pipeline_verdicts",
-      "asof_cogroup_pandas", "scd2_user_tiers"],
-    # round 4 (final additions): bounded graph closure, interval analytics
-    # (join-free concurrency + bucketed interval self-join), and the
-    # distributed-global-rank equi-depth histogram — new, so
-    # window-mandatory
-    *["npm_transitive_deps", "session_concurrency_hourly",
-      "session_overlap_pairs", "equi_depth_deciles",
-      "source_mixing_weights", "length_weighted_sample",
-      "zorder_bucket_profile", "key_skew_profile", "dataset_shuffle_order",
-      "multimodal_decode_audio", "events_mad_outliers"],
-    # rotation leads: displaced from the r3 window, rows oldest in repo
-    *["dedup_exact_hash", "set_union", "deterministic_sample"],
-    # rotation: the r2-resting block (latest rows from round 2)
-    *["pricing_summary", "asof_purchase_signup", "contamination_ngram_hits",
-      "cosine_topk_bruteforce", "cosine_topk_ivf",
-      ],
-    # displaced by the late round-4 additions (window holds 50):
-    # price_histogram, price_outliers_iqr, set_except,
-    # simhash_fingerprints, text_quality_scores, multimodal_resize_plan,
-    # pii_scan, multimodal_metadata, multimodal_frame_sample,
-    # multimodal_decode_features, minhash_signatures, lang_id_heuristic,
-    # json_funcs, and (displaced by the final-additions block)
-    # events_sliding_1h_30m, events_tumbling_1h, grouped_median_pandas,
-    # json_corrupt_tolerant, events_hourly_gapfill, events_sessionize,
-    # doc_fingerprints, embedding_centroids, dedup_normalized_hash,
-    # dedup_exact_summary, cosine_topk_lsh — each
-    # carries a must_rotate=5 marker in evidence.json so round 5 cannot
-    # skip them.
+    # round 5 is the ROTATION round the r4 evidence.json promised: all 36
+    # must_rotate=5 queries (displaced by round 4's additions, latest rows
+    # from r2) come first, then this round's fingerprint-changed queries
+    # (ckpt wiring in the graph/interval iteratives, the shared norm_expr
+    # extraction, the audio ASCII guard, the equi-depth empty guard), the
+    # one new query (the pca fixed-basis green twin), and the window's
+    # remaining slots rotate the oldest r3-resting rows. The 40 r3 queries
+    # that still don't fit carry must_rotate=6 markers — the 3-round
+    # rotation cadence 133 queries need in a 50-slot window.
+    *["array_funcs", "cosine_topk_lsh", "date_funcs", "dedup_exact_summary",
+      "dedup_normalized_hash", "doc_fingerprints", "embedding_centroids",
+      "events_hourly_gapfill", "events_sessionize", "events_sliding_1h_30m",
+      "events_tumbling_1h", "grouped_median_pandas", "json_corrupt_tolerant",
+      "json_funcs", "lang_id_heuristic", "map_funcs", "math_funcs",
+      "minhash_signatures", "multimodal_decode_features",
+      "multimodal_frame_sample", "multimodal_metadata",
+      "multimodal_resize_plan", "order_priority_by_quarter", "pii_scan",
+      "price_histogram", "price_outliers_iqr", "set_except",
+      "simhash_fingerprints", "sql_api_revenue_by_nation",
+      "stratified_sample", "string_funcs", "text_normalize",
+      "text_quality_scores", "token_counts", "udtf_sentences",
+      "vocab_top_terms"],
+    # round 5: fingerprint-changed (window-mandatory)
+    *["npm_dependency_pagerank", "npm_transitive_deps",
+      "corpus_pipeline_verdicts", "session_overlap_pairs",
+      "equi_depth_deciles", "multimodal_decode_audio"],
+    # round 5: new query (window-mandatory)
+    "pca_project_fixed_basis",
+    # rotation fill: oldest r3-resting rows, cross-family spread
+    *["approx_sketches", "forecast_revenue", "window_rank_variants",
+      "skew_salted_join", "semdedup_keep_one", "embedding_neardup_pairs"],
 ]
+
 
 
 def _ordered(items: dict) -> dict:
@@ -225,19 +198,24 @@ def _npm_transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses the frontier so path multiplicity never compounds
     (without it a dense graph multiplies candidate rows by average
     degree every round). The final min-hop agg dedupes across rounds.
-    At real graph scale each frontier would be localCheckpoint-ed per
-    round (the kmeans_fit idiom) to keep lineage flat, and the edge list
-    pre-partitioned on src so every round reuses one exchange. The
+    Each round's frontier is ``ckpt``-ed (the kmeans_fit idiom) so
+    lineage stays FLAT in the hop count — without it round h's plan
+    re-derives rounds 1..h-1; ``tests/test_plans.py`` proves the bound
+    holds when TC_HOPS is raised. At real graph scale the edge list
+    would additionally be pre-partitioned on src so every round reuses
+    one exchange. The
     oracle is the identical expansion as a bounded recursive CTE —
     UNION ALL plus the same terminal min-hop GROUP BY, so both engines
     agree row-for-row even on cyclic subgraphs (depth bound, not visited
     set, terminates both). sf_dir unused — the fixture world is
     fixed-size."""
-    edges = _npm_edges(spark)
+    from akkastreamprocessnpmpackagedependencies_spark.session import ckpt
+
+    edges = ckpt(_npm_edges(spark))  # parsed once, reused every round
     frontier = edges.withColumn("hops", F.lit(1))
     reach = frontier
     for h in range(2, TC_HOPS + 1):
-        frontier = (
+        frontier = ckpt(
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
             .select(
@@ -288,14 +266,18 @@ def _npm_dependency_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape per round (the 100 TB design): one shuffle — the
     contribution agg on dst; the edges⋈degree⋈rank joins all key on src,
     so pre-partitioning edges by src serves every round; the dangling
-    mass and node count are 1-row broadcast frames. At real graph scale
-    the rank frame would be localCheckpoint-ed per round like kmeans_fit
-    (the fixture graph is 34 nodes, so lineage stays shallow). Every sum
+    mass and node count are 1-row broadcast frames. The edge list is
+    ``ckpt``-ed once (parsed once, reused every round) and the rank frame
+    per round, the kmeans_fit idiom — lineage stays FLAT in PR_ITERS
+    (``tests/test_plans.py`` proves the bound when the constant is
+    raised); without it round i's plan re-derives rounds 1..i-1. Every sum
     is the decimal convention, every scalar expression mirrors the
     oracle's shape, so the trajectory is engine-lockstep; the oracle
     unrolls the identical rounds as a CTE chain (the kmeans_assignments
     technique). sf_dir unused — the fixture world is fixed-size."""
-    edges = _npm_edges(spark)
+    from akkastreamprocessnpmpackagedependencies_spark.session import ckpt
+
+    edges = ckpt(_npm_edges(spark))  # parsed once, reused every round
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -318,7 +300,7 @@ def _npm_dependency_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             pr.join(deg, pr.node == deg.src, "left_anti")
             .agg(F.coalesce(F.sum(F.col("pr").cast(dec)).cast("double"), F.lit(0.0)).alias("dang"))
         )
-        pr = (
+        pr = ckpt(
             nodes.crossJoin(F.broadcast(nn))
             .join(contrib.select(F.col("dst").alias("node"), "s"), "node", "left")
             .crossJoin(F.broadcast(dang))

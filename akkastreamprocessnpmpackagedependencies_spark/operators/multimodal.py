@@ -375,7 +375,8 @@ def decode_audio_real(df: DataFrame) -> DataFrame:
       SELECT doc_id,
              list_transform(split(text, ''), ch -> (unicode(ch) - 128) * 256)
                AS samples
-      FROM documents)
+      FROM documents
+      WHERE length(text) > 0 AND length(text) = octet_length(encode(text)))
     SELECT doc_id,
            CAST(len(samples) AS BIGINT)                          AS n_samples,
            {AUDIO_RATE}                                          AS sample_rate,
@@ -396,7 +397,12 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the text with the same sample mapping, so writer and parser must
     agree on the PCM encoding bit-for-bit for parity to hold (the image
     twin ``multimodal_decode_real`` proves the same property for Netpbm).
-    At 100 TB the WAV payload never leaves the scanning executor."""
+    Only non-empty pure-ASCII documents are encoded — the byte→sample map
+    is defined on ASCII, and an empty doc has no RMS (Python would say
+    0.0 where SQL says NULL/÷0); the guard is the same predicate on both
+    sides (chars == UTF-8 bytes ⇔ ASCII), so parity is by construction,
+    not a fixture accident (round-4 ADVICE). At 100 TB the WAV payload
+    never leaves the scanning executor."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -419,6 +425,13 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            (F.length("text") > 0)
+            & (F.length("text") == F.octet_length("text"))
+        )
+    )
     wavs = d.mapInPandas(_encode, schema="doc_id long, payload binary")
     return decode_audio_real(wavs)

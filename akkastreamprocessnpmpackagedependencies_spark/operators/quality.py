@@ -463,11 +463,12 @@ def _corpus_pipeline_oracle() -> str:
         SPLIT_VAL_MAX,
     )
 
+    from ..functions.text import sql_norm
+
     return f"""
     WITH norm AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                     ' +', ' ', 'g'))) AS norm_hash,
+             md5({sql_norm('text')}) AS norm_hash,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents),
     exact AS (
@@ -530,21 +531,16 @@ def corpus_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitions on norm_hash. The composition a real corpus run
     executes nightly — and the closest thing this engine has to a second
     flagship."""
+    from ..functions.text import norm_expr
     from .textops import N_PROBE_DOCS, SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
     from .textops import contamination_ngram_hits
 
     d = load_table(spark, sf_dir, "documents")
-    # NOTE(round-5): this normalization chain is the third inline copy of
-    # text_normalize's canonical form (textops.py also has the SQL twin);
-    # extract a shared norm_expr()/sql_norm() pair when text_normalize and
-    # dedup_normalized_hash rotate into the round-5 window (their
-    # must_rotate markers already force that), so the capstone's
-    # exact_dup stage can never drift from the audited operators.
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    # exact_dup keys on the SHARED canonical normalization
+    # (functions.text.norm_expr — same definition text_normalize and
+    # dedup_normalized_hash use), so this stage cannot drift from the
+    # audited dedup operators.
+    norm = norm_expr(F.col("text"))
     base = d.select(
         "doc_id",
         F.md5(norm).alias("norm_hash"),

@@ -1972,6 +1972,13 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     ).first()
+    if st.lo is None:  # empty input: schema-stable empty result, the
+        # write_zordered guard applied here (round-4 ADVICE — st.hi-st.lo
+        # raised TypeError on an empty orders table)
+        return spark.createDataFrame(
+            [],
+            "decile long, n_orders long, lo double, hi double, total_price double",
+        )
     span = max(st.hi - st.lo, 1e-12)
     bucket = F.least(
         F.lit(RANK_BUCKETS - 1),

@@ -29,9 +29,11 @@ from ..functions.constants import LSH_PLANES
 from ..functions.vector import (
     cosine,
     dot_batch,
+    dot_unrolled,
     lsh_bucket,
     norm_unrolled,
     sql_cosine,
+    sql_dot,
     sql_lsh_bucket,
 )
 from ..session import ckpt, load_scaled
@@ -667,3 +669,67 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return e.mapInPandas(project, proj_schema)
+
+
+PCA_BASIS_K = 4  # components in the committed fixed basis below
+
+
+def _fixed_basis() -> list[list[float]]:
+    """The COMMITTED projection basis for ``pca_project_fixed_basis``:
+    PCA_BASIS_K orthonormal 64-dim vectors (seeded gaussian -> QR ->
+    6 dp round), generated once at import and inlined as literals into
+    BOTH engines' expressions — the "recorded model parameters" role the
+    fixed centroids play in kmeans_assignments. Orthonormality is
+    asserted in tests/test_llm_ops.py."""
+    rng = np.random.default_rng(271)
+    q, _ = np.linalg.qr(rng.standard_normal((DIM, PCA_BASIS_K)))
+    return [[round(float(x), 6) for x in q[:, c]] for c in range(PCA_BASIS_K)]
+
+
+PCA_BASIS = _fixed_basis()
+
+
+def _pca_fixed_oracle() -> str:
+    selects = []
+    for c, b in enumerate(PCA_BASIS):
+        lit = "[" + ", ".join(repr(x) for x in b) + "]::DOUBLE[]"
+        selects.append(
+            f"SELECT vec_id, CAST({c} AS BIGINT) AS comp,\n"
+            f"       round({sql_dot('v', lit, DIM)}, 6) AS coord FROM e"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+def pca_project_fixed_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection of every embedding onto a RECORDED orthonormal basis —
+    the serving half of PCA split out so it closes the oracle loop that
+    ``embedding_pca_project`` (rows-only: eigh isn't SQL) cannot: given
+    committed components (``PCA_BASIS``, the role kmeans_assignments'
+    fixed centroids play), the projection is plain dot-product arithmetic
+    both engines evaluate in the identical fold order (``dot_unrolled``
+    vs ``sql_dot``: init 0.0, index-ascending adds — bit-identical
+    doubles before the 6 dp round). This is also the production shape
+    for applying an already-trained PCA/whitening transform at 100 TB:
+    the basis rides the closure as literals (broadcast-free), the corpus
+    streams once through a pure-codegen projection with no join and no
+    aggregation — the only exchange is ``load_scaled``'s round-robin
+    compute repartition (plan-tested) — and output is (vec_id, comp,
+    coord) scalar rows via one posexplode."""
+    e = _corpus(spark, sf_dir).select("vec_id", "v")
+    coords = F.array(
+        *[
+            F.round(
+                dot_unrolled(F.col("v"), F.array(*[F.lit(x) for x in b]), DIM), 6
+            )
+            for b in PCA_BASIS
+        ]
+    )
+    return e.select("vec_id", F.posexplode(coords).alias("comp", "coord")).select(
+        "vec_id", F.col("comp").cast("long").alias("comp"), "coord"
+    )
+
+
+REG.add("pca_project_fixed_basis", _pca_fixed_oracle())(pca_project_fixed_basis)

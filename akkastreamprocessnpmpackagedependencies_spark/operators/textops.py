@@ -17,9 +17,11 @@ from ..functions.text import (
     base_hashes,
     char_shingles,
     minhash_affine,
+    norm_expr,
     sql_base_hashes,
     sql_char_shingles,
     sql_minhash_affine,
+    sql_norm,
     sql_word_shingles,
     word_shingles,
 )
@@ -172,15 +174,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "text_normalize",
-    """
+    f"""
     SELECT doc_id,
            norm AS norm_text,
            md5(norm) AS norm_hash,
            length(norm) AS norm_len
     FROM (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                 ' +', ' ', 'g')) AS norm
+      SELECT doc_id, {sql_norm('text')} AS norm
       FROM documents)
     """,
 )
@@ -188,15 +188,13 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization — the step before any exact/near dedup:
     lowercase, strip non-alphanumerics, collapse whitespace, trim; the md5
     of the normalized form is the dedup key that catches
-    case/punctuation-variant duplicates raw sha256 misses. Pure JVM-side
-    regexp (both engines use the same ASCII character classes); one narrow
-    projection, no shuffle."""
+    case/punctuation-variant duplicates raw sha256 misses. The chain is the
+    shared ``functions.text.norm_expr`` (one definition for this query,
+    dedup_normalized_hash, and the capstone's exact_dup stage). Pure
+    JVM-side regexp (both engines use the same ASCII character classes);
+    one narrow projection, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = norm_expr(F.col("text"))
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -207,12 +205,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "dedup_normalized_hash",
-    """
+    f"""
     SELECT norm_hash, min(doc_id) AS keeper_id, count(*) AS n_variants
     FROM (
-      SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                     ' +', ' ', 'g'))) AS norm_hash
+      SELECT doc_id, md5({sql_norm('text')}) AS norm_hash
       FROM documents)
     GROUP BY norm_hash
     HAVING count(*) > 1

@@ -298,6 +298,24 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id
     return events.join(F.broadcast(dim), key, "left")
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check through the Hadoop FileSystem
+    API. ``os.path.isdir`` is ALWAYS False for s3a://, hdfs://, abfs://
+    etc., so using it here would permanently skip the first-batch branch
+    on any non-local store — write_dedup_gated would never gate against
+    the corpus (silent duplicate admission) and write_hourly_partitions
+    would dynamically overwrite touched hours with only the batch's rows
+    (silent data loss) — the round-4 ADVICE medium finding. The path
+    resolves its OWN filesystem from the active Hadoop conf, so file:/,
+    hdfs:// and object stores all route correctly; errors propagate (a
+    transient FS failure must fail the batch, never demote to
+    'table absent')."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None):
     """Start a memory-sink query (test/driver harness helper)."""
     w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)
@@ -337,17 +355,16 @@ def write_hourly_partitions(events: DataFrame, out_path: str):
     couple of hour directories, never the table."""
 
     def _write(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch.sparkSession
         tagged = batch.withColumn("event_hour", F.date_trunc("hour", "ts")).localCheckpoint()
         merged = tagged
-        # Explicit first-batch existence check, NEVER a blanket except:
-        # swallowing a transient read failure here would let the dynamic
-        # overwrite below replace a touched hour partition with ONLY the
-        # batch's rows — silent data loss. Any read error on an existing
-        # table must fail the batch (same fix as write_dedup_gated).
-        if os.path.isdir(out_path):
+        # Explicit first-batch existence check (Hadoop-FS, so s3a/hdfs
+        # paths resolve too), NEVER a blanket except: swallowing a
+        # transient read failure here would let the dynamic overwrite
+        # below replace a touched hour partition with ONLY the batch's
+        # rows — silent data loss. Any read error on an existing table
+        # must fail the batch (same fix as write_dedup_gated).
+        if table_exists(spark, out_path):
             # localCheckpoint materializes the read BEFORE the overwrite job
             # runs — never read and rewrite the same files in one job
             existing = read_touched_hours(spark, out_path, tagged).localCheckpoint()
@@ -390,8 +407,6 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
     )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch.sparkSession
         sig_new = _signatures(batch.select("doc_id", "text")).localCheckpoint()
         # within-batch dedup: keep the smallest doc_id of every dup pair
@@ -406,12 +421,14 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         drop = _verify_jaccard(within, sig_new, "sh", JACCARD_THRESHOLD).select(
             F.col("doc_b").alias("doc_id")
         )
-        # Explicit existence check, NOT a blanket try/except around the
-        # corpus analysis: swallowing arbitrary errors here would silently
-        # skip the cross-corpus gate on e.g. a schema drift or a corrupt
-        # footer and admit duplicates forever; only the legitimate
-        # first-batch missing-path case may bypass it.
-        if os.path.isdir(corpus_path):
+        # Explicit existence check (Hadoop-FS — os.path.isdir would be
+        # always-False on s3a/hdfs and skip the gate forever), NOT a
+        # blanket try/except around the corpus analysis: swallowing
+        # arbitrary errors here would silently skip the cross-corpus gate
+        # on e.g. a schema drift or a corrupt footer and admit duplicates
+        # forever; only the legitimate first-batch missing-path case may
+        # bypass it.
+        if table_exists(spark, corpus_path):
             corpus_sig = spark.read.parquet(corpus_path).select(
                 "doc_id", "sh", *[f"mh{h}" for h in range(N_HASHES)]
             )

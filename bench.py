@@ -142,6 +142,8 @@ HEADLINE = [
     "dataset_shuffle_order",
     "multimodal_decode_audio",
     "events_mad_outliers",
+    # round-5 addition: the fixed-basis projection green twin
+    "pca_project_fixed_basis",
 ]
 
 
@@ -175,26 +177,41 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs_per_query": MEASURE_RUNS,
-                "aggregation": "median",
-                "notes": (
-                    "WindowExec single-partition warnings in the log tail are "
-                    "the intended one-row-per-shard offsets window in "
-                    "pack_sequences (quality.py pack_token_counts); left "
-                    "unsuppressed so real unpartitioned-window regressions "
-                    "stay visible."
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs_per_query": MEASURE_RUNS,
+        "aggregation": "median",
+        "notes": (
+            "WindowExec single-partition warnings in the log tail are "
+            "the intended one-row-per-shard offsets window in "
+            "pack_sequences (quality.py pack_token_counts); left "
+            "unsuppressed so real unpartitioned-window regressions "
+            "stay visible."
+        ),
+    }
+    # Full result (notes included) goes to a committed artifact — the
+    # durable record regardless of any output-capture window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # The driver records only a bounded tail of stdout (round 4's line
+    # outgrew it: "parsed": null, flagship timing lost). So the ONE
+    # stdout JSON line is the compact essentials — no notes, no spaces —
+    # printed LAST; context lives in BENCH_FULL.json and on stderr.
+    compact = {k: result[k] for k in
+               ("metric", "value", "unit", "queries", "sf",
+                "runs_per_query", "aggregation")}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 3800:  # keep headroom under the ~4 KB capture window
+        print(f"bench: line {len(line)}B near capture limit; "
+              f"full result in {full_path}", file=sys.stderr)
+    print(result["notes"], file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

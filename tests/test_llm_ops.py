@@ -498,3 +498,23 @@ def test_embedding_pca_project_spectral_invariants(spark, sf_dir):
     assert np.abs(off).max() < 1e-3
     rerun = {(r.vec_id, r.comp): r.coord for r in similarity.embedding_pca_project(spark, sf_dir).collect()}
     assert all(rerun[(r.vec_id, r.comp)] == r.coord for r in rows)
+
+
+def test_pca_fixed_basis_is_orthonormal_and_projection_matches_numpy(spark, sf_dir):
+    """The committed basis really is a recorded orthonormal model (B^T B =
+    I to the 6 dp literal rounding), and the distributed projection equals
+    the numpy ground truth on a sample — the green-twin guarantee behind
+    pca_project_fixed_basis' oracle row."""
+    import numpy as np
+
+    B = np.array(similarity.PCA_BASIS).T  # d x k
+    gram = B.T @ B
+    assert np.abs(gram - np.eye(similarity.PCA_BASIS_K)).max() < 1e-4
+
+    out = similarity.pca_project_fixed_basis(spark, sf_dir)
+    got = {(r.vec_id, r.comp): r.coord for r in out.collect()}
+    e = similarity._corpus(spark, sf_dir).select("vec_id", "v").limit(20).collect()
+    for row in e:
+        want = np.array(row.v) @ B
+        for c in range(similarity.PCA_BASIS_K):
+            assert abs(got[(row.vec_id, c)] - round(float(want[c]), 6)) < 1e-6

@@ -362,12 +362,43 @@ def test_equi_depth_rank_is_bucket_partitioned_not_single_task(spark, sf_dir):
 
 def test_transitive_deps_rounds_are_equi_joins(spark):
     """Every frontier expansion must be a keyed equi-join on the
-    (frontier.dst = edges.src) column — no cartesian growth."""
+    (frontier.dst = edges.src) column — no cartesian growth. Checkpointing
+    is bypassed for capture (the dump_plans.py idiom) so the assertion
+    sees the real join shape, not a Scan ExistingRDD."""
     import __spark_entry__ as entry
 
-    plan = _plan(entry._npm_transitive_deps(spark, ""))
+    from akkastreamprocessnpmpackagedependencies_spark import session as sess
+
+    old = sess.CHECKPOINT_ENABLED
+    sess.CHECKPOINT_ENABLED = False
+    try:
+        plan = _plan(entry._npm_transitive_deps(spark, ""))
+    finally:
+        sess.CHECKPOINT_ENABLED = old
+    assert "Join" in plan  # capture really saw the expansion rounds
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_iteration_lineage_stays_flat_when_constants_raised(spark, monkeypatch):
+    """Round-4 verdict #3: the iterative npm graph queries must keep
+    lineage FLAT in their iteration constants — each round ``ckpt``s its
+    frame, so the returned plan sits on per-round LogicalRDD scans with
+    every join buried beneath a checkpoint. Raise the constants well past
+    their defaults and assert the final executed plan contains NO join at
+    all (transitive closure: 1 edges scan + one ckpt-ed frontier per extra
+    hop; pagerank: exactly the last rank checkpoint)."""
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(entry, "TC_HOPS", 5)
+    plan_tc = _plan(entry._npm_transitive_deps(spark, ""))
+    assert "Join" not in plan_tc
+    assert plan_tc.count("Scan ExistingRDD") == 5  # edges + 4 ckpt-ed frontiers
+
+    monkeypatch.setattr(entry, "PR_ITERS", 6)
+    plan_pr = _plan(entry._npm_dependency_pagerank(spark, ""))
+    assert "Join" not in plan_pr
+    assert plan_pr.count("Scan ExistingRDD") == 1  # the final rank checkpoint
 
 
 def test_length_weighted_sample_is_row_local(spark, sf_dir):
@@ -416,3 +447,17 @@ def test_shuffle_order_rank_is_bucket_partitioned(spark, sf_dir):
     plan = _plan(textops.dataset_shuffle_order(spark, sf_dir))
     assert "windowspecdefinition(__pid" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pca_fixed_basis_projection_is_scan_only(spark, sf_dir):
+    """Applying a recorded basis must be a pure streaming projection: no
+    join, no aggregate — the only exchange is load_scaled's round-robin
+    compute repartition of the scan."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        pca_project_fixed_basis,
+    )
+
+    plan = _plan(pca_project_fixed_basis(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower()

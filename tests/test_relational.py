@@ -143,3 +143,23 @@ def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
     want_changed = {k for k in all_keys if k % 3 == 0 and k % 7 != 0 and k % 5 != 3}
     got_changed = {r.o_orderkey for r in rows if r.change_type == "changed"}
     assert got_changed == want_changed
+
+
+def test_equi_depth_deciles_empty_input_is_schema_stable(spark, tmp_path):
+    """Round-4 ADVICE: an empty orders table must yield an empty frame
+    with the query's exact output schema, not a driver-side TypeError
+    from min/max returning NULL (the write_zordered guard, applied
+    here)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = relational.equi_depth_deciles(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "decile", "n_orders", "lo", "hi", "total_price",
+    ]

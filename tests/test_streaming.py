@@ -882,3 +882,18 @@ def test_dedup_gate_fails_loudly_on_corpus_schema_drift(spark, sf_dir, tmp_path)
     with pytest.raises(Exception):
         q.processAllAvailable()
     q.stop()
+
+
+def test_table_exists_is_filesystem_agnostic(spark, tmp_path):
+    """Round-4 ADVICE (medium): sink existence checks must go through the
+    Hadoop FileSystem API, not os.path.isdir — the latter is always False
+    for non-local schemes. Checked here: plain local paths, file: URIs
+    (which isdir would already mis-handle), and absent paths."""
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import table_exists
+
+    d = tmp_path / "t"
+    d.mkdir()
+    assert table_exists(spark, str(d))
+    assert table_exists(spark, f"file:{d}")
+    assert not table_exists(spark, str(tmp_path / "missing"))
+    assert not table_exists(spark, f"file:{tmp_path}/missing")

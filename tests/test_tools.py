@@ -108,12 +108,46 @@ def test_rebase_refuses_when_sources_postdate_pass(world, tmp_path, monkeypatch)
     assert "sources changed after" in str(e.value)
 
 
-def test_rebase_rewrites_and_stamps_audit_trail(world, tmp_path, monkeypatch, capsys):
+def test_rebase_refuses_pass_without_content_digests(world, tmp_path, monkeypatch):
+    """A pass recorded before digest stamping is insufficient evidence —
+    the rebase must demand a re-run, not fall back to mtimes alone."""
     src = tmp_path / "old.py"
     src.write_text("x = 1\n")
     monkeypatch.setattr(dc, "_fingerprint_sources", lambda: [str(src)])
     world["passf"].write_text(json.dumps(
         {"ts": time.time() + 5, "sf_dir": "sfX", "n_ok": 4}
+    ))
+    with pytest.raises(SystemExit) as e:
+        dc.evidence_rebase()
+    assert "predates content-digest" in str(e.value)
+
+
+def test_rebase_refuses_on_content_change_despite_old_mtime(world, tmp_path, monkeypatch):
+    """Round-4 verdict #5: a git checkout rewrites mtimes, so a content
+    change whose mtime PREDATES the recorded pass must still refuse —
+    the digest check is the airtight half of the guard."""
+    src = tmp_path / "old.py"
+    src.write_text("x = 1\n")
+    monkeypatch.setattr(dc, "_fingerprint_sources", lambda: [str(src)])
+    world["passf"].write_text(json.dumps(
+        {"ts": time.time() + 5, "sf_dir": "sfX", "n_ok": 4,
+         "src": dc._source_digests()}
+    ))
+    src.write_text("x = 2\n")  # content changes...
+    past = time.time() - 3600
+    os.utime(src, (past, past))  # ...but mtime is laundered backwards
+    with pytest.raises(SystemExit) as e:
+        dc.evidence_rebase()
+    assert "source CONTENT differs" in str(e.value)
+
+
+def test_rebase_rewrites_and_stamps_audit_trail(world, tmp_path, monkeypatch, capsys):
+    src = tmp_path / "old.py"
+    src.write_text("x = 1\n")
+    monkeypatch.setattr(dc, "_fingerprint_sources", lambda: [str(src)])
+    world["passf"].write_text(json.dumps(
+        {"ts": time.time() + 5, "sf_dir": "sfX", "n_ok": 4,
+         "src": dc._source_digests()}
     ))
     cur = dict(world["fps"])
     cur["q3"] = "NEWFP"

@@ -3,25 +3,55 @@
 Usage: python tools/bench_compare.py OLD.json NEW.json [ratio]
 
 Accepts either a raw ``bench.py`` output line saved to a file or a
-driver-recorded ``BENCH_r{N}.json`` (whose payload sits under
-``parsed``). Prints every query whose median changed by more than the
-ratio (default 1.5x either way) plus adds/removes, so a round's bench
-deltas are triaged in one look instead of eyeballing two JSON blobs.
-Exit code 0 always — this is a triage report, not a gate (deltas may be
-explained methodology changes; see the PLANS.md bench-methodology
-note)."""
+driver-recorded ``BENCH_r{N}.json``. A driver file's payload sits under
+``parsed``; when the driver's capture window truncated the line
+(``parsed: null`` — BENCH_r04.json is exactly this), the loader
+re-parses what it can from the ``tail`` string by scanning the longest
+``"name": float`` run, so a truncated round still yields its surviving
+queries instead of silently comparing nothing. Prints every query whose
+median changed by more than the ratio (default 1.5x either way) plus
+adds/removes, so a round's bench deltas are triaged in one look instead
+of eyeballing two JSON blobs. Exits non-zero only when an input yields
+ZERO queries — that is a broken artifact, not an empty delta (round-4
+ADVICE); explained deltas stay exit 0 (see the PLANS.md
+bench-methodology note)."""
 
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+
+def _from_tail(tail: str) -> dict[str, float]:
+    """Salvage per-query timings from a truncated capture: every
+    '"name": <number>' pair inside the (possibly tail-only) queries map.
+    Non-query scalar fields (value, sf, runs_per_query) are filtered by
+    name; collisions are impossible because query names never match
+    them."""
+    skip = {"value", "sf", "runs_per_query"}
+    out = {}
+    for name, num in re.findall(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail):
+        if name not in skip:
+            out[name] = float(num)
+    return out
 
 
 def load(path: str) -> dict[str, float]:
     with open(path) as f:
         d = json.load(f)
-    if "parsed" in d and isinstance(d["parsed"], dict):
-        d = d["parsed"]
+    if "parsed" in d:
+        if isinstance(d["parsed"], dict):
+            d = d["parsed"]
+        else:  # truncated driver capture: salvage from the raw tail
+            qs = _from_tail(d.get("tail", ""))
+            if qs:
+                print(
+                    f"warning: {path} has parsed=null; salvaged "
+                    f"{len(qs)} queries from its tail",
+                    file=sys.stderr,
+                )
+            return qs
     return d.get("queries", {})
 
 
@@ -29,15 +59,22 @@ def main() -> None:
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
+    bad = [p for p, qs in ((sys.argv[1], old), (sys.argv[2], new)) if not qs]
+    if bad:
+        sys.exit(f"error: no queries parseable from: {', '.join(bad)}")
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     both = sorted(set(old) & set(new))
     flagged = []
     for q in both:
         a, b = old[q], new[q]
-        if a > 0 and (b / a >= ratio or (b > 0 and a / b >= ratio)):
+        if b == 0 and a > 0:
+            # a measured query can't take literally 0s — suspicious value,
+            # not a speedup (round-4 ADVICE: the b>0 guard hid these)
+            flagged.append((0.0, q, a, b))
+        elif a > 0 and (b / a >= ratio or (b > 0 and a / b >= ratio)):
             flagged.append((b / a, q, a, b))
     for r, q, a, b in sorted(flagged, reverse=True):
-        tag = "SLOWER" if r > 1 else "faster"
+        tag = "ZERO??" if b == 0 and a > 0 else ("SLOWER" if r > 1 else "faster")
         print(f"{tag:6s} {q:36s} {a:8.3f} -> {b:8.3f}  ({r:5.2f}x)")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))

@@ -284,6 +284,22 @@ def _fingerprint_sources() -> list[str]:
     return out
 
 
+def _source_digests() -> dict[str, str]:
+    """Content sha256 per fingerprint-relevant source, keyed by relpath.
+    Recorded with the green-pass stamp and re-checked at rebase time:
+    mtime comparison alone could be stale-laundered by a git checkout
+    (which rewrites mtimes wholesale) — content can't (round-4 verdict
+    "What's wrong" #5)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = {}
+    for p in _fingerprint_sources():
+        with open(p, "rb") as f:
+            out[os.path.relpath(p, root)] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
 def evidence_rebase() -> None:
     """Recompute every RECORDED fingerprint with the current algorithm and
     code, keeping each query's recorded round. The prerequisite — a green
@@ -317,6 +333,27 @@ def evidence_rebase() -> None:
             "REFUSED: sources changed after the recorded green pass "
             f"({time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime(rec_pass['ts']))}Z):\n  "
             + "\n  ".join(os.path.relpath(p) for p in newer)
+            + "\nRe-run the full oracle pass, then rebase."
+        )
+    # Content check — the airtight half (a git checkout rewrites mtimes,
+    # so the mtime gate above can be laundered; content digests cannot).
+    # A pass recorded before digests existed is insufficient evidence.
+    if "src" not in rec_pass:
+        sys.exit(
+            "REFUSED: recorded pass predates content-digest stamping. "
+            "Re-run `python tools/driver_check.py <sf_dir>` to record a "
+            "pass with source digests, then rebase."
+        )
+    cur_src = _source_digests()
+    changed = sorted(
+        {k for k in cur_src if cur_src[k] != rec_pass["src"].get(k)}
+        | (set(rec_pass["src"]) - set(cur_src))
+    )
+    if changed:
+        sys.exit(
+            "REFUSED: source CONTENT differs from the recorded green pass "
+            "(mtimes agree, so this looks like a checkout/revert):\n  "
+            + "\n  ".join(changed)
             + "\nRe-run the full oracle pass, then rebase."
         )
     names, cur = _current_fingerprints()
@@ -498,7 +535,8 @@ def main() -> None:
 
         with open(PASS_FILE, "w") as f:
             _json.dump(
-                {"ts": _time.time(), "sf_dir": sf_dir, "n_ok": ok, "n_rows_only": rows_only},
+                {"ts": _time.time(), "sf_dir": sf_dir, "n_ok": ok,
+                 "n_rows_only": rows_only, "src": _source_digests()},
                 f,
             )
         print(f"recorded green full pass -> {os.path.relpath(PASS_FILE)}")
