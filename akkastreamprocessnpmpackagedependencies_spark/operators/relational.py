@@ -1921,11 +1921,13 @@ RANK_BUCKETS = 64  # deterministic value buckets for the distributed rank
 @REG.add(
     "equi_depth_deciles",
     f"""
-    WITH r AS (
+    WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    r AS (
       SELECT o_totalprice,
              row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
-      FROM orders),
-    n AS (SELECT count(*) AS n FROM orders)
+      FROM o),
+    n AS (SELECT count(*) AS n FROM o)
     SELECT CAST(floor((rnk - 1) * {N_DECILES} / n.n) + 1 AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n_orders,
            min(o_totalprice) AS lo,
@@ -1968,13 +1970,21 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical formula the oracle computes from its row_number — NOT
     ntile(), whose remainder distribution differs), and the per-decile
     stats are one partial-aggregatable hash agg."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        # NULL prices are unrankable; dropped by the SAME predicate in the
+        # oracle so an all-NULL table means "empty" on both engines
+        # (review finding: a min()=NULL guard alone would return empty
+        # while the oracle still ranked the NULL rows)
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     st = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     ).first()
-    if st.lo is None:  # empty input: schema-stable empty result, the
-        # write_zordered guard applied here (round-4 ADVICE — st.hi-st.lo
-        # raised TypeError on an empty orders table)
+    if st.lo is None:  # empty (or all-NULL) input: schema-stable empty
+        # result, the write_zordered guard applied here (round-4 ADVICE —
+        # st.hi-st.lo raised TypeError on an empty orders table)
         return spark.createDataFrame(
             [],
             "decile long, n_orders long, lo double, hi double, total_price double",

@@ -673,20 +673,50 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PCA_BASIS_K = 4  # components in the committed fixed basis below
 
-
-def _fixed_basis() -> list[list[float]]:
-    """The COMMITTED projection basis for ``pca_project_fixed_basis``:
-    PCA_BASIS_K orthonormal 64-dim vectors (seeded gaussian -> QR ->
-    6 dp round), generated once at import and inlined as literals into
-    BOTH engines' expressions — the "recorded model parameters" role the
-    fixed centroids play in kmeans_assignments. Orthonormality is
-    asserted in tests/test_llm_ops.py."""
-    rng = np.random.default_rng(271)
-    q, _ = np.linalg.qr(rng.standard_normal((DIM, PCA_BASIS_K)))
-    return [[round(float(x), 6) for x in q[:, c]] for c in range(PCA_BASIS_K)]
-
-
-PCA_BASIS = _fixed_basis()
+# The COMMITTED projection basis for ``pca_project_fixed_basis``:
+# PCA_BASIS_K orthonormal 64-dim vectors, inlined as SOURCE literals so
+# the basis — and therefore the oracle SQL and the query's evidence
+# fingerprint — depends only on repo content, never on the numpy/LAPACK
+# build (review finding: the previous import-time QR regeneration could
+# flip a 6 dp rounding boundary across BLAS backends). Provenance:
+# np.linalg.qr(np.random.default_rng(271).standard_normal((64, 4))),
+# columns rounded to 6 dp. Orthonormality (to the rounding) is asserted
+# in tests/test_llm_ops.py. These literals play the "recorded model
+# parameters" role kmeans_assignments' fixed centroids play.
+PCA_BASIS = [
+    [-0.046727, 0.013744, 0.015095, -0.072235, 0.022485, 0.046738, -0.06901, -0.158261,
+     0.075879, 0.151053, 0.175721, -0.085335, -0.294128, 0.048716, -0.096361, 0.13514,
+     -0.051327, 0.231288, -0.00138, 0.326465, 0.025178, 0.067988, 0.039646, 0.03565,
+     0.107566, 0.072676, -0.125135, 0.100057, -0.14082, 0.040574, -0.284003, -0.059268,
+     0.030454, 0.098562, -0.026413, 0.036286, 0.082151, -0.099125, -0.169005, -0.070541,
+     0.055177, -0.01084, -0.052928, 0.019201, 0.193009, 0.05773, -0.075176, -0.22569,
+     0.072748, -0.02246, 0.04844, -0.07968, -0.014085, -0.077737, 0.289154, 0.170297,
+     0.059533, 0.207432, -0.101691, 0.026699, -0.003748, 0.144353, 0.272478, 0.072081],
+    [-0.19128, -0.106239, -0.12032, 0.100123, -0.165342, 0.01644, -0.013934, 0.230375,
+     0.083876, -0.058623, 0.004213, -0.196514, 0.007464, -0.160118, -0.006671, -0.007809,
+     -0.095844, 0.061571, -0.142242, 0.063289, 0.121437, -0.164805, 0.046254, -0.164258,
+     -0.219293, -0.046591, -0.185708, 0.227322, 0.181539, -0.025005, 0.076832, -0.043718,
+     -0.263404, -0.191751, -0.066606, 0.04449, -0.104347, 0.030308, -0.102857, 0.231522,
+     0.056464, 0.017633, 0.012866, -0.082756, 0.036168, -0.025764, -0.075577, 0.002523,
+     -0.004561, 0.04551, -0.033123, 0.095442, -0.175647, -0.002761, 0.077355, -0.011869,
+     0.080705, 0.020846, -0.323504, -0.042577, -0.33897, 0.036471, -0.009216, -0.002977],
+    [0.234103, -0.039451, -0.116035, 0.00353, 0.015615, 0.076098, 0.02091, -0.054047,
+     0.188932, 0.083082, -0.114735, -0.041098, -0.059411, -0.045635, -0.20026, -0.084281,
+     -0.023416, -0.000754, 0.006336, 0.142156, 0.245287, 0.035418, -0.145998, -0.123619,
+     -0.045863, 0.154048, 0.130029, -0.127553, 0.212029, -0.139622, -0.158165, 0.164019,
+     -0.000299, -0.181472, -0.074145, 0.010852, 0.106952, -0.091137, -0.099597, -0.159036,
+     0.093727, 0.321001, 0.097765, -0.088093, 0.000842, -0.108989, 0.008134, 0.038498,
+     -0.356823, 0.034786, 0.159693, -0.201898, -0.054516, -0.035081, 0.038245, -0.011321,
+     -0.123601, -0.091905, 0.094047, 0.016989, -0.071703, -0.067318, -0.138517, 0.133865],
+    [0.273837, 0.077636, 0.412154, 0.001538, -0.077599, -0.101778, -0.076758, 0.006378,
+     -0.182209, -0.065369, 0.080853, -0.008041, -0.113728, 0.081777, 0.084588, -0.117933,
+     0.226908, -0.142447, -0.077897, 0.046465, 0.028812, -0.127227, -0.134288, -0.093706,
+     0.20508, 0.123525, 0.145988, 0.112422, 0.061899, 0.061617, 0.040445, -0.076407,
+     -0.033044, 0.010401, -0.166779, 0.087376, 0.321935, -0.143083, -0.012458, -0.014705,
+     0.070258, -0.005037, 0.133929, -0.031377, -0.133093, 0.138508, -0.104311, 0.096,
+     -0.049928, -0.03326, -0.164468, 0.147182, -0.109095, -0.059508, -0.024424, 0.007834,
+     -0.002593, 0.084897, -0.293827, 0.036627, -0.058883, -0.043783, -0.000852, 0.03367],
+]
 
 
 def _pca_fixed_oracle() -> str:
@@ -709,27 +739,41 @@ def pca_project_fixed_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_pca_project`` (rows-only: eigh isn't SQL) cannot: given
     committed components (``PCA_BASIS``, the role kmeans_assignments'
     fixed centroids play), the projection is plain dot-product arithmetic
-    both engines evaluate in the identical fold order (``dot_unrolled``
-    vs ``sql_dot``: init 0.0, index-ascending adds — bit-identical
-    doubles before the 6 dp round). This is also the production shape
-    for applying an already-trained PCA/whitening transform at 100 TB:
-    the basis rides the closure as literals (broadcast-free), the corpus
-    streams once through a pure-codegen projection with no join and no
-    aggregation — the only exchange is ``load_scaled``'s round-robin
-    compute repartition (plan-tested) — and output is (vec_id, comp,
-    coord) scalar rows via one posexplode."""
+    both engines evaluate in the IDENTICAL fold order — the Python side
+    accumulates dim-by-dim in ascending order starting from 0.0, the
+    exact fold sequence of ``sql_dot``/``dot``/``dot_batch``
+    (functions/vector.py), so every double is bit-identical before the
+    6 dp round. Execution is an Arrow-batched ``mapInPandas``, NOT an
+    unrolled element_at chain: a 64-term codegen chain already blows
+    HotSpot's JIT method limit and runs interpreted (the measured
+    dot_batch rationale — ~27 us/row vs ~50 ms per million rows
+    vectorized), and this needs 4 of them. Shape at 100 TB: the basis
+    rides the UDF closure (a 2 KB constant, broadcast-free), the corpus
+    streams once — no join, no aggregation; the only exchange is
+    ``load_scaled``'s round-robin compute repartition (plan-tested) —
+    and only (vec_id, comp, coord) scalar rows come back."""
     e = _corpus(spark, sf_dir).select("vec_id", "v")
-    coords = F.array(
-        *[
-            F.round(
-                dot_unrolled(F.col("v"), F.array(*[F.lit(x) for x in b]), DIM), 6
-            )
-            for b in PCA_BASIS
-        ]
-    )
-    return e.select("vec_id", F.posexplode(coords).alias("comp", "coord")).select(
-        "vec_id", F.col("comp").cast("long").alias("comp"), "coord"
-    )
+    basis = np.array(PCA_BASIS, dtype="float64").T  # d x k
+    k = PCA_BASIS_K
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy())
+            acc = np.zeros((len(pdf), k))
+            for i in range(DIM):  # dim-ascending adds from 0.0: the
+                acc += m[:, i, None] * basis[i]  # sql_dot fold order
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                "comp": np.tile(np.arange(k, dtype="int64"), len(pdf)),
+                "coord": acc.ravel(),  # raw doubles; rounded JVM-side so
+                # the half-up tie rule matches DuckDB (np.round is
+                # half-even)
+            })
+
+    out = e.mapInPandas(project, "vec_id long, comp long, coord double")
+    return out.withColumn("coord", F.round("coord", 6))
 
 
 REG.add("pca_project_fixed_basis", _pca_fixed_oracle())(pca_project_fixed_basis)

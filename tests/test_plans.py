@@ -452,7 +452,9 @@ def test_shuffle_order_rank_is_bucket_partitioned(spark, sf_dir):
 def test_pca_fixed_basis_projection_is_scan_only(spark, sf_dir):
     """Applying a recorded basis must be a pure streaming projection: no
     join, no aggregate — the only exchange is load_scaled's round-robin
-    compute repartition of the scan."""
+    compute repartition of the scan, and the projection itself is ONE
+    Arrow-batched MapInPandas (not an unrolled element_at chain, which
+    would codegen past the JIT method limit and run interpreted)."""
     from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
         pca_project_fixed_basis,
     )
@@ -460,4 +462,5 @@ def test_pca_fixed_basis_projection_is_scan_only(spark, sf_dir):
     plan = _plan(pca_project_fixed_basis(spark, sf_dir))
     assert "Join" not in plan
     assert "Aggregate" not in plan
+    assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower()

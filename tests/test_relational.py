@@ -163,3 +163,19 @@ def test_equi_depth_deciles_empty_input_is_schema_stable(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "decile", "n_orders", "lo", "hi", "total_price",
     ]
+
+
+def test_equi_depth_deciles_all_null_prices_is_empty_both_engines(spark, tmp_path):
+    """An all-NULL o_totalprice table must mean 'empty' — the NULL rows
+    are dropped by the same IS NOT NULL predicate the oracle applies, so
+    the engines can't diverge on unrankable rows (review finding on the
+    empty-input guard)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([1, 2, 3], dtype="int64"),
+            "o_totalprice": pd.Series([None, None, None], dtype="float64"),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    assert relational.equi_depth_deciles(spark, str(tmp_path)).count() == 0

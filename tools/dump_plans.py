@@ -69,7 +69,7 @@ SHOWCASE = [
     ("multimodal_decode_audio", "real WAV decode: wave-module parse in Arrow-batched mapInPandas"),
     ("events_mad_outliers", "robust MAD fences: three partial-agg passes, broadcast scalar frames"),
     # round-5 addition
-    ("pca_project_fixed_basis", "recorded-basis projection: literal components, scan-only codegen"),
+    ("pca_project_fixed_basis", "recorded-basis projection: committed literals, one Arrow-batched pass"),
 ]
 
 PREAMBLE_NOTES = """\
