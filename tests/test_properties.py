@@ -349,3 +349,96 @@ def test_scd2_same_timestamp_runs_close_deterministically(spark):
         (1, "low", t, t, 1),
         (2, "high", t, None, 2),
     ]
+
+
+# printable-ASCII fuzz alphabet for the normalization parity property:
+# the document fixtures are ASCII, and the shared norm chain's contract
+# is defined over ASCII character classes (see functions/text.py)
+_ascii = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(_ascii, min_size=1, max_size=8))
+@_settings
+def test_norm_expr_and_sql_norm_agree_on_ascii(spark, texts):
+    """The round-5 extraction made norm_expr/sql_norm THE shared
+    normalization for three dedup operators — this property pins the two
+    engines to identical output over arbitrary printable-ASCII input
+    (punctuation runs, space runs, digits, empty, mixed case), not just
+    the fixture corpus."""
+    import duckdb
+
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import (
+        norm_expr,
+        sql_norm,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got_spark = {
+        r.i: r.n
+        for r in spark.createDataFrame(rows, "i int, text string")
+        .select("i", norm_expr(F.col("text")).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {sql_norm('t')} FROM (SELECT unnest($1) AS i, unnest($2) AS t)",
+            [[r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    # and the normalized form is idempotent (a second pass is identity)
+    renorm = {
+        r.i: r.n2
+        for r in spark.createDataFrame(
+            [(i, n) for i, n in got_spark.items()], "i int, text string"
+        )
+        .select("i", norm_expr(F.col("text")).alias("n2"))
+        .collect()
+    }
+    assert renorm == got_spark
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_settings
+def test_ascii_guard_predicate_agrees_across_engines(spark, texts):
+    """The audio decode's non-empty-ASCII gate must admit exactly the
+    same documents in both engines: Spark's length(t) = octet_length(t)
+    vs DuckDB's length(t) = octet_length(encode(t)) — both are the
+    'chars == UTF-8 bytes' test — fuzzed across ASCII and Latin
+    supplements (2-byte UTF-8, the boundary case)."""
+    import duckdb
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got_spark = {
+        r.i
+        for r in spark.createDataFrame(rows, "i int, t string")
+        .filter((F.length("t") > 0) & (F.length("t") == F.octet_length("t")))
+        .collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        i
+        for (i,) in con.execute(
+            "SELECT i FROM (SELECT unnest($1) AS i, unnest($2) AS t) "
+            "WHERE length(t) > 0 AND length(t) = octet_length(encode(t))",
+            [[r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    for i in got_spark:  # every admitted doc really is non-empty ASCII
+        assert texts[i] and all(ord(c) < 128 for c in texts[i])
