@@ -177,8 +177,71 @@ def test_evidence_update_reverts_displaced_stamp(world, monkeypatch):
     assert rec["q0"]["round"] == 2
     assert rec["q1"]["round"] == 2 and rec["q1"]["prev_round"] == 1
     assert rec["q2"]["round"] == 1  # reverted: no r2 row will exist for it
-    assert "prev_round" not in rec["q2"]
+    assert rec["q2"]["fp"] == "fp_q2"  # the fp backing the r1 row, restored
+    assert "prev_round" not in rec["q2"] and "prev_fp" not in rec["q2"]
     assert rec["q3"]["round"] == 1  # untouched
+
+
+def test_displaced_stamp_cannot_launder_a_code_change(world, monkeypatch, capsys):
+    """The laundering scenario the prev_fp field exists for: q2's code
+    changes mid-round, it is stamped round 2 while in-window (fp = NEW
+    code), then a new query displaces it before the driver runs. The
+    revert must restore the OLD fp its true latest (r1) row was computed
+    against — so --staleness correctly demands a window slot for q2 —
+    rather than leave the stamped new-code fp attached to the r1 row."""
+    cur = dict(world["fps"])
+    cur["q2"] = "CHANGED"  # q2's code moved since its r1 row
+    monkeypatch.setattr(dc, "_current_fingerprints",
+                        lambda: (world["names"], dict(cur)))
+    dc.evidence_update(2)  # window = q1, q2: stamped with the NEW fp
+    rec = _recorded(world)
+    assert rec["q2"]["fp"] == "CHANGED" and rec["q2"]["prev_fp"] == "fp_q2"
+    # a new query enters at the head, displacing q2 before the driver runs
+    names = ["q0", "q1", "q2", "q3"]
+    cur["q0"] = "fp_q0"
+    monkeypatch.setattr(dc, "_current_fingerprints",
+                        lambda: (names, dict(cur)))
+    dc.evidence_update(2)
+    rec = _recorded(world)
+    assert rec["q2"]["round"] == 1 and rec["q2"]["fp"] == "fp_q2"
+    # and staleness now flags q2: its code changed but its only row is r1
+    with pytest.raises(SystemExit) as e:
+        dc.staleness()
+    assert e.value.code == 1
+    assert "q2" in capsys.readouterr().out
+
+
+def test_displaced_pre_prev_fp_stamp_falls_back_to_ground_truth(
+        world, monkeypatch, tmp_path, capsys):
+    """Transitional path: an entry stamped by the pre-prev_fp tool
+    (prev_round recorded, prev_fp not) that gets displaced cannot prove
+    which code its old row was computed against — the revert re-stamps
+    the round from the CORRECTNESS ground truth and sets a never-matching
+    sentinel fp, so --staleness demands re-verification instead of
+    trusting the laundered stamp."""
+    rec = _recorded(world)
+    rec["q2"] = {"fp": "fp_q2", "round": 2, "prev_round": 1}  # legacy stamp
+    world["ev"].write_text(json.dumps(rec))
+    names = ["q0", "q1", "q2", "q3"]
+    cur = dict(world["fps"])
+    cur["q0"] = "fp_q0"
+    monkeypatch.setattr(dc, "_current_fingerprints",
+                        lambda: (names, dict(cur)))
+    root = tmp_path / "fakeroot"
+    root.mkdir()
+    (root / "CORRECTNESS_r1.json").write_text(json.dumps(
+        {"q2": {"hash_match": True}}))
+    real_glob = dc._latest_green_round
+    monkeypatch.setattr(
+        dc, "_latest_green_round",
+        lambda name, before: 1 if name == "q2" else real_glob(name, before))
+    dc.evidence_update(2)
+    rec = _recorded(world)
+    assert rec["q2"]["round"] == 1
+    assert rec["q2"]["fp"].startswith("displaced:unverified")
+    with pytest.raises(SystemExit) as e:
+        dc.staleness()
+    assert e.value.code == 1  # q2 must re-enter the window
 
 
 def test_must_rotate_rejects_unknown_query(world):

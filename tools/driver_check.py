@@ -92,6 +92,36 @@ def _kind(dtype) -> str:
     return np.dtype(dtype).kind if dtype != object else "O"
 
 
+def _align_date_vs_midnight_ts(s: pd.DataFrame, o: pd.DataFrame) -> None:
+    """PROVEN driver tolerance, applied in place: Spark DateType comes back
+    from toPandas as object cells of ``datetime.date`` (Arrow date32 →
+    object) while DuckDB DATE comes back from ``.df()`` as
+    datetime64[us] midnight timestamps — and the driver's hash MATCHES
+    them (ground truth: ``session_overlap_pairs`` and
+    ``events_retention_cohorts`` carry hash-green CORRECTNESS_r04 rows
+    with exactly this dtype pair). Without this, the replica is stricter
+    than the thing it replicates and cries wolf on every DATE column.
+    The normalization is deliberately narrow: only a datetime64 column
+    whose every non-null value sits at midnight, paired with an object
+    column whose every non-null value is a ``datetime.date``, collapses
+    to date objects on both sides."""
+    import datetime
+
+    for c in s.columns:
+        pair = {_kind(s[c].dtype), _kind(o[c].dtype)}
+        if pair != {"M", "O"}:
+            continue
+        ts, dt = (s[c], o[c]) if _kind(s[c].dtype) == "M" else (o[c], s[c])
+        dt_vals = dt.dropna()
+        if not dt_vals.map(lambda v: type(v) is datetime.date).all():
+            continue
+        ts_vals = ts.dropna()
+        if not (ts_vals == ts_vals.dt.normalize()).all():
+            continue
+        s[c] = s[c].map(lambda v: v.date() if isinstance(v, pd.Timestamp) else v)
+        o[c] = o[c].map(lambda v: v.date() if isinstance(v, pd.Timestamp) else v)
+
+
 def check(name: str, spark_df, sql: str, con) -> bool:
     problems: list[str] = []
     sp = spark_df.toPandas()
@@ -104,6 +134,7 @@ def check(name: str, spark_df, sql: str, con) -> bool:
         elif len(s) != len(o):
             problems.append(f"ROWS spark={len(s)} oracle={len(o)}")
         else:
+            _align_date_vs_midnight_ts(s, o)
             for c in s.columns:
                 ks, ko = _kind(s[c].dtype), _kind(o[c].dtype)
                 if ks != ko:
@@ -401,27 +432,37 @@ def evidence_update(round_no: int) -> None:
     # If the window shifted between two --evidence-update N runs (new
     # queries inserted mid-round), entries stamped round N earlier but now
     # displaced will NOT receive an N row from the driver — revert them to
-    # the round of their true latest row (kept in prev_round) so the stamp
-    # never overstates evidence freshness.
+    # the round AND the fingerprint of their true latest row (kept in
+    # prev_round/prev_fp) so the stamp never overstates evidence
+    # freshness. Restoring only the round while keeping the stamped
+    # (current-code) fp would launder staleness: a query whose code
+    # changed since its last driver row would show fp == current and
+    # --staleness would never demand a window slot for it.
     reverted, forgotten = [], []
     for name, rec in list(recorded.items()):
         if (not name.startswith("_") and name not in window
                 and rec.get("round") == round_no):
-            if "prev_round" in rec:
+            if "prev_round" in rec and "prev_fp" in rec:
                 rec["round"] = rec.pop("prev_round")
+                rec["fp"] = rec.pop("prev_fp")
                 reverted.append(name)
                 continue
-            # No prev_round recorded (entry predates the field, or was
-            # rewritten by --evidence-rebase): fall back to the GROUND
-            # TRUTH — the latest CORRECTNESS_r*.json that actually holds
-            # a green row for this query. A brand-new query stamped this
-            # round then displaced before the driver ran has no such row;
-            # keeping any stamp for it would launder freshness, so its
-            # entry is deleted and --staleness demands a window slot
-            # again.
+            rec.pop("prev_round", None)  # pairless half (pre-prev_fp stamp)
+            # No (prev_round, prev_fp) pair recorded (entry predates the
+            # fields, or was rewritten by --evidence-rebase): fall back to
+            # the GROUND TRUTH for the round — the latest
+            # CORRECTNESS_r*.json that actually holds a green row for this
+            # query — but the fingerprint that row was computed against is
+            # unrecoverable, so the fp becomes an explicit never-matching
+            # sentinel: --staleness then demands a window slot, which is
+            # the honest outcome for evidence we cannot vouch for. A
+            # brand-new query stamped this round then displaced before the
+            # driver ran has no green row at all; its entry is deleted and
+            # it counts as new again.
             true_round = _latest_green_round(name, before=round_no)
             if true_round is not None:
                 rec["round"] = true_round
+                rec["fp"] = f"displaced:unverified-r{round_no}"
                 reverted.append(name)
             else:
                 del recorded[name]
@@ -433,12 +474,19 @@ def evidence_update(round_no: int) -> None:
         print(f"note: dropped displaced never-verified round-{round_no} "
               f"stamps entirely (query is new again): {sorted(forgotten)}")
     for name in names[:DRIVER_WINDOW]:
-        prev = recorded.get(name, {}).get("round")
+        old = recorded.get(name, {})
+        prev = old.get("round")
         entry = {"fp": cur[name], "round": round_no}
         if prev is not None and prev != round_no:
+            # keep BOTH halves of the true-latest-row identity so a later
+            # displacement can restore them together (round alone would
+            # leave the stamped current-code fp attached to an old row)
             entry["prev_round"] = prev
-        elif prev == round_no and "prev_round" in recorded[name]:
-            entry["prev_round"] = recorded[name]["prev_round"]
+            entry["prev_fp"] = old["fp"]
+        elif prev == round_no and "prev_round" in old:
+            entry["prev_round"] = old["prev_round"]
+            if "prev_fp" in old:
+                entry["prev_fp"] = old["prev_fp"]
         # must_rotate markers are consciously dropped for window entries:
         # the fresh round-N row fulfills (or supersedes) the promise.
         recorded[name] = entry
