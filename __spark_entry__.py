@@ -66,11 +66,16 @@ _PRIORITY = [
     *["npm_dependency_pagerank", "npm_transitive_deps",
       "corpus_pipeline_verdicts", "session_overlap_pairs",
       "equi_depth_deciles", "multimodal_decode_audio"],
-    # round 5: new query (window-mandatory)
-    "pca_project_fixed_basis",
-    # rotation fill: oldest r3-resting rows, cross-family spread
-    *["approx_sketches", "forecast_revenue", "window_rank_variants",
-      "skew_salted_join", "semdedup_keep_one", "embedding_neardup_pairs"],
+    # round 5: new queries (window-mandatory). The four training-pipeline
+    # additions displaced four of the six r3-resting rotation fillers
+    # (approx_sketches, forecast_revenue, window_rank_variants,
+    # skew_salted_join — code unchanged, so their r3 rows stay valid
+    # evidence; they carry must_rotate=6 markers so the deferral is a
+    # recorded promise, not a silent aging).
+    *["pca_project_fixed_basis", "pii_redact", "chunk_documents",
+      "bigram_lm_probs", "corpus_budget_select"],
+    # rotation fill: oldest r3-resting rows, dedup-family freshness first
+    *["semdedup_keep_one", "embedding_neardup_pairs"],
 ]
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..session import load_table
+from ..session import ckpt, load_table
 from .dedup import REG as DEDUP_REG
 from .dedup import neardup_clusters
 from .registry import Registry
@@ -580,3 +580,74 @@ def corpus_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_corpus_pipeline()
+
+
+BUDGET_TOKENS = 15_000  # token budget the selection fills
+BUDGET_BUCKETS = 64  # quantile buckets for the distributed running sum
+
+
+@REG.add(
+    "corpus_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_SQL_WS})) AS DOUBLE)
+               / len({_SQL_WS}) AS score
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, score,
+             CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, score, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < {BUDGET_TOKENS}
+    """,
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the "best data first" export every
+    budgeted training run makes: rank documents by a quality key
+    (lexical diversity: distinct-token ratio, an exact integer division
+    so both engines agree bitwise; ties broken by doc_id for a total
+    order) and keep documents from the top until BUDGET_TOKENS is
+    reached; a document is kept iff the budget was not exhausted BEFORE
+    it (so the selection always overshoots by at most one document and
+    never undershoots).
+
+    The whole op is a RUNNING SUM OF TOKENS IN QUALITY ORDER — at 100 TB
+    the naive ``sum().over(Window.orderBy(score))`` is a scale-killer
+    (one task sorts and sums the entire corpus), so this runs the shared
+    ``bucketed_prefix_sum`` two-pass idiom (relational.py, the
+    prefix-sum sibling of bucketed_global_rank): quantile-derived score
+    buckets (an approxQuantile pre-pass, skew-resistant where equi-width
+    buckets would collapse onto the score distribution's dense region)
+    → per-bucket parallel cumsum → tiny per-bucket offsets frame →
+    broadcast back. The heavy window stays partitioned; only the
+    buckets-sized offsets frame crosses a single-partition window. The
+    scored (doc_id, n_tokens, score) frame is ``ckpt``-ed first: the
+    quantile sketch and BOTH prefix-sum branches read the materialized
+    narrow frame, so the wide text column is scanned and tokenized
+    exactly ONCE (without it each consumer re-splits every document —
+    three full text passes at 100 TB). The oracle is exactly the naive
+    global window the engine refuses to run."""
+    from .relational import bucketed_prefix_sum, quantile_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws()
+    t = ckpt(
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+                "score"
+            ),
+        ).withColumn("neg_score", -F.col("score"))  # ASC on neg == DESC on score
+    )
+    bucket = quantile_bucket(t, "neg_score", BUDGET_BUCKETS)
+    c = bucketed_prefix_sum(
+        t, bucket, ["neg_score", "doc_id"], "n_tokens", "cum_tokens"
+    )
+    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < BUDGET_TOKENS).select(
+        "doc_id", "n_tokens", "score", "cum_tokens"
+    )

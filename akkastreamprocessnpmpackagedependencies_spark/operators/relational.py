@@ -1914,6 +1914,47 @@ def bucketed_global_rank(df, bucket, order_cols, rank_name="rnk"):
     )
 
 
+def bucketed_prefix_sum(df, bucket, order_cols, value_col, sum_name="cum"):
+    """Distributed exact RUNNING SUM in a global order — the prefix-sum
+    sibling of ``bucketed_global_rank`` (same two-pass shape, same bucket
+    contract: ``bucket`` must be a deterministic pure function of row
+    values aligned with the total order). Pass 1 computes each row's
+    running sum of ``value_col`` LOCALLY within its bucket partition;
+    pass 2 shifts every bucket by the total of all preceding buckets,
+    taken from a buckets-sized aggregate frame that broadcasts (its only
+    unpartitioned window runs over #buckets rows, never over data). The
+    naive form — ``sum().over(Window.orderBy(...))`` with no partition —
+    drags the whole input through ONE task; this shape keeps the heavy
+    window partitioned and is what corpus-budget selection runs at
+    100 TB. Returns ``df`` plus ``sum_name`` (running sum INCLUDING the
+    current row, long); ``__``-prefixed scratch columns are dropped."""
+    part = df.withColumn("__pid", bucket)
+    wp = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.withColumn("__lsum", F.sum(value_col).over(wp))
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__bsum"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__bsum").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(sum_name, (F.col("__lsum") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lsum", "__off")
+    )
+
+
 N_DECILES = 10
 RANK_BUCKETS = 64  # deterministic value buckets for the distributed rank
 

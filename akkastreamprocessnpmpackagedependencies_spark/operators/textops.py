@@ -259,23 +259,56 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add(
-    "pii_scan",
-    r"""
-    WITH seeded AS (
-      SELECT lang,
-             CASE WHEN doc_id % 13 = 0
+# Shared PII surface (pii_scan detects, pii_redact removes — ONE
+# definition of both the patterns and the synthetic seeding, so the two
+# queries can never disagree about what counts as PII). Patterns stay in
+# the regex subset RE2 (DuckDB) and Java (Spark) evaluate identically —
+# no backslash classes, no bounded repetition.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_URL = r"https?://[^ ]+"
+PII_SSN = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_SEED_EVERY = 13  # every 13th doc gets deterministic synthetic PII
+
+# SQL twin of _with_synthetic_pii's text column
+_SQL_PII_TEXT = f"""CASE WHEN doc_id % {PII_SEED_EVERY} = 0
                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
                        || '@example.com or https://example.com/d/'
                        || CAST(doc_id AS VARCHAR)
-                  ELSE text END AS text
+                  ELSE text END"""
+
+
+def _with_synthetic_pii(d: DataFrame) -> DataFrame:
+    """Every PII_SEED_EVERY-th document gets a deterministic synthetic
+    email + URL appended, so the PII queries exercise real matches on the
+    otherwise-clean synthetic corpus. Replaces ``text`` in place; other
+    columns pass through. SQL twin: ``_SQL_PII_TEXT``."""
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % PII_SEED_EVERY == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+@REG.add(
+    "pii_scan",
+    f"""
+    WITH seeded AS (
+      SELECT lang, {_SQL_PII_TEXT} AS text
       FROM documents)
     SELECT lang,
            count(*) AS n_docs,
-           CAST(sum(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))) AS BIGINT) AS n_emails,
-           CAST(sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
-           CAST(sum(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]'))) AS BIGINT) AS n_ssn_like,
-           CAST(sum(CASE WHEN regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')
+           CAST(sum(len(regexp_extract_all(text, '{PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(text, '{PII_URL}'))) AS BIGINT) AS n_urls,
+           CAST(sum(len(regexp_extract_all(text, '{PII_SSN}'))) AS BIGINT) AS n_ssn_like,
+           CAST(sum(CASE WHEN regexp_matches(text, '{PII_EMAIL}')
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_email
     FROM seeded GROUP BY lang
     """,
@@ -284,39 +317,89 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII / sensitive-pattern screening rollup — the hygiene gate before
     training-data export: per language, occurrence counts of email-,
     URL- and SSN-shaped substrings plus how many documents carry at least
-    one email. Patterns stay in the regex subset RE2 (DuckDB) and Java
-    (Spark) evaluate identically — no backslash classes, no bounded
-    repetition. One scan, partial-aggregatable; at 100 TB the per-doc
+    one email. One scan, partial-aggregatable; at 100 TB the per-doc
     flags would also be WRITTEN back as columns so downstream filters
-    prune on them."""
-    d = load_table(spark, sf_dir, "documents")
-    # every 13th document gets a deterministic synthetic email + URL so the
-    # scan exercises real matches on the otherwise-clean synthetic corpus
-    d = d.select(
-        "lang",
-        F.when(
-            F.col("doc_id") % 13 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or https://example.com/d/"),
-                F.col("doc_id").cast("string"),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
-    url = r"https?://[^ ]+"
-    ssn = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    prune on them (``pii_redact`` below is that per-doc form). Patterns
+    and the synthetic seeding are the module-level shared surface
+    (PII_EMAIL/_URL/_SSN, _with_synthetic_pii) so scan and redact can
+    never drift."""
+    d = _with_synthetic_pii(load_table(spark, sf_dir, "documents")).select("lang", "text")
     n = lambda p: F.size(F.regexp_extract_all("text", F.lit(p), 0))  # noqa: E731
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(n(email)).alias("n_emails"),
-        F.sum(n(url)).alias("n_urls"),
-        F.sum(n(ssn)).alias("n_ssn_like"),
-        F.sum(F.when(F.regexp_like("text", F.lit(email)), 1).otherwise(0)).alias(
+        F.sum(n(PII_EMAIL)).alias("n_emails"),
+        F.sum(n(PII_URL)).alias("n_urls"),
+        F.sum(n(PII_SSN)).alias("n_ssn_like"),
+        F.sum(F.when(F.regexp_like("text", F.lit(PII_EMAIL)), 1).otherwise(0)).alias(
             "n_docs_with_email"
         ),
+    )
+
+
+PII_MASK = "<PII>"  # replacement token for redacted spans
+
+
+@REG.add(
+    "pii_redact",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id, {_SQL_PII_TEXT} AS text
+      FROM documents),
+    hits AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '{PII_URL}')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT) AS n_ssn_like
+      FROM seeded)
+    SELECT doc_id, n_emails, n_urls, n_ssn_like,
+           sha256(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text, '{PII_EMAIL}', '{PII_MASK}', 'g'),
+                      '{PII_URL}', '{PII_MASK}', 'g'),
+                    '{PII_SSN}', '{PII_MASK}', 'g')) AS redacted_sha,
+           CAST(length(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text, '{PII_EMAIL}', '{PII_MASK}', 'g'),
+                      '{PII_URL}', '{PII_MASK}', 'g'),
+                    '{PII_SSN}', '{PII_MASK}', 'g')) AS BIGINT) AS n_chars_after
+    FROM hits
+    WHERE n_emails + n_urls + n_ssn_like > 0
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII REDACTION — the transform half of the hygiene
+    gate (``pii_scan`` is the report half): every email-, URL- and
+    SSN-shaped span is replaced with a mask token, and each touched doc
+    reports what was removed plus a sha256 of the redacted text (the
+    full text would bloat the result; the digest pins the exact output
+    byte-for-byte against the oracle, the multimodal_decode_real
+    technique). Replacement order is fixed email→url→ssn so overlapping
+    matches resolve identically in both engines. Pure row-local codegen
+    (regexp_replace chain), zero shuffles, predicate-pushdown friendly —
+    the 100 TB form writes ``redacted_text`` back as a column in the
+    same pass. Untouched docs are filtered out here to keep the result
+    the audit log of changes; production keeps all rows."""
+    d = _with_synthetic_pii(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    n = lambda p: F.size(F.regexp_extract_all("text", F.lit(p), 0))  # noqa: E731
+    red = F.col("text")
+    for pat in (PII_EMAIL, PII_URL, PII_SSN):
+        red = F.regexp_replace(red, F.lit(pat), F.lit(PII_MASK))
+    h = d.select(
+        "doc_id",
+        F.col("text"),
+        n(PII_EMAIL).cast("long").alias("n_emails"),
+        n(PII_URL).cast("long").alias("n_urls"),
+        n(PII_SSN).cast("long").alias("n_ssn_like"),
+        red.alias("redacted"),
+    )
+    return h.filter(
+        F.col("n_emails") + F.col("n_urls") + F.col("n_ssn_like") > 0
+    ).select(
+        "doc_id", "n_emails", "n_urls", "n_ssn_like",
+        F.sha2("redacted", 256).alias("redacted_sha"),
+        F.length("redacted").cast("long").alias("n_chars_after"),
     )
 
 
@@ -837,3 +920,148 @@ def dataset_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.shiftright(F.col("skey"), 32 - SHUFFLE_BUCKET_BITS).cast("int")
     ranked = bucketed_global_rank(keyed, bucket, ["skey", "doc_id"], "shuffle_pos")
     return ranked.select("doc_id", "shuffle_pos")
+
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # chunk start stride (CHUNK_TOKENS - CHUNK_STRIDE overlap)
+
+
+@REG.add(
+    "chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+           sha256(array_to_string(
+             list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')) AS chunk_sha
+    FROM s
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking — the context-window prep
+    step of RAG indexing and long-document pretraining: each document is
+    cut into CHUNK_TOKENS-token windows whose starts advance by
+    CHUNK_STRIDE (so consecutive chunks share CHUNK_TOKENS-CHUNK_STRIDE
+    tokens of overlap and no token falls in a gap); the final chunk is
+    the natural remainder. Each chunk reports its index, its true token
+    count, and a sha256 of the chunk text (the digest pins the exact
+    token content against the oracle without shipping the text — the
+    pii_redact technique). Pure generate-and-explode over row-local
+    arrays: zero shuffles, embarrassingly parallel, output size a fixed
+    ~CHUNK_TOKENS/CHUNK_STRIDE multiple of the corpus — the ideal 100 TB
+    shape (the scan dominates; chunks stream straight to the shard
+    writer). Both engines slice past the array end identically (clamped),
+    so the remainder chunk needs no special case."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        F.expr(f"start DIV {CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.sha2(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS))
+            ),
+            256,
+        ).alias("chunk_sha"),
+    )
+
+
+BIGRAM_TOP_K = 20  # bigrams reported per language
+BIGRAM_SALT_BUCKETS = 16  # partial-top-K fan-in (see docstring)
+
+
+@REG.add(
+    "bigram_lm_probs",
+    f"""
+    WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+      FROM toks WHERE len(t) >= 2),
+    c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+    w AS (
+      SELECT lang, gram, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang, split_part(gram, ' ', 1))
+                  AS BIGINT) AS w1_total
+      FROM c),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, gram) AS rnk
+      FROM w)
+    SELECT lang, gram, cnt, w1_total,
+           CAST(cnt AS DOUBLE) / w1_total AS cond_prob
+    FROM r WHERE rnk <= {BIGRAM_TOP_K}
+    """,
+)
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics — the classic data-quality /
+    perplexity-proxy signal (KenLM-style counts, MLE form): per language,
+    the BIGRAM_TOP_K most frequent token bigrams with their count, the
+    count of their leading unigram as continuation mass, and the
+    conditional probability P(w2|w1) = cnt/w1_total (exact integer
+    division → engine-deterministic double; no smoothing so the oracle
+    is arithmetic-free).
+
+    Shapes, at 100 TB: the bigram explode shuffles on (lang, gram) into a
+    partial-aggregatable count — uniform key space, no hot key. The
+    top-K, though, CANNOT be a bare per-lang window (5 languages →
+    row_number would drag each language's whole distinct-bigram
+    distribution through one task). It runs as exact two-phase top-K:
+    phase 1 ranks within (lang, salt) where salt = hash(gram) %
+    BIGRAM_SALT_BUCKETS — any global top-K member is necessarily top-K
+    in its salt bucket — keeping ≤ salt·K candidates per language;
+    phase 2 ranks those few rows globally per language. The w1_total
+    window partitions on (lang, w1) — real key cardinality, no skew
+    beyond natural Zipf, and the named mitigation for a hot head word is
+    the same two-level partial-sum split."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    grams = t.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(2))),
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("cnt"))
+    w1 = F.substring_index(F.col("gram"), " ", 1)
+    w = c.withColumn(
+        "w1_total", F.sum("cnt").over(W.partitionBy("lang", w1)).cast("long")
+    )
+    # exact two-phase top-K: per-salt partial rank prunes to salt*K rows
+    # per language before the tiny global rank
+    salt = F.pmod(F.xxhash64("gram"), F.lit(BIGRAM_SALT_BUCKETS))
+    partial = w.withColumn(
+        "prnk",
+        F.row_number().over(
+            W.partitionBy("lang", salt).orderBy(F.col("cnt").desc(), "gram")
+        ),
+    ).filter(F.col("prnk") <= BIGRAM_TOP_K)
+    ranked = partial.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
+        ),
+    ).filter(F.col("rnk") <= BIGRAM_TOP_K)
+    return ranked.select(
+        "lang", "gram", "cnt", "w1_total",
+        (F.col("cnt").cast("double") / F.col("w1_total")).alias("cond_prob"),
+    )

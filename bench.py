@@ -144,6 +144,12 @@ HEADLINE = [
     "events_mad_outliers",
     # round-5 addition: the fixed-basis projection green twin
     "pca_project_fixed_basis",
+    # round-5 additions: training-pipeline ops (redaction, chunking,
+    # bigram LM stats, token-budget selection)
+    "pii_redact",
+    "chunk_documents",
+    "bigram_lm_probs",
+    "corpus_budget_select",
 ]
 
 

@@ -518,3 +518,143 @@ def test_pca_fixed_basis_is_orthonormal_and_projection_matches_numpy(spark, sf_d
         want = np.array(row.v) @ B
         for c in range(similarity.PCA_BASIS_K):
             assert abs(got[(row.vec_id, c)] - round(float(want[c]), 6)) < 1e-6
+
+
+def test_pii_redact_sha_matches_python_and_no_pattern_survives(spark, sf_dir):
+    """Independent ground truth for the redaction: re-run the seeding and
+    the replacement chain in Python's re on the raw corpus — the reported
+    digests must match byte-for-byte, the counts must match re.findall,
+    and NO pattern may still match the redacted text (the invariant that
+    makes the operator a redactor rather than a rewriter)."""
+    import hashlib
+    import re
+
+    out = {r.doc_id: r for r in textops.pii_redact(spark, sf_dir).collect()}
+    assert out, "seeded corpus must produce at least one redacted doc"
+    raw = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    pats = [textops.PII_EMAIL, textops.PII_URL, textops.PII_SSN]
+    touched = 0
+    for doc_id, text in raw.items():
+        if doc_id % textops.PII_SEED_EVERY == 0:
+            text = (
+                f"{text} contact user{doc_id}"
+                f"@example.com or https://example.com/d/{doc_id}"
+            )
+        counts = [len(re.findall(p, text)) for p in pats]
+        red = text
+        for p in pats:
+            red = re.sub(p, textops.PII_MASK, red)
+        if sum(counts) == 0:
+            assert doc_id not in out  # untouched docs filtered out
+            continue
+        touched += 1
+        row = out[doc_id]
+        assert [row.n_emails, row.n_urls, row.n_ssn_like] == counts
+        assert row.redacted_sha == hashlib.sha256(red.encode()).hexdigest()
+        assert row.n_chars_after == len(red)
+        # the mask token must not itself re-match (no infinite-loop shape),
+        # and no pattern survives the chain
+        for p in pats:
+            assert not re.search(p, red), (doc_id, p)
+    assert touched == len(out)
+
+
+def test_chunk_documents_tile_every_token_exactly(spark, sf_dir):
+    """Chunk geometry invariants per document: starts advance by exactly
+    CHUNK_STRIDE from 0 (contiguous chunk_idx), every chunk holds
+    1..CHUNK_TOKENS tokens, the last chunk ends exactly at the document's
+    last token, and a recomputed sha for the first chunk of a sample doc
+    pins the content."""
+    import hashlib
+
+    rows = textops.chunk_documents(spark, sf_dir).collect()
+    toks = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, chunks in by_doc.items():
+        n = len(toks[doc_id])
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c.chunk_idx * textops.CHUNK_STRIDE
+            assert 1 <= c.n_chunk_tokens <= textops.CHUNK_TOKENS
+            assert c.n_chunk_tokens == min(textops.CHUNK_TOKENS, n - start)
+        last = chunks[-1]
+        assert last.chunk_idx * textops.CHUNK_STRIDE + last.n_chunk_tokens == n
+        want = " ".join(toks[doc_id][: textops.CHUNK_TOKENS])
+        assert chunks[0].chunk_sha == hashlib.sha256(want.encode()).hexdigest()
+
+
+def test_bigram_salted_topk_equals_naive_window(spark, sf_dir):
+    """The exact-two-phase claim: pruning to per-(lang, salt) top-K before
+    the global per-lang rank must be LOSSLESS — the result equals the
+    naive single-window form the oracle runs (any global top-K member is
+    top-K within its salt bucket)."""
+    from pyspark.sql.window import Window as W
+
+    got = {
+        (r.lang, r.gram): (r.cnt, r.w1_total, r.cond_prob)
+        for r in textops.bigram_lm_probs(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    grams = t.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(2))),
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("cnt"))
+    w1 = F.substring_index(F.col("gram"), " ", 1)
+    naive = (
+        c.withColumn("w1_total", F.sum("cnt").over(W.partitionBy("lang", w1)).cast("long"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
+            ),
+        )
+        .filter(F.col("rnk") <= textops.BIGRAM_TOP_K)
+    )
+    want = {
+        (r.lang, r.gram): (r.cnt, r.w1_total, float(r.cnt) / r.w1_total)
+        for r in naive.collect()
+    }
+    assert got == want
+
+
+def test_corpus_budget_select_is_maximal_quality_prefix(spark, sf_dir):
+    """The selection must be exactly the maximal prefix of the
+    (score DESC, doc_id) quality order whose preceding token mass stays
+    under the budget — recomputed locally from the raw corpus, including
+    the bucketed prefix sums."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators import quality
+
+    got = {r.doc_id: r for r in quality.corpus_budget_select(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    scored = []
+    for r in docs:
+        toks = r.text.split(" ")
+        scored.append((len(set(toks)) / len(toks), r.doc_id, len(toks)))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    cum, want = 0, {}
+    for score, doc_id, n in scored:
+        if cum < quality.BUDGET_TOKENS:
+            want[doc_id] = (n, score, cum + n)
+        cum += n
+    assert set(got) == set(want)
+    for doc_id, (n, score, cum_tokens) in want.items():
+        row = got[doc_id]
+        assert (row.n_tokens, row.cum_tokens) == (n, cum_tokens)
+        assert abs(row.score - score) < 1e-12

@@ -464,3 +464,58 @@ def test_pca_fixed_basis_projection_is_scan_only(spark, sf_dir):
     assert "Aggregate" not in plan
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower()
+
+
+def test_chunk_and_redact_are_zero_shuffle(spark, sf_dir):
+    """chunk_documents and pii_redact are pure row-local pipelines — one
+    whole-stage span over a 2-column pruned scan, NO exchange anywhere
+    (the 100 TB property: cost is the scan, parallelism is the split
+    count)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.textops import (
+        chunk_documents,
+        pii_redact,
+    )
+
+    for fn in (chunk_documents, pii_redact):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "text" in read and "source" not in read and "lang" not in read
+
+
+def test_corpus_budget_select_prefix_sum_stays_partitioned(spark, sf_dir):
+    """The quality-ordered running sum must run the bucketed two-pass
+    idiom: the doc-level window partitions on the quantile bucket
+    (hashpartitioning(__pid)), any SinglePartition exchange belongs to
+    the buckets-sized offsets branch (aggregated before it), and the
+    scored frame is checkpointed so the text column is tokenized exactly
+    once (no FileScan left in the executed plan — both branches read the
+    materialized RDD)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        corpus_budget_select,
+    )
+
+    plan = _plan(corpus_budget_select(spark, sf_dir))
+    assert "hashpartitioning(__pid" in plan
+    assert "FileScan" not in plan  # ckpt: text split once, upstream of plan
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            tail = "\n".join(plan.splitlines()[i:])
+            assert "HashAggregate" in tail.split("Exchange hashpartitioning")[0]
+
+
+def test_bigram_topk_pushes_group_limits(spark, sf_dir):
+    """The two-phase top-K must keep its pruning in the plan: the salt
+    window partitions on (lang, salt) and Spark's WindowGroupLimit
+    rewrite truncates each sort partition to K rows BEFORE the final
+    per-lang rank (the shape that stops a 5-language corpus from
+    dragging its whole bigram distribution through five tasks)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.textops import (
+        bigram_lm_probs,
+    )
+
+    plan = _plan(bigram_lm_probs(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan  # bigram counts combine map-side
+    # the salt window really partitions on two keys, not bare lang
+    assert "hashpartitioning(lang" in plan

@@ -179,3 +179,40 @@ def test_equi_depth_deciles_all_null_prices_is_empty_both_engines(spark, tmp_pat
         }
     ).to_parquet(tmp_path / "orders.parquet")
     assert relational.equi_depth_deciles(spark, str(tmp_path)).count() == 0
+
+
+def test_bucketed_prefix_sum_matches_pandas_under_adversarial_buckets(spark):
+    """bucketed_prefix_sum must equal the naive ordered cumsum under the
+    shapes that break sloppy prefix sums: empty buckets (ids that map to
+    no rows), a single bucket holding most rows (skew), negative values,
+    and ties in the order columns resolved by the tiebreaker."""
+    import pandas as pd
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.relational import (
+        bucketed_prefix_sum,
+    )
+
+    rows = [
+        # (k, v): k drives both order and bucket; bucket 0 gets one row,
+        # bucket 1 is empty (no k in [10, 20)), bucket 2 holds the rest
+        (1, 5), (25, -3), (25, 7), (26, 2), (27, 0), (30, 11), (31, -6),
+    ]
+    df = spark.createDataFrame(rows, "k int, v long").withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    bucket = (F.col("k") / 10).cast("int")
+    out = bucketed_prefix_sum(df, bucket, ["k", "rid"], "v", "cum").collect()
+    pdf = (
+        pd.DataFrame([(r.k, r.rid, r.v) for r in out], columns=["k", "rid", "v"])
+        .sort_values(["k", "rid"])
+        .reset_index(drop=True)
+    )
+    want = pdf.v.cumsum()
+    got = (
+        pd.DataFrame([(r.k, r.rid, r.cum) for r in out], columns=["k", "rid", "cum"])
+        .sort_values(["k", "rid"])
+        .reset_index(drop=True)
+        .cum
+    )
+    assert list(got) == list(want)
+    assert {c for r in out for c in r.asDict()} == {"k", "v", "rid", "cum"}

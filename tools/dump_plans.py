@@ -68,8 +68,12 @@ SHOWCASE = [
     ("dataset_shuffle_order", "seeded epoch shuffle: bucketed global rank on uniform hash key"),
     ("multimodal_decode_audio", "real WAV decode: wave-module parse in Arrow-batched mapInPandas"),
     ("events_mad_outliers", "robust MAD fences: three partial-agg passes, broadcast scalar frames"),
-    # round-5 addition
+    # round-5 additions
     ("pca_project_fixed_basis", "recorded-basis projection: committed literals, one Arrow-batched pass"),
+    ("pii_redact", "regexp redaction chain: row-local codegen, zero exchanges, sha-pinned output"),
+    ("chunk_documents", "overlapping token chunking: generate+explode, zero exchanges"),
+    ("bigram_lm_probs", "bigram LM stats: partial-agg counts, exact two-phase salted top-K"),
+    ("corpus_budget_select", "token-budget selection: ckpt'd scores, bucketed distributed prefix sum"),
 ]
 
 PREAMBLE_NOTES = """\
