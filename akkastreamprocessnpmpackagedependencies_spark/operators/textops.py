@@ -25,7 +25,7 @@ from ..functions.text import (
     sql_word_shingles,
     word_shingles,
 )
-from ..session import load_scaled, load_table
+from ..session import ckpt, load_scaled, load_table
 from .registry import Registry
 
 REG = Registry()
@@ -1019,17 +1019,21 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is arithmetic-free).
 
     Shapes, at 100 TB: the bigram explode shuffles on (lang, gram) into a
-    partial-aggregatable count — uniform key space, no hot key. The
-    top-K, though, CANNOT be a bare per-lang window (5 languages →
+    partial-aggregatable count — uniform key space, no hot key; the
+    gram-count frame is ``ckpt``-ed because two consumers branch from it
+    and Spark shares no subplans (without it the corpus explodes twice).
+    The top-K CANNOT be a bare per-lang window (5 languages →
     row_number would drag each language's whole distinct-bigram
     distribution through one task). It runs as exact two-phase top-K:
     phase 1 ranks within (lang, salt) where salt = hash(gram) %
     BIGRAM_SALT_BUCKETS — any global top-K member is necessarily top-K
     in its salt bucket — keeping ≤ salt·K candidates per language;
-    phase 2 ranks those few rows globally per language. The w1_total
-    window partitions on (lang, w1) — real key cardinality, no skew
-    beyond natural Zipf, and the named mitigation for a hot head word is
-    the same two-level partial-sum split."""
+    phase 2 ranks those few rows globally per language. Continuation
+    mass w1_total is a hash AGGREGATE to (lang, w1) — partial-combined,
+    no sort — joined onto the ≤ langs·K ranked rows (the ranked side
+    broadcasts); a sort-window over the full gram frame would pay a
+    per-partition sort just to annotate rows the rank then throws
+    away."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("lang", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
     grams = t.select(
@@ -1041,15 +1045,17 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    c = grams.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("cnt"))
+    c = ckpt(
+        grams.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("cnt"))
+    )
     w1 = F.substring_index(F.col("gram"), " ", 1)
-    w = c.withColumn(
-        "w1_total", F.sum("cnt").over(W.partitionBy("lang", w1)).cast("long")
+    w1tot = c.groupBy("lang", w1.alias("w1")).agg(
+        F.sum("cnt").cast("long").alias("w1_total")
     )
     # exact two-phase top-K: per-salt partial rank prunes to salt*K rows
     # per language before the tiny global rank
     salt = F.pmod(F.xxhash64("gram"), F.lit(BIGRAM_SALT_BUCKETS))
-    partial = w.withColumn(
+    partial = c.withColumn(
         "prnk",
         F.row_number().over(
             W.partitionBy("lang", salt).orderBy(F.col("cnt").desc(), "gram")
@@ -1061,7 +1067,11 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
         ),
     ).filter(F.col("rnk") <= BIGRAM_TOP_K)
-    return ranked.select(
-        "lang", "gram", "cnt", "w1_total",
-        (F.col("cnt").cast("double") / F.col("w1_total")).alias("cond_prob"),
+    return (
+        F.broadcast(ranked.withColumn("w1", w1))
+        .join(w1tot, ["lang", "w1"])
+        .select(
+            "lang", "gram", "cnt", "w1_total",
+            (F.col("cnt").cast("double") / F.col("w1_total")).alias("cond_prob"),
+        )
     )

@@ -516,6 +516,12 @@ def test_bigram_topk_pushes_group_limits(spark, sf_dir):
 
     plan = _plan(bigram_lm_probs(spark, sf_dir))
     assert "WindowGroupLimit" in plan
-    assert "partial_count" in plan  # bigram counts combine map-side
+    # the gram-count frame is checkpointed once and feeds BOTH consumers
+    # (rank chain + continuation-mass agg) — no second corpus explode
+    assert plan.count("Scan ExistingRDD") == 2 and "FileScan" not in plan
+    # continuation mass is a partial-combined hash agg, not a sort-window
+    assert "partial_sum" in plan and "w1_total" in plan
+    # ...joined onto the tiny ranked frame via broadcast
+    assert "BroadcastHashJoin" in plan
     # the salt window really partitions on two keys, not bare lang
     assert "hashpartitioning(lang" in plan
