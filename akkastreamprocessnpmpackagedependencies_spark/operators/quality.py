@@ -651,3 +651,46 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("cum_tokens") - F.col("n_tokens") < BUDGET_TOKENS).select(
         "doc_id", "n_tokens", "score", "cum_tokens"
     )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit — the check every deterministic split
+    needs before a benchmark number is trusted: duplicate documents
+    (same normalized-text hash, the dedup_normalized_hash key) that land
+    in DIFFERENT splits leak training content into evaluation. Groups
+    documents by the canonical normalized hash, takes each duplicate
+    group's set of splits (via the shared ``split_assign_expr`` — the
+    single split definition, so the audit can never disagree with the
+    assignment), and reports one row per observed split combination:
+    how many duplicate groups and documents show that profile. A profile
+    containing more than one split ("train+val", "train+test", ...) IS
+    the leakage; the mitigation is group-aware splitting (assign the
+    split from the group's min doc_id hash instead of each member's).
+
+    Shapes, at 100 TB: one hash-group on the 16-byte norm hash (the
+    document body never shuffles — md5 first, group on the digest), a
+    bounded collect_set (≤ 3 splits) per group, then a tiny profile agg.
+    Same scale story as dedup_exact_summary plus a constant-size set.
+
+    Registration note (round 6): kept out of the recorded round-5 window
+    by slot discipline; the oracle (norm-hash grouping + string_agg of
+    distinct splits) lands with the registration. Lockstep today:
+    tests/test_llm_ops.py recomputes the profiles in pure Python."""
+    from ..functions.text import norm_expr
+    from .textops import split_assign_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.md5(norm_expr(F.col("text"))).alias("norm_hash"),
+        split_assign_expr(F.col("doc_id")).alias("split"),
+    )
+    groups = keyed.groupBy("norm_hash").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.concat_ws("+", F.array_sort(F.collect_set("split"))).alias("split_profile"),
+    )
+    dups = groups.filter(F.col("n_docs") > 1)
+    return dups.groupBy("split_profile").agg(
+        F.count("*").cast("long").alias("n_dup_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.max("n_docs").cast("long").alias("largest_group"),
+    )

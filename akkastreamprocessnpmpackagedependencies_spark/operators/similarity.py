@@ -777,3 +777,59 @@ def pca_project_fixed_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REG.add("pca_project_fixed_basis", _pca_fixed_oracle())(pca_project_fixed_basis)
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the approximate ANN variants against the
+    exact baseline — the acceptance gate every production ANN index ships
+    with (an approximate index without a measured recall is a guess, not
+    an operator). For each variant the approximate top-K is joined to the
+    brute-force top-K on (query_id, neighbor_id); recall@k =
+    total_hits / (n_queries * TOP_K) and the per-query minimum are both
+    EXACT integer divisions, so the numbers are engine-deterministic (a
+    mean over per-query double ratios would be summation-order-dependent
+    and flake a cross-engine gate).
+
+    Shapes: the exact result (n_queries * TOP_K rows) is ``ckpt``-ed once
+    and reused by every variant; each comparison is a tiny equi-join +
+    one agg — the evaluation adds nothing beyond the cost of the indexes
+    it measures, at any corpus size. Left-anti-safe: a query the variant
+    returns NOTHING for still counts (hits = 0 via the left join), so a
+    bucket collapse cannot inflate recall.
+
+    Registration note (round 6): window-slot discipline keeps this out of
+    the round-5 driver window; the DuckDB oracle is the CTE composition
+    of the three already-verified cosine_topk oracles and lands with the
+    registration. Lockstep verification today: tests/test_llm_ops.py
+    recomputes recall in pure Python from the collected frames."""
+    exact = ckpt(
+        cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    n_q = F.lit(N_QUERIES)
+    variants = [
+        ("lsh", cosine_topk_lsh),
+        ("ivf", cosine_topk_ivf),
+    ]
+    out = None
+    for name, fn in variants:
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("hits"))
+        )
+        per_q = (
+            exact.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+        )
+        row = per_q.agg(
+            F.lit(name).alias("variant"),
+            n_q.cast("long").alias("n_queries"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            (F.sum("hits") / (n_q * TOP_K)).alias("recall_at_k"),
+            (F.min("hits") / F.lit(TOP_K)).alias("min_query_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -658,3 +658,87 @@ def test_corpus_budget_select_is_maximal_quality_prefix(spark, sf_dir):
         row = got[doc_id]
         assert (row.n_tokens, row.cum_tokens) == (n, cum_tokens)
         assert abs(row.score - score) < 1e-12
+
+
+def test_ann_recall_eval_matches_python_recomputation(spark, sf_dir):
+    """ann_recall_eval's numbers recomputed in pure Python from the three
+    collected ANN frames: per-variant total hits, exact-division
+    recall@k, and the per-query minimum must agree; a variant can never
+    beat perfect recall, and brute force against itself would be 1.0 by
+    construction (sanity anchor on the exact side)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_recall_eval,
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    got = {r.variant: r for r in ann_recall_eval(spark, sf_dir).collect()}
+    assert set(got) == {"lsh", "ivf"}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    assert len(exact) == N_QUERIES * TOP_K
+    for name, fn in (("lsh", cosine_topk_lsh), ("ivf", cosine_topk_ivf)):
+        approx = {(r.query_id, r.neighbor_id) for r in fn(spark, sf_dir).collect()}
+        hits_by_q: dict[int, int] = {q: 0 for q, _ in exact}
+        for q, n in exact & approx:
+            hits_by_q[q] += 1
+        total = sum(hits_by_q.values())
+        row = got[name]
+        assert row.n_queries == N_QUERIES
+        assert row.total_hits == total
+        assert row.recall_at_k == total / (N_QUERIES * TOP_K)
+        assert row.min_query_recall == min(hits_by_q.values()) / TOP_K
+        assert 0.0 <= row.min_query_recall <= row.recall_at_k <= 1.0
+
+
+def test_split_leakage_audit_matches_python_recomputation(spark, sf_dir):
+    """The audit's split profiles recomputed in pure Python: normalize
+    each document with the same canonical chain, group by the md5 of the
+    normalized text, assign splits with the same md5-prefix rule, and
+    compare every (profile -> groups/docs/largest) row. Any profile with
+    a '+' is a leak; single-split profiles are duplicate-but-contained."""
+    import hashlib
+    import re
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        split_leakage_audit,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.operators.textops import (
+        SPLIT_TRAIN_MAX,
+        SPLIT_VAL_MAX,
+    )
+
+    # the synthetic corpus only contains normalized-text duplicate groups
+    # at sf0.1 (8 groups; sf0.001/sf0.01 are dup-free) — exercise the
+    # audit where the leaks can exist
+    sf_dir = "/root/testdata/sf0.1"
+    got = {
+        r.split_profile: (r.n_dup_groups, r.n_docs, r.largest_group)
+        for r in split_leakage_audit(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups: dict[str, list[str]] = {}
+    for r in docs:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", r.text.lower())).strip()
+        key = hashlib.md5(norm.encode()).hexdigest()
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()[0]
+        split = (
+            "train" if h <= SPLIT_TRAIN_MAX else "val" if h <= SPLIT_VAL_MAX else "test"
+        )
+        groups.setdefault(key, []).append(split)
+    want: dict[str, list[int]] = {}
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        profile = "+".join(sorted(set(members)))
+        acc = want.setdefault(profile, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += len(members)
+        acc[2] = max(acc[2], len(members))
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert got, "synthetic corpus must contain duplicate groups"
