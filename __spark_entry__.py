@@ -74,8 +74,14 @@ _PRIORITY = [
     # recorded promise, not a silent aging).
     *["pca_project_fixed_basis", "pii_redact", "chunk_documents",
       "bigram_lm_probs", "corpus_budget_select"],
+    # round 5 late: decode_image_real grew the stdlib PNG path, so
+    # multimodal_decode_real's fingerprint moved — window-mandatory
+    # (displacing embedding_neardup_pairs, unchanged since its r3 row;
+    # its blocking path still exercises through semdedup_keep_one and it
+    # carries a must_rotate=6 promise)
+    "multimodal_decode_real",
     # rotation fill: oldest r3-resting rows, dedup-family freshness first
-    *["semdedup_keep_one", "embedding_neardup_pairs"],
+    "semdedup_keep_one",
 ]
 
 
