@@ -326,3 +326,29 @@ def test_decode_image_real_mixed_ppm_and_png(spark):
         gw, gh, gc, gmean = got[doc_id]
         assert (gw, gh, gc) == (w, h, c)
         assert gmean == pytest.approx(mean, abs=1e-12)
+
+
+def test_multimodal_decode_png_roundtrips_through_compressed_container(spark, sf_dir):
+    """The staged round-6 query: documents become REAL Paeth-filtered
+    PNGs and come back through the stdlib decoder. Dims must match the
+    doc_id formula and mean_intensity must equal the Python byte-mean of
+    the padded body — any container or filter bug on either side breaks
+    the equality (oracle registration lands in round 6; _PNG_ORACLE is
+    verified green at sf0.01/sf0.1 by the driver-faithful checker)."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    out = {r.doc_id: r for r in mm.multimodal_decode_png(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ascii_docs = {
+        r.doc_id: r.text
+        for r in docs
+        if len(r.text) > 0 and len(r.text) == len(r.text.encode())
+    }
+    assert set(out) == set(ascii_docs)
+    for doc_id, text in list(ascii_docs.items())[:40]:
+        w, h = 4 + doc_id % 13, 3 + doc_id % 11
+        n = w * h * 3
+        body = text.encode("ascii").ljust(n, b"x")[:n]
+        r = out[doc_id]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.mean_intensity == pytest.approx(sum(body) / n, abs=1e-12)

@@ -442,3 +442,32 @@ def test_ascii_guard_predicate_agrees_across_engines(spark, texts):
     assert got_spark == got_duck
     for i in got_spark:  # every admitted doc really is non-empty ASCII
         assert texts[i] and all(ord(c) < 128 for c in texts[i])
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=12),
+    channels=st.sampled_from([1, 3]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(w, h, channels, filter_type, seed):
+    """Pure-Python property (no Spark job): ANY dimensions, color type,
+    scanline filter and pixel content round-trip bit-exactly through the
+    stdlib PNG codec — including 1-pixel rows/columns where the filters'
+    left/upper-left neighbors fall off the edge, the corner cases the
+    fixed-size roundtrip battery misses."""
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=w * h * channels, dtype=np.uint8).tobytes()
+    gw, gh, gc, arr = decode_png(encode_png(w, h, px, channels, filter_type))
+    assert (gw, gh, gc) == (w, h, channels)
+    assert arr.shape == (h, w, channels)
+    assert arr.tobytes() == px
