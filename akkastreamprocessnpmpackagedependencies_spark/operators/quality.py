@@ -694,3 +694,32 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.max("n_docs").cast("long").alias("largest_group"),
     )
+
+
+def _split_leakage_oracle() -> str:
+    """Staged round-6 oracle for split_leakage_audit (REG.add one-liner
+    lands with the registration): the same normalized-hash grouping and
+    split rule through the shared SQL twins (functions.text.sql_norm,
+    textops.sql_split_assign), profile string via string_agg of the
+    DISTINCT ordered splits — mirrors concat_ws over array_sort of
+    collect_set."""
+    from ..functions.text import sql_norm
+    from .textops import sql_split_assign
+
+    return f"""
+    WITH keyed AS (
+      SELECT md5({sql_norm('text')}) AS norm_hash,
+             {sql_split_assign('doc_id')} AS split
+      FROM documents),
+    groups AS (
+      SELECT norm_hash,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             string_agg(DISTINCT split, '+' ORDER BY split) AS split_profile
+      FROM keyed GROUP BY norm_hash)
+    SELECT split_profile,
+           CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(n_docs) AS BIGINT) AS largest_group
+    FROM groups WHERE n_docs > 1
+    GROUP BY split_profile
+    """

@@ -833,3 +833,42 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _ann_recall_oracle() -> str:
+    """Staged round-6 oracle for ann_recall_eval
+    (REG.add("ann_recall_eval", _ann_recall_oracle())(ann_recall_eval)):
+    the exact and approximate top-K sets are the ALREADY-VERIFIED oracle
+    bodies of the three cosine_topk queries, wrapped as CTEs; the recall
+    arithmetic on top is pure integer counting + one exact division per
+    output cell, mirroring the engine's transcendental-free convention.
+    Rendered via f-string so the recorded evidence fingerprint bakes the
+    underlying oracles in (editing any of them moves this query's
+    fingerprint too)."""
+    exact = REG.oracles["cosine_topk_bruteforce"]
+    lsh = REG.oracles["cosine_topk_lsh"]
+    ivf = REG.oracles["cosine_topk_ivf"]
+
+    def v(name: str, tbl: str) -> str:
+        return f"""
+    SELECT '{name}' AS variant,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(sum(hits_q) AS BIGINT) AS total_hits,
+           CAST(sum(hits_q) AS DOUBLE) / ({N_QUERIES} * {TOP_K}) AS recall_at_k,
+           CAST(min(hits_q) AS DOUBLE) / {TOP_K} AS min_query_recall
+    FROM (
+      SELECT e.query_id, count({tbl}.neighbor_id) AS hits_q
+      FROM exact e
+      LEFT JOIN {tbl}
+        ON e.query_id = {tbl}.query_id AND e.neighbor_id = {tbl}.neighbor_id
+      GROUP BY e.query_id)
+    """
+
+    return f"""
+    WITH exact AS ({exact}),
+    approx_lsh AS ({lsh}),
+    approx_ivf AS ({ivf})
+    {v('lsh', 'approx_lsh')}
+    UNION ALL
+    {v('ivf', 'approx_ivf')}
+    """
