@@ -29,7 +29,6 @@ from ..functions.constants import LSH_PLANES
 from ..functions.vector import (
     cosine,
     dot_batch,
-    dot_unrolled,
     lsh_bucket,
     norm_unrolled,
     sql_cosine,

@@ -4,6 +4,8 @@ harness (tools/oracle_check.py) covers exact parity at sf0.01."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -717,6 +719,8 @@ def test_split_leakage_audit_matches_python_recomputation(spark, sf_dir):
     # at sf0.1 (8 groups; sf0.001/sf0.01 are dup-free) — exercise the
     # audit where the leaks can exist
     sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata (the only scale with dup groups) absent")
     got = {
         r.split_profile: (r.n_dup_groups, r.n_docs, r.largest_group)
         for r in split_leakage_audit(spark, sf_dir).collect()

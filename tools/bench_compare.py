@@ -31,7 +31,10 @@ def _from_tail(tail: str) -> dict[str, float]:
     them."""
     skip = {"value", "sf", "runs_per_query"}
     out = {}
-    for name, num in re.findall(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail):
+    # anchor on the preceding '{' or ',' so a tail window that starts
+    # mid-pair can't salvage a cut-off name fragment ("...ency_counts")
+    # as a phantom query
+    for name, num in re.findall(r'[{,]\s*"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail):
         if name not in skip:
             out[name] = float(num)
     return out
@@ -67,14 +70,16 @@ def main() -> None:
     flagged = []
     for q in both:
         a, b = old[q], new[q]
-        if b == 0 and a > 0:
-            # a measured query can't take literally 0s — suspicious value,
-            # not a speedup (round-4 ADVICE: the b>0 guard hid these)
+        if (b == 0) != (a == 0):
+            # a measured query can't take literally 0s on either side —
+            # suspicious artifact value, not a real delta (round-4 ADVICE:
+            # the b>0 guard hid the new-side case; the old-side case is
+            # the same disease in OLD.json)
             flagged.append((0.0, q, a, b))
         elif a > 0 and (b / a >= ratio or (b > 0 and a / b >= ratio)):
             flagged.append((b / a, q, a, b))
     for r, q, a, b in sorted(flagged, reverse=True):
-        tag = "ZERO??" if b == 0 and a > 0 else ("SLOWER" if r > 1 else "faster")
+        tag = "ZERO??" if (b == 0) != (a == 0) else ("SLOWER" if r > 1 else "faster")
         print(f"{tag:6s} {q:36s} {a:8.3f} -> {b:8.3f}  ({r:5.2f}x)")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
