@@ -157,6 +157,7 @@ def decode_image_real(df: DataFrame) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
         from ..functions.ppm import decode_netpbm
 
@@ -172,8 +173,18 @@ def decode_image_real(df: DataFrame) -> DataFrame:
                 if b[:2] in (b"P5", b"P6"):
                     w, h, c, arr = decode_netpbm(b)
                     mean = float(arr.sum()) / arr.size
-                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                elif b[:8] == b"\x89PNG\r\n\x1a\n" and _pil_image is None:
+                    # without PIL the stdlib codec is the only PNG path;
+                    # with PIL installed, PNGs route to PIL below so
+                    # out-of-scope shapes (palette, alpha, 16-bit, Adam7)
+                    # keep decoding instead of raising from decode_png
                     w, h, c, arr = decode_png(b)
+                    mean = float(int(arr.sum(dtype=np.int64))) / arr.size
+                elif b[:3] == b"\xff\xd8\xff" and _pil_image is None:
+                    # baseline sequential JPEG via the stdlib+numpy codec;
+                    # with PIL installed JPEGs route to PIL below so
+                    # progressive/12-bit scans keep decoding
+                    w, h, c, arr = decode_jpeg(b)
                     mean = float(int(arr.sum(dtype=np.int64))) / arr.size
                 elif _pil_image is not None:  # pragma: no cover - no PIL here
                     import io
@@ -186,7 +197,8 @@ def decode_image_real(df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "image decode without a codec library covers binary "
-                        "Netpbm (P5/P6) and PNG; JPEG/WebP require PIL"
+                        "Netpbm (P5/P6), PNG, and baseline JPEG; WebP and "
+                        "exotic variants require PIL"
                     )
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)

@@ -76,13 +76,26 @@ def test_decode_image_real_on_ppm_payloads(spark):
 
 
 def test_decode_image_real_unknown_format_raises(spark):
-    """A format outside every stdlib codec (JPEG magic, no PIL installed)
-    must raise the honest seam error, never return garbage features."""
+    """A format outside every stdlib codec (WebP magic, no PIL installed)
+    must raise the honest seam error, never return garbage features.
+    (JPEG magic used to be the seam exemplar; it now routes to the real
+    stdlib baseline-JPEG decoder.)"""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 notreally"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="(?i)require PIL|NotImplemented"):
+        mm.decode_image_real(df).collect()
+
+
+def test_decode_image_real_corrupt_jpeg_raises(spark):
+    """JPEG-signature bytes with a broken container route to the stdlib
+    JPEG decoder and fail its validation loudly."""
     df = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIFnotreally"))],
         "doc_id long, payload binary",
     )
-    with pytest.raises(Exception, match="(?i)require PIL|NotImplemented"):
+    with pytest.raises(Exception, match="(?i)marker|truncated|SOS"):
         mm.decode_image_real(df).collect()
 
 
@@ -352,3 +365,159 @@ def test_multimodal_decode_png_roundtrips_through_compressed_container(spark, sf
         r = out[doc_id]
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert r.mean_intensity == pytest.approx(sum(body) / n, abs=1e-12)
+
+
+# --------------------------------------------------------------- JPEG codec
+
+from akkastreamprocessnpmpackagedependencies_spark.functions.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+
+
+def test_jpeg_constant_image_roundtrips_exactly():
+    """A constant plane has only a DC coefficient; with any quality the
+    decode must reproduce it exactly (DC quantization error rounds away
+    for the encoder's own table) — the lossless corner of a lossy codec."""
+    for c, q in [(1, 100), (1, 75), (3, 95)]:
+        px = bytes([77, 140, 202][:c]) * (24 * 16 if c == 1 else 24 * 16)
+        px = (bytes([77]) if c == 1 else bytes([77, 140, 202])) * (24 * 16)
+        data = encode_jpeg(24, 16, px, channels=c, quality=q)
+        w, h, ch, arr = decode_jpeg(data)
+        assert (w, h, ch) == (24, 16, c)
+        want = np.frombuffer(px, dtype=np.uint8).reshape(16, 24, c)
+        assert np.abs(arr.reshape(16, 24, c).astype(int) - want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("channels,subsample", [(1, False), (3, False), (3, True)])
+def test_jpeg_random_roundtrip_bounded_error(channels, subsample):
+    """Quality-100 tables are all ones, so the only loss is coefficient
+    rounding: the orthonormal-basis bound caps per-pixel error at 4
+    (L2 of a 64-vector of half-unit errors); chroma conversion adds a
+    little more in RGB. Bounds asserted, not eyeballed."""
+    rng = np.random.default_rng(11)
+    w, h = 21, 13  # deliberately not multiples of 8/16 (pad+crop path)
+    px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    data = encode_jpeg(w, h, px.tobytes(), channels=channels, quality=100, subsample=subsample)
+    gw, gh, gc, arr = decode_jpeg(data)
+    assert (gw, gh, gc) == (w, h, channels)
+    err = np.abs(arr.reshape(h, w, channels).astype(int) - px.astype(int)).max()
+    if channels == 1:
+        assert err <= 4, err
+    elif not subsample:
+        assert err <= 8, err  # + YCbCr float roundtrip
+    # 4:2:0 on noise is legitimately lossy (chroma averaged 2x2) — only
+    # the luma-dominated gray projection stays tight
+    else:
+        gray_got = arr.astype(float) @ [0.299, 0.587, 0.114]
+        gray_want = px.astype(float) @ [0.299, 0.587, 0.114]
+        assert np.abs(gray_got - gray_want).max() <= 10
+
+
+def test_jpeg_smooth_image_high_psnr_and_compression():
+    """On a smooth gradient at quality 85 the codec must actually
+    compress (an order of magnitude here) while keeping PSNR > 35 dB —
+    the working point a corpus pipeline would run at."""
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    base = ((xx * 2 + yy * 1.5) % 256).astype(np.uint8)
+    px = np.stack([base, (base * 0.5).astype(np.uint8), 255 - base], axis=-1)
+    data = encode_jpeg(64, 48, px.tobytes(), 3, quality=85)
+    _, _, _, arr = decode_jpeg(data)
+    mse = np.mean((arr.astype(float) - px.astype(float)) ** 2)
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 35, psnr
+    assert len(data) * 5 < px.size, (len(data), px.size)
+
+
+@pytest.mark.parametrize("ri", [1, 3, 5])
+def test_jpeg_restart_markers_bit_identical(ri):
+    """DRI/RSTn segmentation is pure container framing: decoded pixels
+    must match the unsegmented encode bit for bit, and the decoder must
+    resync predictors at every marker."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(40, 24, px.tobytes(), 3, quality=90))[3]
+    seg = decode_jpeg(encode_jpeg(40, 24, px.tobytes(), 3, quality=90, restart_interval=ri))[3]
+    assert (plain == seg).all()
+
+
+def test_jpeg_quality_tables_monotone_and_q100_flat():
+    l50, c50 = quality_tables(50)
+    l90, c90 = quality_tables(90)
+    l100, c100 = quality_tables(100)
+    assert (l100 == 1).all() and (c100 == 1).all()
+    assert (l90 <= l50).all() and (c90 <= c50).all()
+    with pytest.raises(ValueError):
+        quality_tables(0)
+
+
+def test_jpeg_malformed_rejected():
+    """Corrupt containers fail loudly: wrong signature, truncated
+    entropy data, progressive (SOF2) scans, 12-bit precision."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    good = encode_jpeg(8, 8, px.tobytes(), channels=1, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"JFIF" + good)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(progressive)
+    i = good.index(b"\xff\xc0")
+    twelve_bit = good[: i + 4] + b"\x0c" + good[i + 5 :]
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(twelve_bit)
+
+
+def test_jpeg_decoder_reads_tables_from_the_file():
+    """The decoder must honor the file's own DQT, not assume Annex K:
+    doubling the quant table in the container (without re-encoding the
+    coefficients) must double the reconstructed AC amplitudes."""
+    base = np.full((8, 8), 96, dtype=np.uint8)
+    base[:, 4:] = 160  # mild step edge -> AC content with doubling headroom
+    good = encode_jpeg(8, 8, base.tobytes(), channels=1, quality=50)
+    _, _, _, ref = decode_jpeg(good)
+    i = good.index(b"\xff\xdb")
+    tbl = bytearray(good[i + 5 : i + 5 + 64])
+    doubled = bytes(min(255, 2 * v) for v in tbl)
+    tampered = good[: i + 5] + doubled + good[i + 5 + 64 :]
+    _, _, _, out = decode_jpeg(tampered)
+    # contrast across the edge roughly doubles around the 128 midline
+    ref_c = ref.astype(int)[:, 6].mean() - ref.astype(int)[:, 1].mean()
+    out_c = out.astype(int)[:, 6].mean() - out.astype(int)[:, 1].mean()
+    assert out_c > ref_c * 1.5
+
+
+def test_decode_image_real_all_three_containers(spark):
+    """Netpbm, PNG, and JPEG payloads decode side by side through the
+    production mapInPandas operator. JPEG features are checked against
+    the codec's own decode (deterministic), the lossless two against
+    raw-byte truth."""
+    rng = np.random.default_rng(31)
+    rows, truth = [], {}
+    for doc_id, kind in enumerate(["ppm", "png", "jpeg"]):
+        w, h = 10 + doc_id, 6 + doc_id
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        if kind == "ppm":
+            payload = encode_ppm(w, h, px)
+            mean = sum(px) / len(px)
+        elif kind == "png":
+            payload = encode_png(w, h, px, 3, filter_type=3)
+            mean = sum(px) / len(px)
+        else:
+            payload = encode_jpeg(w, h, px, 3, quality=90)
+            arr = decode_jpeg(payload)[3]
+            mean = float(int(arr.sum(dtype=np.int64))) / arr.size
+        rows.append((doc_id, bytearray(payload)))
+        truth[doc_id] = (w, h, 3, mean)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.mean_intensity)
+        for r in mm.decode_image_real(df).collect()
+    }
+    for doc_id, (w, h, c, mean) in truth.items():
+        gw, gh, gc, gmean = got[doc_id]
+        assert (gw, gh, gc) == (w, h, c)
+        assert gmean == pytest.approx(mean, abs=1e-9)
