@@ -518,3 +518,75 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode, schema="doc_id long, payload binary"
     )
     return decode_image_real(imgs)
+
+
+# Oracle for multimodal_decode_jpeg, staged for a future-round
+# registration (REG.add("multimodal_decode_jpeg", _JPEG_ORACLE)
+# (multimodal_decode_jpeg)). A LOSSY codec with an EXACT oracle: each
+# 8x8 block is a constant integer gray level, so its DCT has only a DC
+# coefficient — an exact integer multiple of 1/8 scaling — and the
+# quality-100 tables are all ones, so quantization rounds nothing away.
+# The decode is then bit-exact and mean_intensity equals the byte-mean
+# of the block values, which SQL recomputes from the text directly.
+# Any Huffman, DC-prediction, marker, or DCT-convention bug on either
+# side of the codec breaks the value hash.
+_JPG_WB = "(2 + doc_id % 4)"  # blocks across: 2..5 -> width 16..40
+_JPG_HB = "(1 + doc_id % 3)"  # blocks down:   1..3 -> height 8..24
+_JPEG_ORACLE = f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 * {_JPG_WB} AS INT) AS width,
+             CAST(8 * {_JPG_HB} AS INT) AS height,
+             rpad(text, CAST({_JPG_WB} * {_JPG_HB} AS INT), 'x') AS body,
+             {_JPG_WB} * {_JPG_HB} AS nblocks
+      FROM documents
+      WHERE length(text) > 0 AND length(text) = octet_length(encode(text)))
+    SELECT doc_id, width, height, 1 AS channels,
+           CAST(list_sum(list_transform(split(body, ''), ch -> unicode(ch)))
+                AS DOUBLE) / nblocks AS mean_intensity
+    FROM img
+    """
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY compressed decode end-to-end with an exact oracle: every
+    (ASCII, non-empty) document becomes a real baseline JPEG — a grid of
+    8x8 blocks whose gray levels are the document's bytes — entropy-coded
+    through canonical Huffman with DC prediction, then decoded by
+    ``decode_image_real`` via the stdlib JPEG codec
+    (``functions/jpeg.py``). At quality 100 a block-constant integer
+    image survives the DCT+quantization roundtrip bit-exactly (see
+    _JPEG_ORACLE note), so the oracle recomputes dims and the block-value
+    mean straight from the text in SQL — the multimodal_decode_png
+    technique extended to the lossy container.
+
+    Scale shape: identical to the PNG query — encode and decode share
+    one Arrow-batched executor pass, payloads never cross the wire, the
+    ASCII gate is the audio query's established predicate."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wb = int(2 + doc_id % 4)
+                hb = int(1 + doc_id % 3)
+                body = text.encode("ascii").ljust(wb * hb, b"x")[: wb * hb]
+                blocks = np.frombuffer(body, dtype=np.uint8).reshape(hb, wb)
+                pixels = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                ids.append(doc_id)
+                payloads.append(
+                    encode_jpeg(wb * 8, hb * 8, pixels.tobytes(), channels=1, quality=100)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    imgs = d.select("doc_id", "text").mapInPandas(
+        _encode, schema="doc_id long, payload binary"
+    )
+    return decode_image_real(imgs)

@@ -521,3 +521,31 @@ def test_decode_image_real_all_three_containers(spark):
         gw, gh, gc, gmean = got[doc_id]
         assert (gw, gh, gc) == (w, h, c)
         assert gmean == pytest.approx(mean, abs=1e-9)
+
+
+def test_multimodal_decode_jpeg_exact_through_lossy_container(spark, sf_dir):
+    """The staged query: documents become block-constant grayscale JPEGs
+    at quality 100 — the configuration where a lossy codec is provably
+    exact (DC-only blocks, all-ones quant tables) — and come back through
+    the stdlib Huffman+DCT decoder. Dims must match the doc_id grid
+    formula and mean_intensity must EQUAL the byte-mean of the padded
+    body (no tolerance: the roundtrip is bit-exact by construction).
+    Oracle registration lands in a later round per window-slot
+    discipline; _JPEG_ORACLE is verified hash-green at sf0.01/sf0.1 by
+    the driver-faithful checker."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    out = {r.doc_id: r for r in mm.multimodal_decode_jpeg(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ascii_docs = {
+        r.doc_id: r.text
+        for r in docs
+        if len(r.text) > 0 and len(r.text) == len(r.text.encode())
+    }
+    assert set(out) == set(ascii_docs)
+    for doc_id, text in list(ascii_docs.items())[:40]:
+        wb, hb = 2 + doc_id % 4, 1 + doc_id % 3
+        body = text.encode("ascii").ljust(wb * hb, b"x")[: wb * hb]
+        r = out[doc_id]
+        assert (r.width, r.height, r.channels) == (8 * wb, 8 * hb, 1)
+        assert r.mean_intensity == sum(body) / len(body)
