@@ -871,3 +871,242 @@ def _ann_recall_oracle() -> str:
     UNION ALL
     {v('ivf', 'approx_ivf')}
     """
+
+
+# ------------------------------------------------------------------ PQ
+
+PQ_M = 4  # subspaces (DIM/PQ_M dims each)
+PQ_K = 8  # codebook entries per subspace -> codes fit a single byte
+PQ_ITERS = 2  # Lloyd rounds per subspace codebook
+PQ_SUBDIM = DIM // PQ_M
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, sv): each embedding split into PQ_M contiguous
+    subvectors via a generate+explode over row-local slices — zero
+    exchanges, the chunk_documents idiom on the vector axis."""
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub_id"),
+            F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for s in range(PQ_M)
+    ])
+    return e.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", "x.sub_id", "x.sv"
+    )
+
+
+def _pq_assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub_id): broadcast equi-join on
+    sub_id (PQ_M * PQ_K tiny rows), squared-euclidean fold, argmin window
+    — the kmeans ``_assign`` shape with the subspace as an extra key, so
+    ONE corpus pass trains/encodes all PQ_M codebooks jointly."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
+    return (
+        sv.join(F.broadcast(cent), "sub_id")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "sv", "code", "d2")
+    )
+
+
+def pq_fit(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): k-means
+    per subspace, all PQ_M subspaces trained JOINTLY — the subvector
+    explode keys every Lloyd round by (sub_id, code), so each round is
+    still one scan + one shuffle no matter how many subspaces, and the
+    codebooks (PQ_M x PQ_K x PQ_SUBDIM doubles) stay broadcast-small
+    forever. Returns (final assignment, final codebooks). Deterministic
+    init: subspace s seeds from vec_id 0..PQ_K-1's s-th subvectors (the
+    kmeans_fit convention). Per-round localCheckpoint truncates lineage.
+
+    100 TB design: this is the memory story for ANN at scale — codes are
+    PQ_M bytes per vector (256x smaller than DIM doubles), the ADC scan
+    below touches only the codes table, and training cost is
+    iters x (scan + partial-agg shuffle) with no driver-side state."""
+    sv = _pq_subvectors(_corpus(spark, sf_dir).select("vec_id", "v"))
+    sv.persist()
+    cent = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub_id", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    asg = None
+    for i in range(iters):
+        prev, asg = asg, _pq_assign(sv, cent)
+        if i < iters - 1:
+            asg.persist()
+            x = asg.select("sub_id", "code", F.posexplode("sv").alias("dim", "val"))
+            m = x.groupBy("sub_id", "code", "dim").agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    / F.count("*")
+                ).alias("mv")
+            )
+            cent = m.groupBy("sub_id", "code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("cv")
+            ).transform(ckpt)
+        if prev is not None:
+            prev.unpersist()
+    sv.unpersist()
+    return asg, cent
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus: per vector, the PQ_M codebook indices
+    (as a dash-joined string — the driver compare rejects list cells) and
+    the reconstruction squared error, folded sub_id-ascending so the
+    double addition order is engine-identical."""
+    asg, _ = pq_fit(spark, sf_dir)
+    by_sub = F.array_sort(F.collect_list(F.struct("sub_id", "code", "d2")))
+    return (
+        asg.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-", F.transform(by_sub, lambda s: s["code"].cast("string"))
+            ).alias("codes"),
+            F.aggregate(
+                F.transform(by_sub, lambda s: s["d2"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("recon_d2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-K: each query keeps its EXACT subvectors,
+    precomputes a PQ_M x PQ_K distance table against the codebooks, and
+    every corpus vector is scored by PQ_M table lookups summed over its
+    codes — never touching the raw vectors again. The scan side reads
+    only (vec_id, codes); the per-query table (PQ_M*PQ_K doubles) and the
+    query set broadcast. At 100 TB this is the classic IVF-PQ memory
+    layout's scoring half: compressed-domain scan, exact re-rank optional
+    downstream."""
+    asg, cent = pq_fit(spark, sf_dir)
+    codes = asg.select("vec_id", "sub_id", "code")
+    qsub = _pq_subvectors(
+        _corpus(spark, sf_dir).select("vec_id", "v").filter(F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "sub_id", "sv")
+    dq = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(cent, "sub_id").withColumn("dq", dq).select(
+        "query_id", "sub_id", "code", "dq"
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "dq"))),
+                    lambda s: s["dq"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_d2")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adc_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_pq_ctes(iters: int) -> str:
+    """Unrolled joint-subspace Lloyd as a CTE chain — the _sql_kmeans_ctes
+    pattern with (sub_id, code) as the codebook key. Subvector slicing,
+    seeds, distance folds, tie-breaks, and decimal means all mirror the
+    engine exactly."""
+    ctes = [
+        f"e AS ({_SQL_CORPUS})",
+        f"""
+    sv0 AS (
+      SELECT vec_id, sub_id,
+             list_slice(v, sub_id * {PQ_SUBDIM} + 1, (sub_id + 1) * {PQ_SUBDIM}) AS sv
+      FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS sub_id))""",
+        f"""
+    pc0 AS (SELECT sub_id, vec_id AS code, sv AS cv
+            FROM sv0 WHERE vec_id < {PQ_K})""",
+    ]
+    for i in range(1, iters + 1):
+        d2 = _sql_l2sq("s.sv", "c.cv", PQ_SUBDIM)
+        ctes.append(f"""
+    pa{i} AS (
+      SELECT vec_id, sub_id, sv, code, d2 FROM (
+        SELECT s.vec_id, s.sub_id, s.sv, c.code, {d2} AS d2,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {d2}, c.code) AS rn
+        FROM sv0 s JOIN pc{i - 1} c ON s.sub_id = c.sub_id)
+      WHERE rn = 1)""")
+        if i < iters:
+            ctes.append(f"""
+    pc{i} AS (
+      SELECT sub_id, code, list(mv ORDER BY dim) AS cv FROM (
+        SELECT sub_id, code, dim,
+               CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mv
+        FROM (SELECT sub_id, code, generate_subscripts(sv, 1) - 1 AS dim,
+                     unnest(sv) AS val
+              FROM pa{i})
+        GROUP BY sub_id, code, dim)
+      GROUP BY sub_id, code)""")
+    return ",\n".join(ctes)
+
+
+# Staged oracle for embedding_pq_codes (future-round registration:
+# REG.add("embedding_pq_codes", _PQ_CODES_ORACLE)(embedding_pq_codes)).
+_PQ_CODES_ORACLE = f"""
+    WITH {_sql_pq_ctes(PQ_ITERS)}
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY sub_id), '-') AS codes,
+           list_reduce(list(d2 ORDER BY sub_id), (x, y) -> x + y) AS recon_d2
+    FROM pa{PQ_ITERS}
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+# Staged oracle for pq_adc_topk (same registration pattern): the fit
+# CTE chain is shared with the codes oracle, then the ADC table join +
+# sub_id-ascending fold + per-query ranking mirror the engine.
+_PQ_ADC_ORACLE = f"""
+    WITH {_sql_pq_ctes(PQ_ITERS)},
+    qsub AS (SELECT vec_id AS query_id, sub_id, sv
+             FROM sv0 WHERE vec_id < {N_QUERIES}),
+    dtab AS (
+      SELECT q.query_id, q.sub_id, c.code,
+             {_sql_l2sq("q.sv", "c.cv", PQ_SUBDIM)} AS dq
+      FROM qsub q JOIN pc{PQ_ITERS - 1} c ON q.sub_id = c.sub_id),
+    scored AS (
+      SELECT d.query_id, a.vec_id,
+             list_reduce(list(d.dq ORDER BY d.sub_id), (x, y) -> x + y) AS adc_d2
+      FROM pa{PQ_ITERS} a
+      JOIN dtab d ON a.sub_id = d.sub_id AND a.code = d.code
+      WHERE a.vec_id <> d.query_id
+      GROUP BY d.query_id, a.vec_id)
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rank AS INT) AS rank, adc_d2 FROM (
+      SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """

@@ -746,3 +746,93 @@ def test_split_leakage_audit_matches_python_recomputation(spark, sf_dir):
         acc[2] = max(acc[2], len(members))
     assert got == {k: tuple(v) for k, v in want.items()}
     assert got, "synthetic corpus must contain duplicate groups"
+
+
+def test_pq_codes_shape_and_reconstruction_invariants(spark, sf_dir):
+    """Product quantization must (a) assign every corpus vector exactly
+    PQ_M codes in [0, PQ_K), (b) report a reconstruction error equal to
+    the recomputed distance between the vector and its codebook
+    reconstruction, and (c) beat the iteration-0 codebooks — the Lloyd
+    non-increase, per subspace, surfaced at the corpus level."""
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _corpus,
+        embedding_pq_codes,
+        pq_fit,
+    )
+
+    rows = embedding_pq_codes(spark, sf_dir).collect()
+    vecs = {r.vec_id: np.array(r.v) for r in _corpus(spark, sf_dir).collect()}
+    assert len(rows) == len(vecs)
+    asg1, _ = pq_fit(spark, sf_dir, iters=1)
+    total_d2_it1 = sum(r.d2 for r in asg1.collect())
+    _, cent = pq_fit(spark, sf_dir)
+    books = {(r.sub_id, r.code): np.array(r.cv) for r in cent.collect()}
+    total_d2 = 0.0
+    for r in rows[:60]:
+        codes = [int(c) for c in r.codes.split("-")]
+        assert len(codes) == PQ_M and all(0 <= c < PQ_K for c in codes)
+        recon = np.concatenate([books[(s, c)] for s, c in enumerate(codes)])
+        want = float(((vecs[r.vec_id] - recon) ** 2).sum())
+        assert r.recon_d2 == pytest.approx(want, rel=1e-9)
+    total_final = sum(r.recon_d2 for r in rows)
+    assert total_final <= total_d2_it1 + 1e-9  # Lloyd never degrades
+
+
+def test_pq_adc_topk_approximates_exact_l2(spark, sf_dir):
+    """ADC scoring is an approximation with a known floor: ranks must be
+    a clean 1..TOP_K per query, every ADC distance must equal the sum of
+    the query's exact subvector distances to the NEIGHBOR'S codebook
+    entries (recomputed in numpy), and recall against exact L2 top-K
+    must clear a sanity floor on the structured synthetic corpus."""
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_SUBDIM,
+        TOP_K,
+        _corpus,
+        embedding_pq_codes,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    got = pq_adc_topk(spark, sf_dir).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(N_QUERIES))
+    vecs = {r.vec_id: np.array(r.v) for r in _corpus(spark, sf_dir).collect()}
+    _, cent = pq_fit(spark, sf_dir)
+    books = {(r.sub_id, r.code): np.array(r.cv) for r in cent.collect()}
+    codes = {
+        r.vec_id: [int(c) for c in r.codes.split("-")]
+        for r in embedding_pq_codes(spark, sf_dir).collect()
+    }
+    hits = 0
+    for q, rows in per_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, TOP_K + 1))
+        qv = vecs[q]
+        for r in rows[:5]:
+            want = sum(
+                float(
+                    (
+                        (
+                            qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                            - books[(s, c)]
+                        )
+                        ** 2
+                    ).sum()
+                )
+                for s, c in enumerate(codes[r.neighbor_id])
+            )
+            assert r.adc_d2 == pytest.approx(want, rel=1e-9)
+        exact = sorted(
+            ((float(((vecs[v] - qv) ** 2).sum()), v) for v in vecs if v != q)
+        )[:TOP_K]
+        exact_ids = {v for _, v in exact}
+        hits += len(exact_ids & {r.neighbor_id for r in rows})
+    assert hits / (N_QUERIES * TOP_K) >= 0.2  # compressed-domain sanity floor
