@@ -1101,3 +1101,101 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("w1_total")).alias("cond_prob"),
         )
     )
+
+
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own per-language
+    bigram MLE — the CCNet-style quality signal: a document whose token
+    transitions are typical of its language scores low, boilerplate/
+    gibberish scores high. Because the model is trained on the SAME
+    corpus it scores, every document bigram has corpus count >= 1, so
+    unsmoothed MLE needs no backoff and the probability is an exact
+    integer ratio.
+
+    cross_entropy = -(1/n) * sum ln P(w2|w1), summed position-ascending
+    (sequential fold, engine-identical order); the single ln() is the
+    one transcendental, tolerated because the FINAL per-doc mean is
+    rounded to 6 dp (a 1-ulp libm divergence on one term is ~1e-16
+    relative — far below the rounding quantum; the BM25 precedent
+    quantizes earlier only because ranks, not values, were at stake).
+
+    Shapes at 100 TB: gram counts and leading-unigram totals are
+    partial-aggregatable hash aggs on uniform (lang, gram) keys; the
+    doc-grams-to-model join hash-partitions both sides on the same key
+    (no broadcast needed, no skew — gram frequencies are Zipfian but the
+    join key includes the gram itself, so the hottest key is one gram's
+    rows, bounded by docs containing it); the per-doc fold is a
+    collect_list over n_bigrams elements of its own document only."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    gram_of = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(2))),
+    )
+    dg = d.select("doc_id", "lang", F.posexplode(gram_of).alias("pos", "gram"))
+    c = ckpt(dg.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("cnt")))
+    w1 = F.substring_index(F.col("gram"), " ", 1)
+    w1tot = c.groupBy("lang", w1.alias("w1")).agg(
+        F.sum("cnt").cast("long").alias("w1_total")
+    )
+    model = c.withColumn("w1", w1).join(w1tot, ["lang", "w1"])
+    scored = dg.join(model, ["lang", "gram"]).select(
+        "doc_id",
+        "pos",
+        F.log(F.col("cnt").cast("double") / F.col("w1_total")).alias("logp"),
+    )
+    by_pos = F.array_sort(F.collect_list(F.struct("pos", "logp")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.aggregate(
+                    F.transform(by_pos, lambda s: s["logp"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*"),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Staged oracle for doc_perplexity_bigram (future-round registration:
+# REG.add("doc_perplexity_bigram", _PPL_ORACLE)(doc_perplexity_bigram)).
+# The gram derivation, MLE ratio, position-ascending fold, and final
+# 6-dp rounding all mirror the engine; ln() is the documented 1-ulp
+# tolerance absorbed by the rounding.
+_PPL_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    dg AS (
+      SELECT doc_id, lang, pos,
+             concat(t[pos], ' ', t[pos + 1]) AS gram
+      FROM d CROSS JOIN unnest(range(1, len(t))) AS r(pos)),
+    c AS (SELECT lang, gram, count(*) AS cnt FROM dg GROUP BY lang, gram),
+    w1tot AS (
+      SELECT lang, split_part(gram, ' ', 1) AS w1, sum(cnt) AS w1_total
+      FROM c GROUP BY lang, split_part(gram, ' ', 1)),
+    model AS (
+      SELECT c.lang, c.gram, c.cnt, w.w1_total
+      FROM c JOIN w1tot w
+        ON c.lang = w.lang AND split_part(c.gram, ' ', 1) = w.w1),
+    scored AS (
+      SELECT dg.doc_id, dg.pos,
+             ln(m.cnt::DOUBLE / m.w1_total) AS logp
+      FROM dg JOIN model m ON dg.lang = m.lang AND dg.gram = m.gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-list_reduce(list(logp ORDER BY pos), (x, y) -> x + y)
+                 / count(*), 6) AS cross_entropy
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """

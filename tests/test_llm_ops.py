@@ -836,3 +836,47 @@ def test_pq_adc_topk_approximates_exact_l2(spark, sf_dir):
         exact_ids = {v for _, v in exact}
         hits += len(exact_ids & {r.neighbor_id for r in rows})
     assert hits / (N_QUERIES * TOP_K) >= 0.2  # compressed-domain sanity floor
+
+
+def test_doc_perplexity_bigram_mle_properties(spark, sf_dir):
+    """Self-scored unsmoothed MLE invariants: every >=2-token document is
+    scored, cross-entropy is non-negative (probabilities never exceed 1),
+    exact-duplicate documents get identical scores (model and fold are
+    deterministic functions of the corpus), and a spot-checked document's
+    score matches a pure-Python recomputation of the per-language model."""
+    import math
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.textops import (
+        doc_perplexity_bigram,
+    )
+
+    got = {r.doc_id: r for r in doc_perplexity_bigram(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    eligible = {r.doc_id: r for r in docs if len(r.text.split(" ")) >= 2}
+    assert set(got) == set(eligible)
+    assert all(r.cross_entropy >= 0.0 for r in got.values())
+    by_text = {}
+    for r in docs:
+        if r.doc_id in got:
+            by_text.setdefault((r.lang, r.text), []).append(got[r.doc_id].cross_entropy)
+    for scores in by_text.values():
+        assert len(set(scores)) == 1  # duplicates score identically
+    # pure-Python recomputation for a handful of docs
+    counts: dict[tuple, int] = {}
+    w1tot: dict[tuple, int] = {}
+    grams_of = {}
+    for r in eligible.values():
+        t = r.text.split(" ")
+        gs = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        grams_of[r.doc_id] = (r.lang, gs)
+        for g in gs:
+            counts[(r.lang, g)] = counts.get((r.lang, g), 0) + 1
+    for (lang, g), n in counts.items():
+        w1tot[(lang, g[0])] = w1tot.get((lang, g[0]), 0) + n
+    for doc_id in list(eligible)[:25]:
+        lang, gs = grams_of[doc_id]
+        ce = -sum(
+            math.log(counts[(lang, g)] / w1tot[(lang, g[0])]) for g in gs
+        ) / len(gs)
+        assert got[doc_id].cross_entropy == pytest.approx(ce, abs=5e-7)
+        assert got[doc_id].n_bigrams == len(gs)
