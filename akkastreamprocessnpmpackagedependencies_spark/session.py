@@ -11,6 +11,7 @@ The reference bootstraps an ActorSystem + ActorMaterializer
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -118,3 +119,34 @@ def ckpt(df):
     once per round instead of re-deriving every prior round. The global
     is read at call time, so tooling's module-attribute flip is seen."""
     return df.localCheckpoint() if CHECKPOINT_ENABLED else df.persist()
+
+
+@contextmanager
+def runtime_bloom_filter(spark: SparkSession, application_side_threshold: str = "0"):
+    """Scoped enablement of Spark's runtime bloom-filter join pre-filter
+    (InjectRuntimeFilter): within the block, a selective filter on the
+    creation side of a shuffle join injects a bloom_filter_agg subquery
+    whose might_contain() predicate is pushed onto the application
+    (fact) side — rows that cannot join are dropped BEFORE the shuffle.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the ~selectivity fraction that can match:
+    the engine builds the filter from the dimension side at runtime, so
+    it adapts to the actual predicate, unlike any static partitioning.
+    The rule is ON by default in production configs; the only thing this
+    helper changes is the application-side scan-size threshold (default
+    10 GB — correct for clusters, unreachable in a local test), restored
+    on exit. Results are value-identical with or without the filter
+    (bloom false positives only pass extra rows to the exact join), so
+    every oracle stays green — ``tests/test_plans.py`` pins the
+    might_contain injection itself."""
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, application_side_threshold)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

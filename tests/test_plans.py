@@ -525,3 +525,45 @@ def test_bigram_topk_pushes_group_limits(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the salt window really partitions on two keys, not bare lang
     assert "hashpartitioning(lang" in plan
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
+    """Engine-native runtime filtering (InjectRuntimeFilter): inside the
+    runtime_bloom_filter scope, a selective dimension filter on a shuffle
+    join must inject a bloom_filter_agg subquery and push its
+    might_contain() predicate onto the fact scan — the rows that cannot
+    join die before the exchange. Values must be identical with the
+    filter on and off (bloom is conservative; the exact join follows)."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import (
+        runtime_bloom_filter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def q():
+        return (
+            li.join(
+                orders.hint("shuffle_hash"),
+                li.l_orderkey == orders.o_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        )
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        baseline = {(r.o_orderpriority, r.n, str(r.qty)) for r in q().collect()}
+        with runtime_bloom_filter(spark):
+            plan = _plan(q())
+            assert "might_contain" in plan, plan[:2000]
+            assert "bloom_filter_agg" in plan
+            filtered = {(r.o_orderpriority, r.n, str(r.qty)) for r in q().collect()}
+        assert filtered == baseline
+        # outside the scope the threshold is restored -> no injection
+        assert "might_contain" not in _plan(q())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
