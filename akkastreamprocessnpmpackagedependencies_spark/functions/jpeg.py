@@ -456,6 +456,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("truncated JPEG (mid-marker)")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker code
+        # (ITU T.81 §B.1.1.2) — skip them rather than misreading 0xFF as
+        # a marker byte and then a bogus segment length
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -530,11 +537,26 @@ def _decode_scan(payload, pos, seg, frame, qtables, htables, restart_interval):
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     for c in comps:
+        # a baseline SOS must cover every frame component (this decoder
+        # handles the single interleaved scan only); name what's missing
+        # instead of a raw KeyError from the lookups below
+        if c["id"] not in scan_sel:
+            raise ValueError(
+                f"frame component {c['id']} missing from SOS scan — "
+                "non-interleaved multi-scan JPEGs are not supported"
+            )
+        td, ta = scan_sel[c["id"]]
+        if (0, td) not in htables:
+            raise ValueError(f"SOS references undefined DC Huffman table {td}")
+        if (1, ta) not in htables:
+            raise ValueError(f"SOS references undefined AC Huffman table {ta}")
+        if c["tq"] not in qtables:
+            raise ValueError(f"SOF references undefined quantization table {c['tq']}")
         bw = mcus_x * c["h"]
         bh = mcus_y * c["v"]
         c["coef"] = np.zeros((bh, bw, 64), dtype=np.int64)
-        c["dc_tab"] = htables[(0, scan_sel[c["id"]][0])]
-        c["ac_tab"] = htables[(1, scan_sel[c["id"]][1])]
+        c["dc_tab"] = htables[(0, td)]
+        c["ac_tab"] = htables[(1, ta)]
 
     reader = _BitReader(payload, pos)
     preds = {c["id"]: 0 for c in comps}

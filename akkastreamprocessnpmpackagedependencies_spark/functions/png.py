@@ -116,7 +116,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     length, and per-scanline reverse filtering for all five filter
     types. Out-of-scope shapes (16-bit, palette, alpha, interlace) raise
     ValueError with the offending field named — never a silent
-    misdecode."""
+    misdecode. A corrupt-CRC ANCILLARY chunk is skipped (spec-permitted);
+    critical-chunk CRC failures stay fatal. Cost note: reverse filters
+    1/3/4 carry a sequential per-pixel dependency and run as Python
+    loops — O(w*h) interpreted work per image; fine for the thumbnail
+    fixtures this engine decodes, byte-identical to libpng where both
+    apply, but not a throughput path (real clusters would vectorize or
+    bind a native decoder)."""
     b = bytes(payload)
     if b[:8] != _SIGNATURE:
         raise ValueError(f"not a PNG payload (signature {b[:8]!r})")
@@ -131,7 +137,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"truncated {ctype!r} chunk")
         (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
-            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+            # the spec allows decoders to ignore a corrupt ANCILLARY
+            # chunk (lowercase first letter, e.g. tEXt/pHYs); only a
+            # critical-chunk CRC failure is fatal
+            if not (0x61 <= ctype[0] <= 0x7A):
+                raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+            pos += 12 + length
+            continue
         if ihdr is None and ctype != b"IHDR":
             raise ValueError(f"first chunk is {ctype!r}, must be IHDR")
         if ctype == b"IHDR":

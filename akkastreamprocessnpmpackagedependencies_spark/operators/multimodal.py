@@ -170,36 +170,45 @@ def decode_image_real(df: DataFrame) -> DataFrame:
             out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_intensity")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                # stdlib codecs FIRST even when PIL is installed, so the
+                # same payload yields the same features in every
+                # environment (PIL's JPEG IDCT differs, and PIL accepts
+                # shapes decode_png rejects); PIL is strictly the
+                # fallback for shapes the stdlib codecs raise on
+                # (palette/alpha/16-bit/Adam7 PNG, progressive JPEG,
+                # WebP)
+                w = None
                 if b[:2] in (b"P5", b"P6"):
                     w, h, c, arr = decode_netpbm(b)
                     mean = float(arr.sum()) / arr.size
-                elif b[:8] == b"\x89PNG\r\n\x1a\n" and _pil_image is None:
-                    # without PIL the stdlib codec is the only PNG path;
-                    # with PIL installed, PNGs route to PIL below so
-                    # out-of-scope shapes (palette, alpha, 16-bit, Adam7)
-                    # keep decoding instead of raising from decode_png
-                    w, h, c, arr = decode_png(b)
-                    mean = float(int(arr.sum(dtype=np.int64))) / arr.size
-                elif b[:3] == b"\xff\xd8\xff" and _pil_image is None:
-                    # baseline sequential JPEG via the stdlib+numpy codec;
-                    # with PIL installed JPEGs route to PIL below so
-                    # progressive/12-bit scans keep decoding
-                    w, h, c, arr = decode_jpeg(b)
-                    mean = float(int(arr.sum(dtype=np.int64))) / arr.size
-                elif _pil_image is not None:  # pragma: no cover - no PIL here
-                    import io
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        w, h, c, arr = decode_png(b)
+                        mean = float(int(arr.sum(dtype=np.int64))) / arr.size
+                    except ValueError:
+                        if _pil_image is None:
+                            raise
+                elif b[:3] == b"\xff\xd8\xff":
+                    try:
+                        w, h, c, arr = decode_jpeg(b)
+                        mean = float(int(arr.sum(dtype=np.int64))) / arr.size
+                    except ValueError:
+                        if _pil_image is None:
+                            raise
+                if w is None:
+                    if _pil_image is None:
+                        raise NotImplementedError(
+                            "image decode without a codec library covers "
+                            "binary Netpbm (P5/P6), PNG, and baseline JPEG; "
+                            "WebP and exotic variants require PIL"
+                        )
+                    import io  # pragma: no cover - no PIL here
 
                     im = _pil_image.open(io.BytesIO(b))
                     arr = np.asarray(im)
                     w, h = im.size
                     c = arr.shape[2] if arr.ndim == 3 else 1
                     mean = float(arr.mean())
-                else:
-                    raise NotImplementedError(
-                        "image decode without a codec library covers binary "
-                        "Netpbm (P5/P6), PNG, and baseline JPEG; WebP and "
-                        "exotic variants require PIL"
-                    )
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -804,7 +804,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ckpt(
         cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    n_q = F.lit(N_QUERIES)
+    # the denominator is DERIVED from the exact baseline, never the
+    # N_QUERIES literal: if the baseline ever returns fewer distinct
+    # queries (tiny corpus, changed constant) the metric stays internally
+    # consistent instead of silently dividing present-query hits by an
+    # absent-query count. 1-row frame, broadcast.
+    nq = exact.agg(F.countDistinct("query_id").cast("long").alias("n_queries"))
     variants = [
         ("lsh", cosine_topk_lsh),
         ("ivf", cosine_topk_ivf),
@@ -823,12 +828,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(hits, "query_id", "left")
             .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
         )
-        row = per_q.agg(
-            F.lit(name).alias("variant"),
-            n_q.cast("long").alias("n_queries"),
+        sums = per_q.agg(
             F.sum("hits").cast("long").alias("total_hits"),
-            (F.sum("hits") / (n_q * TOP_K)).alias("recall_at_k"),
-            (F.min("hits") / F.lit(TOP_K)).alias("min_query_recall"),
+            F.min("hits").cast("long").alias("min_hits"),
+        )
+        row = sums.crossJoin(F.broadcast(nq)).select(
+            F.lit(name).alias("variant"),
+            F.col("n_queries"),
+            F.col("total_hits"),
+            (F.col("total_hits") / (F.col("n_queries") * TOP_K)).alias("recall_at_k"),
+            (F.col("min_hits") / F.lit(TOP_K)).alias("min_query_recall"),
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -849,18 +858,25 @@ def _ann_recall_oracle() -> str:
     ivf = REG.oracles["cosine_topk_ivf"]
 
     def v(name: str, tbl: str) -> str:
+        # n_queries derived from the exact baseline (mirrors the engine's
+        # countDistinct over the ckpt'd exact frame), never the literal
         return f"""
     SELECT '{name}' AS variant,
-           CAST({N_QUERIES} AS BIGINT) AS n_queries,
-           CAST(sum(hits_q) AS BIGINT) AS total_hits,
-           CAST(sum(hits_q) AS DOUBLE) / ({N_QUERIES} * {TOP_K}) AS recall_at_k,
-           CAST(min(hits_q) AS DOUBLE) / {TOP_K} AS min_query_recall
+           nq.n_queries,
+           s.total_hits,
+           CAST(s.total_hits AS DOUBLE) / (nq.n_queries * {TOP_K}) AS recall_at_k,
+           CAST(s.min_hits AS DOUBLE) / {TOP_K} AS min_query_recall
     FROM (
-      SELECT e.query_id, count({tbl}.neighbor_id) AS hits_q
-      FROM exact e
-      LEFT JOIN {tbl}
-        ON e.query_id = {tbl}.query_id AND e.neighbor_id = {tbl}.neighbor_id
-      GROUP BY e.query_id)
+      SELECT CAST(sum(hits_q) AS BIGINT) AS total_hits,
+             CAST(min(hits_q) AS BIGINT) AS min_hits
+      FROM (
+        SELECT e.query_id, count({tbl}.neighbor_id) AS hits_q
+        FROM exact e
+        LEFT JOIN {tbl}
+          ON e.query_id = {tbl}.query_id AND e.neighbor_id = {tbl}.neighbor_id
+        GROUP BY e.query_id)) s
+    CROSS JOIN (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact) nq
     """
 
     return f"""

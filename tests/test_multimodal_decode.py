@@ -549,3 +549,84 @@ def test_multimodal_decode_jpeg_exact_through_lossy_container(spark, sf_dir):
         r = out[doc_id]
         assert (r.width, r.height, r.channels) == (8 * wb, 8 * hb, 1)
         assert r.mean_intensity == sum(body) / len(body)
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code. Stuffing fill bytes before every segment marker must
+    decode bit-identically to the unpadded container."""
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_jpeg(16, 16, px.tobytes(), channels=1, quality=95)
+    # re-emit the header with a fill byte before each marker AFTER SOI
+    # and BEFORE SOS (padding inside entropy data would be stuffing)
+    sos = good.index(b"\xff\xda")
+    padded, i = bytearray(good[:2]), 2
+    while i < sos:
+        assert good[i] == 0xFF
+        padded += b"\xff"  # fill byte
+        seg_len = 2 + int.from_bytes(good[i + 2 : i + 4], "big")
+        padded += good[i : i + seg_len]
+        i += seg_len
+    padded += b"\xff" + good[sos:]
+    ref = decode_jpeg(good)
+    out = decode_jpeg(bytes(padded))
+    assert ref[:3] == out[:3]
+    assert np.array_equal(ref[3], out[3])
+
+
+def test_jpeg_missing_tables_and_scan_components_named():
+    """A scan that omits a frame component, or references an undefined
+    Huffman/quant table, raises a descriptive ValueError — not a raw
+    KeyError from the table lookups."""
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(8, 8, px.tobytes(), channels=3, quality=90)
+    sos = good.index(b"\xff\xda")
+    # SOS layout: FFDA len ns (cs td/ta)*ns ...; drop the last component
+    ns = good[sos + 4]
+    assert ns == 3
+    trunc_sos = (
+        good[: sos + 2]
+        + (2 + 1 + 2 * 2 + 3).to_bytes(2, "big")
+        + bytes([2])
+        + good[sos + 5 : sos + 5 + 4]  # first two (cs, tdta) pairs
+        + good[sos + 5 + 6 :]  # Ss/Se/AhAl onward
+    )
+    with pytest.raises(ValueError, match="missing from SOS"):
+        decode_jpeg(trunc_sos)
+    # point a component's AC table selector at an undefined table id 3
+    bad_ht = bytearray(good)
+    bad_ht[sos + 6] = (bad_ht[sos + 6] & 0xF0) | 0x03
+    with pytest.raises(ValueError, match="undefined AC Huffman table 3"):
+        decode_jpeg(bytes(bad_ht))
+    # point a frame component's quant selector at an undefined id 2
+    sof = good.index(b"\xff\xc0")
+    bad_qt = bytearray(good)
+    bad_qt[sof + 12] = 2  # comp 0's tq byte (FFC0 len P H H N then id hv tq)
+    with pytest.raises(ValueError, match="undefined quantization table 2"):
+        decode_jpeg(bytes(bad_qt))
+
+
+def test_png_ancillary_bad_crc_skipped_critical_fatal():
+    """A conforming PNG carrying an ancillary chunk with a corrupt CRC
+    (spec: decoders may ignore) still decodes; the same corruption in a
+    critical chunk stays fatal."""
+    import struct
+    import zlib
+
+    good = encode_png(4, 3, bytes(range(36)), 3)
+    text = b"comment\x00hello"
+    chunk = (
+        struct.pack(">I", len(text)) + b"tEXt" + text
+        + struct.pack(">I", (zlib.crc32(b"tEXt" + text) ^ 0xDEAD) & 0xFFFFFFFF)
+    )
+    # splice the corrupt ancillary chunk after IHDR (offset 8 + 25)
+    with_anc = good[:33] + chunk + good[33:]
+    w, h, c, arr = decode_png(with_anc)
+    assert (w, h, c) == (4, 3, 3)
+    assert bytes(arr.reshape(-1)) == bytes(range(36))
+    bad_ihdr = bytearray(good)
+    bad_ihdr[16] ^= 0xFF  # IHDR payload byte -> critical CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad_ihdr))
