@@ -40,48 +40,43 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 5 is the ROTATION round the r4 evidence.json promised: all 36
-    # must_rotate=5 queries (displaced by round 4's additions, latest rows
-    # from r2) come first, then this round's fingerprint-changed queries
-    # (ckpt wiring in the graph/interval iteratives, the shared norm_expr
-    # extraction, the audio ASCII guard, the equi-depth empty guard), the
-    # one new query (the pca fixed-basis green twin), and the window's
-    # remaining slots rotate the oldest r3-resting rows. The 40 r3 queries
-    # that still don't fit carry must_rotate=6 markers — the 3-round
-    # rotation cadence 133 queries need in a 50-slot window.
-    *["array_funcs", "cosine_topk_lsh", "date_funcs", "dedup_exact_summary",
-      "dedup_normalized_hash", "doc_fingerprints", "embedding_centroids",
-      "events_hourly_gapfill", "events_sessionize", "events_sliding_1h_30m",
-      "events_tumbling_1h", "grouped_median_pandas", "json_corrupt_tolerant",
-      "json_funcs", "lang_id_heuristic", "map_funcs", "math_funcs",
-      "minhash_signatures", "multimodal_decode_features",
-      "multimodal_frame_sample", "multimodal_metadata",
-      "multimodal_resize_plan", "order_priority_by_quarter", "pii_scan",
-      "price_histogram", "price_outliers_iqr", "set_except",
-      "simhash_fingerprints", "sql_api_revenue_by_nation",
-      "stratified_sample", "string_funcs", "text_normalize",
-      "text_quality_scores", "token_counts", "udtf_sentences",
-      "vocab_top_terms"],
-    # round 5: fingerprint-changed (window-mandatory)
-    *["npm_dependency_pagerank", "npm_transitive_deps",
-      "corpus_pipeline_verdicts", "session_overlap_pairs",
-      "equi_depth_deciles", "multimodal_decode_audio"],
-    # round 5: new queries (window-mandatory). The four training-pipeline
-    # additions displaced four of the six r3-resting rotation fillers
-    # (approx_sketches, forecast_revenue, window_rank_variants,
-    # skew_salted_join — code unchanged, so their r3 rows stay valid
-    # evidence; they carry must_rotate=6 markers so the deferral is a
-    # recorded promise, not a silent aging).
-    *["pca_project_fixed_basis", "pii_redact", "chunk_documents",
-      "bigram_lm_probs", "corpus_budget_select"],
-    # round 5 late: decode_image_real grew the stdlib PNG path, so
-    # multimodal_decode_real's fingerprint moved — window-mandatory
-    # (displacing embedding_neardup_pairs, unchanged since its r3 row;
-    # its blocking path still exercises through semdedup_keep_one and it
-    # carries a must_rotate=6 promise)
+    # round 6 slot budget (the round-5 verdict asked for explicit
+    # arithmetic): 50 slots = 1 flagship + 41 of the 45 must_rotate=6
+    # promises + 1 fingerprint-changed + 7 new registrations. The four
+    # promises that don't fit are RE-PROMISED as must_rotate=7 markers
+    # (recorded machine state, not silent aging), chosen so every family
+    # keeps a fresh in-window representative: set_intersect (set_except
+    # is r5 green), cube_qty + rollup_qty (grouping_sets_qty rotates this
+    # round), case_bucketing (the scalar-funcs family is r5 green).
+    # Standing budget rule from here on: new+fingerprint-changed entries
+    # per round <= 8, so >= 41 slots always serve rotation and the
+    # 144-query registry re-verifies on a <= 3.5-round cadence.
+    *["approx_sketches", "bracket_revenue", "customer_churn_full_outer",
+      "customer_order_counts", "customers_without_big_orders",
+      "distinct_aggs", "embedding_neardup_pairs", "embedding_quantize_int8",
+      "events_error_context_5m", "events_value_rolling_1h",
+      "forecast_revenue", "grouping_sets_qty", "idle_rich_customers",
+      "large_volume_customers", "late_shipment_suppliers",
+      "local_supplier_revenue", "nation_market_share",
+      "npm_reverse_dependency_counts", "order_gap_days", "pack_sequences",
+      "pivot_linestatus", "priority_with_returns",
+      "product_profit_by_nation_year", "promo_revenue_ratio",
+      "quality_filter_composite", "repetition_signals",
+      "returned_item_customers", "running_quantity_by_supplier",
+      "skew_salted_join", "small_qty_part_revenue", "stats_moments",
+      "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
+      "top_bigram_share", "top_orders_global", "top_orders_per_customer",
+      "top_revenue_suppliers", "top_unshipped_orders",
+      "topk_per_customer_agg", "unpivot_part_metrics",
+      "window_rank_variants"],
+    # round 6: fingerprint-changed (window-mandatory) — decode_image_real
+    # now prefers the stdlib codecs even when PIL is present (ADVICE fix)
     "multimodal_decode_real",
-    # rotation fill: oldest r3-resting rows, dedup-family freshness first
-    "semdedup_keep_one",
+    # round 6: new registrations (window-mandatory) — the seven operators
+    # staged with green oracles in round 5, now driver-visible
+    *["ann_recall_eval", "embedding_pq_codes", "pq_adc_topk",
+      "doc_perplexity_bigram", "split_leakage_audit",
+      "multimodal_decode_png", "multimodal_decode_jpeg"],
 ]
 
 

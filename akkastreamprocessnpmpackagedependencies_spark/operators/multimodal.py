@@ -468,8 +468,7 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_real(wavs)
 
 
-# Oracle for multimodal_decode_png, staged for its round-6 registration
-# (REG.add("multimodal_decode_png", _PNG_ORACLE)(multimodal_decode_png)):
+# Oracle for multimodal_decode_png (registered round 6, below):
 # identical arithmetic to multimodal_decode_real's oracle — dims from
 # doc_id, byte-mean of the rpad'ed ASCII body — but gated to non-empty
 # pure-ASCII docs (the audio query's established predicate) because the
@@ -529,9 +528,11 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_real(imgs)
 
 
-# Oracle for multimodal_decode_jpeg, staged for a future-round
-# registration (REG.add("multimodal_decode_jpeg", _JPEG_ORACLE)
-# (multimodal_decode_jpeg)). A LOSSY codec with an EXACT oracle: each
+REG.add("multimodal_decode_png", _PNG_ORACLE)(multimodal_decode_png)
+
+
+# Oracle for multimodal_decode_jpeg (registered round 6, below).
+# A LOSSY codec with an EXACT oracle: each
 # 8x8 block is a constant integer gray level, so its DCT has only a DC
 # coefficient — an exact integer multiple of 1/8 scaling — and the
 # quality-100 tables are all ones, so quantization rounds nothing away.
@@ -599,3 +600,6 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode, schema="doc_id long, payload binary"
     )
     return decode_image_real(imgs)
+
+
+REG.add("multimodal_decode_jpeg", _JPEG_ORACLE)(multimodal_decode_jpeg)

@@ -697,8 +697,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_leakage_oracle() -> str:
-    """Staged round-6 oracle for split_leakage_audit (REG.add one-liner
-    lands with the registration): the same normalized-hash grouping and
+    """Oracle for split_leakage_audit (registered round 6, at module
+    bottom): the same normalized-hash grouping and
     split rule through the shared SQL twins (functions.text.sql_norm,
     textops.sql_split_assign), profile string via string_agg of the
     DISTINCT ordered splits — mirrors concat_ws over array_sort of
@@ -723,3 +723,8 @@ def _split_leakage_oracle() -> str:
     FROM groups WHERE n_docs > 1
     GROUP BY split_profile
     """
+
+
+# round-6 registration: staged with a green oracle since round 5, now
+# driver-visible
+REG.add("split_leakage_audit", _split_leakage_oracle())(split_leakage_audit)

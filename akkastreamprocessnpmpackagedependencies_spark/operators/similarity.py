@@ -1087,8 +1087,7 @@ def _sql_pq_ctes(iters: int) -> str:
     return ",\n".join(ctes)
 
 
-# Staged oracle for embedding_pq_codes (future-round registration:
-# REG.add("embedding_pq_codes", _PQ_CODES_ORACLE)(embedding_pq_codes)).
+# Oracle for embedding_pq_codes (registered round 6, below).
 _PQ_CODES_ORACLE = f"""
     WITH {_sql_pq_ctes(PQ_ITERS)}
     SELECT vec_id,
@@ -1099,8 +1098,8 @@ _PQ_CODES_ORACLE = f"""
     ORDER BY vec_id
     """
 
-# Staged oracle for pq_adc_topk (same registration pattern): the fit
-# CTE chain is shared with the codes oracle, then the ADC table join +
+# Oracle for pq_adc_topk (registered round 6, below): the fit CTE chain
+# is shared with the codes oracle, then the ADC table join +
 # sub_id-ascending fold + per-query ranking mirror the engine.
 _PQ_ADC_ORACLE = f"""
     WITH {_sql_pq_ctes(PQ_ITERS)},
@@ -1126,3 +1125,10 @@ _PQ_ADC_ORACLE = f"""
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
+
+
+# round-6 registrations: the recall gate and the PQ pair, staged with
+# green oracles since round 5, now driver-visible
+REG.add("ann_recall_eval", _ann_recall_oracle())(ann_recall_eval)
+REG.add("embedding_pq_codes", _PQ_CODES_ORACLE)(embedding_pq_codes)
+REG.add("pq_adc_topk", _PQ_ADC_ORACLE)(pq_adc_topk)

@@ -1166,8 +1166,7 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Staged oracle for doc_perplexity_bigram (future-round registration:
-# REG.add("doc_perplexity_bigram", _PPL_ORACLE)(doc_perplexity_bigram)).
+# Oracle for doc_perplexity_bigram (registered round 6, below).
 # The gram derivation, MLE ratio, position-ascending fold, and final
 # 6-dp rounding all mirror the engine; ln() is the documented 1-ulp
 # tolerance absorbed by the rounding.
@@ -1199,3 +1198,5 @@ _PPL_ORACLE = """
     GROUP BY doc_id
     ORDER BY doc_id
     """
+
+REG.add("doc_perplexity_bigram", _PPL_ORACLE)(doc_perplexity_bigram)
