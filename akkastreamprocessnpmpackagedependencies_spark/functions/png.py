@@ -136,6 +136,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         if len(data) != length or pos + 12 + length > len(b):
             raise ValueError(f"truncated {ctype!r} chunk")
         (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        # IHDR-first ordering is checked BEFORE the corrupt-ancillary
+        # skip: a bad CRC must never make an out-of-order file MORE
+        # acceptable than its valid-CRC twin
+        if ihdr is None and ctype != b"IHDR":
+            raise ValueError(f"first chunk is {ctype!r}, must be IHDR")
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
             # the spec allows decoders to ignore a corrupt ANCILLARY
             # chunk (lowercase first letter, e.g. tEXt/pHYs); only a
@@ -144,9 +149,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError(f"CRC mismatch in {ctype!r} chunk")
             pos += 12 + length
             continue
-        if ihdr is None and ctype != b"IHDR":
-            raise ValueError(f"first chunk is {ctype!r}, must be IHDR")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"IHDR chunk must be 13 bytes, got {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -167,7 +172,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("interlaced (Adam7) PNG not supported")
     channels = _COLOR_CHANNELS[color_type]
     stride = width * channels
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        # normalize to the codec's one failure type so callers' single
+        # except-ValueError fallback (e.g. decode_image_real -> PIL)
+        # engages instead of crashing the executor task
+        raise ValueError(f"corrupt IDAT stream: {ex}") from ex
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"decompressed raster holds {len(raw)} bytes, need {height * (stride + 1)}"

@@ -2010,7 +2010,18 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decile id is then a row-local expression (floor((rank-1)*10/N),
     the identical formula the oracle computes from its row_number — NOT
     ntile(), whose remainder distribution differs), and the per-decile
-    stats are one partial-aggregatable hash agg."""
+    stats are one partial-aggregatable hash agg.
+
+    Fully LAZY: the [min, max] bucket boundaries ride a broadcast 1-row
+    stats frame (crossJoin) instead of a construction-time ``.first()``
+    (round-5/6 verdict carry-item — ``queries()[name]`` must not launch
+    a job). The bucket stays a deterministic pure function of the value:
+    exact min/max broadcast identically into the rank and histogram
+    branches, so the alignment contract of ``bucketed_global_rank``
+    holds. An empty (or all-NULL) orders table yields zero data rows
+    after the crossJoin, so every downstream agg returns a schema-stable
+    empty frame — no driver-side NULL guard needed (the old eager path
+    required one because ``st.hi - st.lo`` raised on Python ``None``)."""
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -2021,21 +2032,16 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").isNotNull())
     )
     st = o.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
-    ).first()
-    if st.lo is None:  # empty (or all-NULL) input: schema-stable empty
-        # result, the write_zordered guard applied here (round-4 ADVICE —
-        # st.hi-st.lo raised TypeError on an empty orders table)
-        return spark.createDataFrame(
-            [],
-            "decile long, n_orders long, lo double, hi double, total_price double",
-        )
-    span = max(st.hi - st.lo, 1e-12)
+        F.min("o_totalprice").alias("__lo"), F.max("o_totalprice").alias("__hi")
+    )
+    span = F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1e-12))
     bucket = F.least(
         F.lit(RANK_BUCKETS - 1),
-        F.floor((F.col("o_totalprice") - F.lit(st.lo)) / F.lit(span) * RANK_BUCKETS),
+        F.floor((F.col("o_totalprice") - F.col("__lo")) / span * RANK_BUCKETS),
     ).cast("int")
-    ranked = bucketed_global_rank(o, bucket, ["o_totalprice", "o_orderkey"])
+    ranked = bucketed_global_rank(
+        o.crossJoin(F.broadcast(st)), bucket, ["o_totalprice", "o_orderkey"]
+    )
     decile = (
         F.floor((F.col("rnk") - 1) * N_DECILES / F.col("__n")) + 1
     ).cast("long")

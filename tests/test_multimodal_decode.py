@@ -454,7 +454,9 @@ def test_jpeg_quality_tables_monotone_and_q100_flat():
 
 def test_jpeg_malformed_rejected():
     """Corrupt containers fail loudly: wrong signature, truncated
-    entropy data, progressive (SOF2) scans, 12-bit precision."""
+    entropy data, lossless (SOF3) frames, a baseline scan mislabeled as
+    progressive (its full-band DC scan header is illegal under Annex G),
+    12-bit precision."""
     rng = np.random.default_rng(9)
     px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     good = encode_jpeg(8, 8, px.tobytes(), channels=1, quality=90)
@@ -462,9 +464,15 @@ def test_jpeg_malformed_rejected():
         decode_jpeg(b"JFIF" + good)
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(progressive)
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="use PIL"):
+        decode_jpeg(lossless)
+    # flipping a BASELINE file's SOF marker to SOF2 leaves a scan header
+    # (Ss=0, Se=63) no conforming progressive stream may carry — the
+    # decoder must reject it, not misparse the baseline scan
+    mislabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(mislabeled)
     i = good.index(b"\xff\xc0")
     twelve_bit = good[: i + 4] + b"\x0c" + good[i + 5 :]
     with pytest.raises(ValueError, match="precision"):
@@ -630,3 +638,192 @@ def test_png_ancillary_bad_crc_skipped_critical_fatal():
     bad_ihdr[16] ^= 0xFF  # IHDR payload byte -> critical CRC mismatch
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(bad_ihdr))
+
+
+def test_jpeg_unsupported_component_counts_raise():
+    """SOF0 accepts only 1 or 3 components (round-6 ADVICE): a
+    4-component (Adobe/CMYK-shaped) frame must fail loudly instead of
+    dropping the 4th plane and running YCbCr math on CMY channels, and a
+    2-component frame must raise ValueError (so callers' PIL fallback
+    engages) instead of crashing with IndexError past the except clause."""
+    good = encode_jpeg(24, 16, bytes(24 * 16 * 3), channels=3, quality=90)
+    sof = good.index(b"\xff\xc0")
+    for ncomp in (4, 2, 0):
+        patched = bytearray(good)
+        patched[sof + 9] = ncomp  # FFC0 len(2) P(1) H(2) W(2) then ncomp
+        with pytest.raises(ValueError, match=f"component count {ncomp}"):
+            decode_jpeg(bytes(patched))
+
+
+def test_jpeg_truncated_dri_and_sos_raise_valueerror():
+    """Malformed segment payloads must normalize to ValueError — the
+    codec's one failure type — never struct.error/IndexError that would
+    bypass a caller's except-ValueError fallback and crash the Spark
+    task (round-6 ADVICE)."""
+    good = encode_jpeg(24, 16, bytes(24 * 16), channels=1, quality=90)
+    # empty DRI segment (declared length 2 = length field only)
+    empty_dri = good[:2] + b"\xff\xdd\x00\x02" + good[2:]
+    with pytest.raises(ValueError, match="truncated DRI"):
+        decode_jpeg(empty_dri)
+    # SOS header claiming more components than the segment holds
+    sos = good.index(b"\xff\xda")
+    bad_sos = bytearray(good)
+    bad_sos[sos + 4] = 200  # ns byte: 200 components in a 1-comp scan header
+    with pytest.raises(ValueError, match="truncated SOS scan header"):
+        decode_jpeg(bytes(bad_sos))
+    # truncated SOF: declared segment shorter than the fixed 6-byte header
+    sof = good.index(b"\xff\xc0")
+    bad_sof = good[:sof] + b"\xff\xc0\x00\x04\x08\x00" + good[sof + 6 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad_sof)
+
+
+def test_png_first_chunk_ancillary_rejected_even_with_bad_crc():
+    """IHDR-first ordering is checked BEFORE the corrupt-ancillary skip
+    (round-6 ADVICE): corrupting a byte must never make an out-of-order
+    file MORE acceptable — both the valid-CRC and bad-CRC variants of a
+    leading tEXt chunk are rejected with the same error."""
+    import struct
+    import zlib
+
+    good = encode_png(4, 3, bytes(range(36)), 3)
+    text = b"comment\x00hello"
+    for crc_xor in (0, 0xDEAD):
+        chunk = (
+            struct.pack(">I", len(text)) + b"tEXt" + text
+            + struct.pack(
+                ">I", (zlib.crc32(b"tEXt" + text) ^ crc_xor) & 0xFFFFFFFF
+            )
+        )
+        with pytest.raises(ValueError, match="must be IHDR"):
+            decode_png(good[:8] + chunk + good[8:])
+
+
+def test_png_corrupt_idat_stream_raises_valueerror():
+    """A valid-CRC IDAT whose bytes are not a zlib stream must raise
+    ValueError (normalized from zlib.error) so decode_image_real's
+    fallback engages instead of the executor task crashing (round-6
+    ADVICE)."""
+    import struct
+    import zlib
+
+    good = encode_png(4, 3, bytes(range(36)), 3)
+    # locate the IDAT chunk and replace its data with same-length garbage,
+    # recomputing the CRC so only the DEFLATE layer is corrupt
+    i = good.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", good[i : i + 4])
+    garbage = bytes((7 * j + 1) % 256 for j in range(ln))
+    rebuilt = (
+        good[:i]
+        + struct.pack(">I", ln) + b"IDAT" + garbage
+        + struct.pack(">I", zlib.crc32(b"IDAT" + garbage) & 0xFFFFFFFF)
+        + good[i + 12 + ln :]
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(rebuilt)
+
+
+def test_png_wrong_length_ihdr_raises_valueerror():
+    """An IHDR chunk of the wrong byte length must raise ValueError, not
+    struct.error from the fixed-width unpack."""
+    import struct
+    import zlib
+
+    good = encode_png(4, 3, bytes(range(36)), 3)
+    short = good[16:28]  # 12 of the 13 IHDR payload bytes
+    rebuilt = (
+        good[:8]
+        + struct.pack(">I", 12) + b"IHDR" + short
+        + struct.pack(">I", zlib.crc32(b"IHDR" + short) & 0xFFFFFFFF)
+        + good[33:]
+    )
+    with pytest.raises(ValueError, match="IHDR chunk must be 13 bytes"):
+        decode_png(rebuilt)
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,q,ri",
+    [
+        (24, 16, 1, False, 90, 0),
+        (24, 16, 3, False, 90, 0),
+        (21, 13, 3, False, 100, 0),   # pad+crop path, rounding-only loss
+        (21, 13, 3, True, 85, 0),     # 4:2:0 with odd dims
+        (40, 24, 3, True, 75, 2),     # restarts inside every scan
+        (17, 9, 1, False, 95, 3),
+    ],
+)
+def test_jpeg_progressive_decode_matches_baseline_exactly(w, h, ch, sub, q, ri):
+    """THE progressive oracle: a progressive transmission carries the
+    same quantized coefficients as a baseline one, so decoding the two
+    encodings of one image must agree BIT-FOR-BIT — any off-by-one in
+    spectral bands, successive-approximation bit planes, EOBRUN
+    accounting, or refinement correction bits breaks the equality."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+    kw = dict(channels=ch, quality=q, subsample=sub, restart_interval=ri)
+    db = decode_jpeg(encode_jpeg(w, h, px, **kw))
+    dp = decode_jpeg(encode_jpeg(w, h, px, progressive=True, **kw))
+    assert db[:3] == dp[:3]
+    assert np.array_equal(db[3], dp[3])
+
+
+def test_jpeg_progressive_sparse_content_exercises_eob_runs():
+    """A mostly-flat image makes nearly every AC band empty, driving the
+    cross-block EOBRUN paths (first scans) and the buffered-correction-
+    bits-after-EOB path (refinement scans); a speckled one drives ZRL
+    and deep in-block runs. Both must match baseline exactly."""
+    img = np.full((32, 48, 3), 128, dtype=np.uint8)
+    for x, y in [(3, 5), (20, 40), (30, 2), (16, 24)]:
+        img[x, y] = 255
+    for q in (50, 95):
+        db = decode_jpeg(encode_jpeg(48, 32, img.tobytes(), 3, quality=q))
+        dp = decode_jpeg(
+            encode_jpeg(48, 32, img.tobytes(), 3, quality=q, progressive=True)
+        )
+        assert np.array_equal(db[3], dp[3])
+
+
+def test_jpeg_progressive_container_shape():
+    """The progressive encoding is structurally progressive: an SOF2
+    frame and multiple SOS scans (1 DC + 2 AC bands per component + the
+    same again as refinements), not a relabeled baseline stream."""
+    px = bytes(range(256)) * 3
+    data = encode_jpeg(16, 16, px[: 16 * 16 * 3], channels=3, quality=90,
+                       progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 2 * (1 + 3 * 2)
+    # grayscale: 2 * (1 DC + 2 AC bands)
+    gray = encode_jpeg(16, 16, bytes(256), channels=1, quality=90,
+                       progressive=True)
+    assert gray.count(b"\xff\xda") == 2 * (1 + 2)
+
+
+def test_jpeg_progressive_truncated_scan_rejected():
+    """Chopping a progressive stream mid-scan (or dropping EOI) raises
+    instead of returning a half-reconstructed image."""
+    px = np.random.default_rng(5).integers(0, 256, size=24 * 16 * 3,
+                                           dtype=np.uint8).tobytes()
+    data = encode_jpeg(24, 16, px, channels=3, quality=90, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: int(len(data) * 0.6)])
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:-2])  # EOI stripped
+
+
+def test_decode_image_real_progressive_jpeg_without_pil(spark):
+    """The Spark-side operator decodes progressive JPEG payloads through
+    the stdlib codec — the round-6 'What's missing #4' seam (previously
+    NotImplementedError without PIL)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=24 * 16 * 3, dtype=np.uint8)
+    payload = encode_jpeg(24, 16, px.tobytes(), channels=3, quality=95,
+                          progressive=True)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [bytearray(payload)]})
+    )
+    row = mm.decode_image_real(df).collect()[0]
+    assert (row.width, row.height, row.channels) == (24, 16, 3)
+    _, _, _, arr = decode_jpeg(payload)
+    assert row.mean_intensity == pytest.approx(float(arr.mean()), abs=1e-9)

@@ -351,13 +351,31 @@ def test_equi_depth_rank_is_bucket_partitioned_not_single_task(spark, sf_dir):
     per-bucket row_number over a pid hash exchange), NOT one
     unpartitioned window over the full orders frame — and NOT
     repartitionByRange, whose sampled boundaries are not stable across
-    the rank and histogram branches. Orders is scanned exactly twice
-    (rank branch + histogram branch; N rides the tiny offsets frame)."""
+    the rank and histogram branches. Orders appears four times in-plan:
+    the rank-branch and histogram-branch DATA scans plus, under each, the
+    broadcast 1-row min/max stats pre-agg that replaced the old eager
+    construction-time ``.first()`` (round-5/6 verdict carry-item) — the
+    stats scans are column-pruned single-column passes, the price of a
+    fully lazy builder."""
     plan = _plan(relational.equi_depth_deciles(spark, sf_dir))
     assert "windowspecdefinition(__pid" in plan
     assert "Exchange hashpartitioning(__pid" in plan
     assert "rangepartitioning" not in plan
-    assert plan.count("orders.parquet") == 2
+    assert plan.count("orders.parquet") == 4
+
+
+def test_equi_depth_builder_is_lazy(spark, sf_dir):
+    """Constructing the query must not launch a data job: the min/max
+    boundary scan rides the plan (broadcast stats frame), not a driver
+    ``.first()``. Baseline is a bare load_table, which costs one parquet
+    schema-inference (footer) job — the builder may not exceed it."""
+    jid = lambda: spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    n0 = jid()
+    relational.load_table(spark, sf_dir, "orders")
+    footer_jobs = jid() - n0
+    n1 = jid()
+    relational.equi_depth_deciles(spark, sf_dir)
+    assert jid() - n1 <= footer_jobs
 
 
 def test_transitive_deps_rounds_are_equi_joins(spark):
@@ -502,6 +520,28 @@ def test_corpus_budget_select_prefix_sum_stays_partitioned(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             tail = "\n".join(plan.splitlines()[i:])
             assert "HashAggregate" in tail.split("Exchange hashpartitioning")[0]
+
+
+def test_capstone_and_budget_select_exchange_counts_are_pinned(spark, sf_dir):
+    """Shuffle-count regression pins (round-6 verdict item #6): the
+    measured exchange counts of the two heaviest compositions are
+    recorded as CEILINGS, so a refactor that silently adds a shuffle —
+    the failure mode that only shows up as a 100 TB slowdown — fails a
+    unit test instead. Current shapes: corpus_pipeline_verdicts = 11
+    (four doc_id equi-joins over per-doc stage frames + the reused
+    operators' interior aggs/windows), corpus_budget_select = 4 (the
+    bucketed prefix-sum two-pass + quantile bucket + final filter).
+    Lower is fine; higher needs a plan-level justification here."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.quality import (
+        corpus_budget_select,
+        corpus_pipeline_verdicts,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.sources.io import (
+        plan_exchange_count,
+    )
+
+    assert plan_exchange_count(corpus_pipeline_verdicts(spark, sf_dir)) <= 11
+    assert plan_exchange_count(corpus_budget_select(spark, sf_dir)) <= 4
 
 
 def test_bigram_topk_pushes_group_limits(spark, sf_dir):
