@@ -40,43 +40,38 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 6 slot budget (the round-5 verdict asked for explicit
-    # arithmetic): 50 slots = 1 flagship + 41 of the 45 must_rotate=6
-    # promises + 1 fingerprint-changed + 7 new registrations. The four
-    # promises that don't fit are RE-PROMISED as must_rotate=7 markers
-    # (recorded machine state, not silent aging), chosen so every family
-    # keeps a fresh in-window representative: set_intersect (set_except
-    # is r5 green), cube_qty + rollup_qty (grouping_sets_qty rotates this
-    # round), case_bucketing (the scalar-funcs family is r5 green).
-    # Standing budget rule from here on: new+fingerprint-changed entries
-    # per round <= 8, so >= 41 slots always serve rotation and the
-    # 144-query registry re-verifies on a <= 3.5-round cadence.
-    *["approx_sketches", "bracket_revenue", "customer_churn_full_outer",
-      "customer_order_counts", "customers_without_big_orders",
-      "distinct_aggs", "embedding_neardup_pairs", "embedding_quantize_int8",
-      "events_error_context_5m", "events_value_rolling_1h",
-      "forecast_revenue", "grouping_sets_qty", "idle_rich_customers",
-      "large_volume_customers", "late_shipment_suppliers",
-      "local_supplier_revenue", "nation_market_share",
-      "npm_reverse_dependency_counts", "order_gap_days", "pack_sequences",
-      "pivot_linestatus", "priority_with_returns",
-      "product_profit_by_nation_year", "promo_revenue_ratio",
-      "quality_filter_composite", "repetition_signals",
-      "returned_item_customers", "running_quantity_by_supplier",
-      "skew_salted_join", "small_qty_part_revenue", "stats_moments",
-      "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
-      "top_bigram_share", "top_orders_global", "top_orders_per_customer",
-      "top_revenue_suppliers", "top_unshipped_orders",
-      "topk_per_customer_agg", "unpivot_part_metrics",
-      "window_rank_variants"],
-    # round 6: fingerprint-changed (window-mandatory) — decode_image_real
-    # now prefers the stdlib codecs even when PIL is present (ADVICE fix)
-    "multimodal_decode_real",
-    # round 6: new registrations (window-mandatory) — the seven operators
-    # staged with green oracles in round 5, now driver-visible
-    *["ann_recall_eval", "embedding_pq_codes", "pq_adc_topk",
-      "doc_perplexity_bigram", "split_leakage_audit",
-      "multimodal_decode_png", "multimodal_decode_jpeg"],
+    # round 7 slot budget (standing rule: new+fingerprint-changed <= 8
+    # per round, >= 41 slots serve rotation; enforced mechanically by
+    # `tools/driver_check.py --window-budget 7`): 50 slots = 1 flagship
+    # + the 4 must_rotate=7 promises carried from round 6 + 41 of the 42
+    # r4-aged rows + 4 fingerprint-changed (equi_depth_deciles went
+    # lazy; the three multimodal decode queries sit on the jpeg/png
+    # codecs hardened for the round-6 ADVICE). The one r4-aged query
+    # that does not fit — set_union — is RE-PROMISED as must_rotate=8
+    # (its family is freshly covered: set_except r5, set_intersect
+    # rotating this round).
+    *["case_bucketing", "cube_qty", "rollup_qty", "set_intersect"],
+    *["approx_sketches_exact", "asof_cogroup_pandas",
+      "asof_purchase_signup", "bm25_topk_docs", "chargram_jaccard_pairs",
+      "contamination_ngram_hits", "cosine_topk_bruteforce",
+      "cosine_topk_ivf", "dataset_shuffle_order", "dataset_split_assign",
+      "dedup_exact_hash", "dedup_incremental", "deterministic_sample",
+      "dominant_part_suppliers", "dq_expectations",
+      "duplicate_ngram_overlap", "embedding_covariance",
+      "embedding_pca_project", "events_funnel_conversion",
+      "events_mad_outliers", "events_retention_cohorts",
+      "fuzzy_dedup_keep_one", "key_skew_profile", "kmeans_assignments",
+      "kmeans_clusters", "length_weighted_sample", "min_cost_supplier",
+      "minhash_lsh_neardup", "nation_pair_trade", "neardup_clusters",
+      "part_supplier_variety", "part_value_concentration",
+      "pricing_summary", "scd2_user_tiers", "session_concurrency_hourly",
+      "shipping_delay_priority", "simhash_candidate_pairs",
+      "snapshot_diff", "source_mixing_weights", "token_rarity_scores",
+      "zorder_bucket_profile"],
+    # round 7: fingerprint-changed (window-mandatory)
+    "equi_depth_deciles",
+    *["multimodal_decode_real", "multimodal_decode_png",
+      "multimodal_decode_jpeg"],
 ]
 
 

@@ -263,3 +263,70 @@ def test_must_rotate_then_update_round_trip(world, monkeypatch):
     rec = _recorded(world)
     assert rec["q4"]["round"] == 2
     assert "must_rotate" not in rec["q4"]  # promise cleared by the fresh row
+
+
+def test_window_budget_demand_arithmetic(world):
+    """Pure-function check: pinned + changed + new + due promises, in
+    registry order, with over/outside computed against the window."""
+    names = ["q1", "q2", "q3", "q4", "q5"]
+    cur = {n: f"fp_{n}" for n in names}
+    recorded = {
+        "q1": {"fp": "fp_q1", "round": 1},
+        "q2": {"fp": "STALE", "round": 1},              # changed
+        "q3": {"fp": "fp_q3", "round": 1, "must_rotate": 2},  # due
+        "q4": {"fp": "fp_q4", "round": 1},              # clean
+        # q5 missing -> new
+    }
+    old_pinned = dc.PINNED
+    dc.PINNED = ["q1"]
+    try:
+        demand, over, outside = dc.window_budget_demand(names, cur, recorded, 2)
+    finally:
+        dc.PINNED = old_pinned
+    assert demand == ["q1", "q2", "q3", "q5"]  # registry order, q4 free
+    assert over == 2  # 4 mandatory > 2-slot window
+    assert outside == ["q3", "q5"]  # q3/q5 sit past the first 2 entries
+    # a future-round promise is NOT yet due
+    recorded["q3"]["must_rotate"] = 9
+    dc.PINNED = ["q1"]
+    try:
+        demand2, _, _ = dc.window_budget_demand(names, cur, recorded, 2)
+    finally:
+        dc.PINNED = old_pinned
+    assert "q3" not in demand2
+
+
+def test_window_budget_cli_refuses_over_budget(world, monkeypatch, capsys):
+    """The CLI gate exits nonzero with the slot arithmetic when the
+    mandatory set exceeds the window (the round-6 process failure this
+    gate exists to prevent)."""
+    names = ["q1", "q2", "q3", "q4"]
+    cur = {n: "NEWFP" for n in names}  # every query changed
+    monkeypatch.setattr(dc, "_current_fingerprints", lambda: (names, cur))
+    monkeypatch.setattr(dc, "PINNED", ["q1"])
+    with pytest.raises(SystemExit) as e:
+        dc.window_budget(2)
+    assert "OVER BUDGET by 2" in str(e.value)
+
+
+def test_window_budget_cli_flags_mandatory_query_outside_window(world, monkeypatch):
+    """Demand fits numerically but a changed query is ordered past the
+    window boundary -> the gate names it and fails."""
+    cur = dict(world["fps"])
+    cur["q3"] = "CHANGED"  # q3 is outside the 2-entry window
+    monkeypatch.setattr(
+        dc, "_current_fingerprints", lambda: (world["names"], cur)
+    )
+    monkeypatch.setattr(dc, "PINNED", [])
+    with pytest.raises(SystemExit) as e:
+        dc.window_budget(2)
+    assert "WINDOW ORDER BROKEN" in str(e.value) and "q3" in str(e.value)
+
+
+def test_window_budget_cli_green_path(world, monkeypatch, capsys):
+    """Everything recorded and unchanged, flagship in slot 1 -> ok."""
+    monkeypatch.setattr(dc, "PINNED", ["q1"])
+    dc.window_budget(2)
+    out = capsys.readouterr().out
+    assert "window budget ok" in out
+    assert "demand 1 of 2 slots" in out

@@ -20,7 +20,15 @@ green in the driver's CORRECTNESS_r{N}.json.
 
 Usage: python tools/driver_check.py [sf_dir] [name ...]
        python tools/driver_check.py --staleness
+       python tools/driver_check.py --window-budget N
        python tools/driver_check.py --evidence-update N
+
+``--window-budget N`` is the mechanical slot-arithmetic gate: it FAILS
+when the round-N mandatory set (pinned flagship + new + fingerprint-
+changed + due must_rotate promises) exceeds the 50-entry window, or when
+a mandatory query sits outside the current window ordering. Run it when
+PLANNING a round — before code is written — so over-subscription is
+discovered while it is still cheap to defer work.
 
 ``--staleness`` enforces the evidence-rotation invariant at PER-QUERY
 granularity: every query whose evidence fingerprint (its function source +
@@ -165,6 +173,57 @@ EVIDENCE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "eviden
 _PKG_PREFIX = "akkastreamprocessnpmpackagedependencies_spark"
 
 
+def _nested_codes(code):
+    """The code object plus every code object nested in its constants —
+    lambdas, comprehensions and (crucially) closure functions like the
+    mapInPandas bodies, whose names the OUTER co_names never mention."""
+    import types
+
+    yield code
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            yield from _nested_codes(c)
+
+
+_IMPORT_RE = None  # compiled lazily (keeps module import light)
+
+
+def _local_pkg_imports(src: str, module_name: str):
+    """Package modules pulled in by IMPORT STATEMENTS inside ``src`` —
+    the function-LOCAL ``from ..functions.png import decode_png`` pattern
+    that binds a local name the getattr-on-module walk can never resolve.
+    Yields resolved module objects under the repo package. (Round-6 gap,
+    found empirically: hardening functions/jpeg.py moved ZERO query
+    fingerprints because every codec import is local to a mapInPandas
+    closure — a behavior change the staleness gate was blind to.)"""
+    global _IMPORT_RE
+    import importlib
+    import importlib.util
+    import re
+
+    if _IMPORT_RE is None:
+        _IMPORT_RE = re.compile(
+            r"^\s*(?:from\s+([.\w]+)\s+import\s|import\s+([\w.]+))", re.M
+        )
+    pkg = module_name.rpartition(".")[0]
+    for m in _IMPORT_RE.finditer(src):
+        target = m.group(1) or m.group(2)
+        try:
+            resolved = (
+                importlib.util.resolve_name(target, pkg)
+                if target.startswith(".")
+                else target
+            )
+        except (ImportError, ValueError):
+            continue
+        if not resolved.startswith(_PKG_PREFIX):
+            continue
+        try:
+            yield importlib.import_module(resolved)
+        except ImportError:
+            continue
+
+
 def _fingerprint(fn, oracle: str) -> str:
     """Evidence fingerprint of one query: function source + rendered oracle
     SQL + the source/value of every repo-package helper reachable by name
@@ -172,19 +231,19 @@ def _fingerprint(fn, oracle: str) -> str:
     bounded) — so editing a shared helper in functions/text.py,
     session.py, or another operator module moves the fingerprints of
     every query whose behavior it can change, not just same-module
-    callers (review fix: the old same-module rule let a session.py
-    load-path change leave every events-query fingerprint untouched).
-    Scalar str/int/float and list-of-str module constants are hashed by
-    value."""
+    callers. Scalar str/int/float and list-of-str module constants are
+    hashed by value. Names are collected from the function's code object
+    AND every nested code object (closures), and package modules named by
+    import statements INSIDE the function body are hashed whole — the
+    two dynamic-dispatch gaps that previously let a function-local
+    ``from ..functions.jpeg import decode_jpeg`` hide codec changes from
+    the staleness gate."""
     import hashlib
     import inspect
 
-    try:
-        parts = [inspect.getsource(fn)]
-    except OSError:
-        parts = [fn.__qualname__]
-    parts.append(oracle)
+    parts = [oracle]
     seen: set[str] = set()
+    hashed_modules: set[str] = set()
     stack = [fn]
     while stack:
         f = stack.pop()
@@ -192,8 +251,16 @@ def _fingerprint(fn, oracle: str) -> str:
         if key in seen:
             continue
         seen.add(key)
+        try:
+            src = inspect.getsource(f)
+        except OSError:
+            src = f.__qualname__
+        parts.append(src)
         mod = sys.modules.get(f.__module__)
-        for nm in sorted(set(f.__code__.co_names)):
+        names = set()
+        for code in _nested_codes(f.__code__):
+            names.update(code.co_names)
+        for nm in sorted(names):
             v = getattr(mod, nm, None)
             if isinstance(v, str):
                 parts.append(f"{nm}={v}")
@@ -202,17 +269,22 @@ def _fingerprint(fn, oracle: str) -> str:
             elif isinstance(v, (list, tuple)) and all(isinstance(x, str) for x in v):
                 parts.append(f"{nm}={list(v)}")
             elif inspect.isfunction(v) and (v.__module__ or "").startswith(_PKG_PREFIX):
-                try:
-                    parts.append(inspect.getsource(v))
-                except OSError:
-                    pass
                 stack.append(v)
             elif inspect.ismodule(v) and (v.__name__ or "").startswith(_PKG_PREFIX):
                 # attribute access through a module object (e.g. npm.parse
                 # _registry): hash the whole module source — coarse but
                 # safe, and cheap at this repo size
+                if v.__name__ not in hashed_modules:
+                    hashed_modules.add(v.__name__)
+                    try:
+                        parts.append(inspect.getsource(v))
+                    except OSError:
+                        pass
+        for imod in _local_pkg_imports(src, f.__module__):
+            if imod.__name__ not in hashed_modules:
+                hashed_modules.add(imod.__name__)
                 try:
-                    parts.append(inspect.getsource(v))
+                    parts.append(inspect.getsource(imod))
                 except OSError:
                     pass
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
@@ -301,6 +373,66 @@ def staleness() -> None:
     print(f"staleness ok: queries needing a fresh row this round = "
           f"{pending or 'none'}; all are inside the driver window")
     sys.exit(0)
+
+
+PINNED = ["npm_dependency_counts"]  # flagship: in-window every round
+
+
+def window_budget_demand(names, cur, recorded, round_no):
+    """The set of queries that MUST occupy a window slot in ``round_no``,
+    in registry order: the pinned flagship, every query whose fingerprint
+    differs from its recorded evidence row (changed), every query with no
+    evidence row at all (new), and every due must_rotate promise. Pure
+    function so the over-budget refusal is unit-testable without Spark."""
+    window = set(names[:DRIVER_WINDOW])
+    demand = []
+    for n in names:
+        rec = recorded.get(n)
+        due = (
+            rec is not None
+            and rec.get("must_rotate") is not None
+            and rec["must_rotate"] <= round_no
+        )
+        if (
+            n in PINNED
+            or rec is None
+            or rec.get("fp") != cur[n]
+            or due
+        ):
+            demand.append(n)
+    over = len(demand) - DRIVER_WINDOW
+    outside = [n for n in demand if n not in window]
+    return demand, over, outside
+
+
+def window_budget(round_no: int) -> None:
+    """Mechanical slot-arithmetic gate (round-5/6 verdict carry-item):
+    FAIL before any code lands when pinned + new + fingerprint-changed +
+    due-rotations exceed the driver's 50-entry window, or when a demanded
+    query sits outside the current window ordering. Run it when planning
+    a round (before writing operators) and again before finalizing."""
+    names, cur = _current_fingerprints()
+    recorded = _load_evidence()
+    demand, over, outside = window_budget_demand(names, cur, recorded, round_no)
+    print(
+        f"window budget r{round_no}: demand {len(demand)} of "
+        f"{DRIVER_WINDOW} slots ({DRIVER_WINDOW - len(demand)} free for "
+        f"aged-evidence rotation)"
+    )
+    if over > 0:
+        sys.exit(
+            f"OVER BUDGET by {over}: {len(demand)} mandatory slots > "
+            f"{DRIVER_WINDOW}-entry window. Mandatory set: {demand}. "
+            "Defer new registrations or re-promise rotations "
+            "(--must-rotate N+1) before writing more code."
+        )
+    if outside:
+        sys.exit(
+            f"WINDOW ORDER BROKEN: these mandatory queries sit outside "
+            f"the first {DRIVER_WINDOW} entries: {outside}. Reorder "
+            "_PRIORITY in __spark_entry__.py."
+        )
+    print("window budget ok: every mandatory query holds a window slot")
 
 
 PASS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".last_full_pass.json")
@@ -528,6 +660,9 @@ def main() -> None:
         return
     if args and args[0] == "--must-rotate":
         must_rotate(int(args[1]), args[2:])
+        return
+    if args and args[0] == "--window-budget":
+        window_budget(int(args[1]))
         return
     sf_dir = "/root/testdata/sf0.01"
     if args and ("/" in args[0] or os.path.isdir(args[0])):

@@ -60,7 +60,7 @@ SHOWCASE = [
     ("npm_transitive_deps", "bounded min-hop closure: per-round frontier equi-join + distinct"),
     ("session_concurrency_hourly", "join-free interval analytics: covering-hour explode + hash agg"),
     ("session_overlap_pairs", "interval self-join via hour-bucket equi-join + first-bucket dedupe"),
-    ("equi_depth_deciles", "distributed exact global rank: range repartition + offset prefix sum"),
+    ("equi_depth_deciles", "distributed exact global rank: lazy broadcast min/max bucket bounds + offset prefix sum"),
     ("source_mixing_weights", "temperature mixing weights: one scan, tiny-frame normalizing window"),
     ("length_weighted_sample", "weighted Bernoulli sample: integer hash threshold, zero exchanges"),
     ("zorder_bucket_profile", "Morton-curve layout profile: row-local integer key + hash agg"),
