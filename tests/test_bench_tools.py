@@ -1,0 +1,121 @@
+"""Unit tests for the bench artifact plumbing: the bounded stdout line
+(bench.py compact_line) and the spread-aware regression comparator
+(tools/bench_compare.py). No SparkSession needed."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load("bench_mod", os.path.join(_ROOT, "bench.py"))
+bc = _load("bench_compare", os.path.join(_ROOT, "tools", "bench_compare.py"))
+
+
+def _many_queries(n: int) -> dict[str, float]:
+    qs = {f"very_long_query_name_number_{i:03d}_for_width": 0.1 + i * 0.01
+          for i in range(n)}
+    qs["npm_dependency_counts"] = 0.33
+    return qs
+
+
+def test_compact_line_fits_capture_budget_and_keeps_flagship():
+    """A 103-query suite overflows the driver's ~2000-char stdout capture
+    (the rounds-5/6 parsed:null failure); the compact line must fit the
+    budget, keep the flagship, point at the full artifact, and stay
+    valid JSON with the true total + query count."""
+    times = _many_queries(103)
+    line, kept = bench.compact_line(times, total=82.5, sf=0.1)
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    assert "npm_dependency_counts" in d["queries"]
+    assert d["n_queries"] == len(times)
+    assert d["queries_full"] == "BENCH_FULL.json"
+    assert d["value"] == 82.5
+    assert 1 < kept < len(times)
+    # the included non-flagship queries are the SLOWEST ones
+    included = [q for q in d["queries"] if q != "npm_dependency_counts"]
+    cutoff = min(times[q] for q in included)
+    excluded_max = max(v for q, v in times.items() if q not in d["queries"])
+    assert cutoff >= excluded_max
+
+
+def test_compact_line_small_suite_includes_everything():
+    times = {"npm_dependency_counts": 0.3, "q2": 1.0}
+    line, kept = bench.compact_line(times, total=1.3, sf=0.01)
+    assert kept == 2
+    assert set(json.loads(line)["queries"]) == set(times)
+
+
+def test_bands_overlap():
+    assert bc.bands_overlap([1.0, 1.5, 2.0], [1.9, 2.2, 3.0])
+    assert not bc.bands_overlap([1.0, 1.5, 2.0], [2.1, 2.2, 3.0])
+    assert not bc.bands_overlap([2.1, 2.2, 3.0], [1.0, 1.5, 2.0])  # symmetric
+    assert bc.bands_overlap([1.0, 2.0, 3.0], [1.5, 1.6, 1.7])  # containment
+
+
+def _write(tmp_path, name, payload) -> str:
+    p = tmp_path / name
+    p.write_text(json.dumps(payload))
+    return str(p)
+
+
+def test_compare_suppresses_delta_within_spread_bands(tmp_path, capsys):
+    """A 2x median swing whose noise bands overlap is session
+    interference, not a regression — reported as 'noise', not flagged
+    (the rounds-5/6 phantom chargram_jaccard_pairs class)."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0}, "spread": {"q": [0.8, 1.0, 2.4]}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 2.0}, "spread": {"q": [1.9, 2.0, 2.1]}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "noise  q" in out
+    assert "flagged >1.5x: 0" in out
+    assert "noise-suppressed: 1" in out
+
+
+def test_compare_flags_delta_beyond_spread_bands(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0}, "spread": {"q": [0.9, 1.0, 1.1]}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 2.0}, "spread": {"q": [1.9, 2.0, 2.1]}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "SLOWER q" in out
+    assert "flagged >1.5x: 1" in out
+    assert "bands [0.90,1.10] vs [1.90,2.10]" in out
+
+
+def test_compare_without_spread_falls_back_to_median_only(tmp_path, capsys):
+    """Pre-round-7 artifacts carry no spread: median-ratio flagging
+    still works (no silent suppression when noise data is absent)."""
+    old = _write(tmp_path, "old.json", {"queries": {"q": 1.0}})
+    new = _write(tmp_path, "new.json", {"queries": {"q": 2.0}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "SLOWER q" in out and "flagged >1.5x: 1" in out
+
+
+def test_tail_salvage_skips_scalar_fields():
+    qs = bc._from_tail(
+        '"queries":{"a_query":1.25,"other":0.5},"n_queries":103,'
+        '"sf":0.1,"runs_per_query":3'
+    )
+    assert qs == {"a_query": 1.25, "other": 0.5}
