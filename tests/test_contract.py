@@ -58,3 +58,25 @@ def test_entry_runs_and_is_stable(spark):
     rows = out.collect()
     assert len(rows) == 20  # hermetic fixture world is fixed-size
     assert out.columns == ["package", "version", "dependencies", "devDependencies"]
+
+
+def test_bench_headline_names_resolve_and_are_unique():
+    """Every bench.py HEADLINE entry must be a registered query (a typo'd
+    or renamed entry would crash the driver's per-round bench run), with
+    no duplicates, the flagship present, and the compact-line constants
+    sane (budget below the measured ~2000-char capture tail)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_contract",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = set(entrymod.queries())
+    unknown = [n for n in bench.HEADLINE if n not in qs]
+    assert not unknown, f"HEADLINE names not registered: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert bench.FLAGSHIP in bench.HEADLINE
+    assert bench.LINE_BUDGET < 2000

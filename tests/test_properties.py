@@ -471,3 +471,50 @@ def test_png_codec_roundtrip_property(w, h, channels, filter_type, seed):
     assert (gw, gh, gc) == (w, h, channels)
     assert arr.shape == (h, w, channels)
     assert arr.tobytes() == px
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=28),
+    channels=st.sampled_from([1, 3]),
+    subsample=st.booleans(),
+    quality=st.integers(min_value=1, max_value=100),
+    restart=st.sampled_from([0, 1, 3]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(
+    w, h, channels, subsample, quality, restart, seed
+):
+    """Pure-Python property (no Spark job): for ANY dimensions (including
+    1-pixel edges), channel count, 4:2:0 subsampling, quality, restart
+    interval and pixel content, the progressive (SOF2) and baseline
+    (SOF0) encodings of one image decode to bit-identical pixels — the
+    two transmissions carry the same quantized coefficients, so any
+    divergence is an entropy-layer bug (spectral bands, bit planes,
+    EOBRUN, refinement corrections), not loss."""
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    sub = subsample and channels == 3
+    rng = np.random.RandomState(seed)
+    # mix content classes by seed: noise / smooth / near-flat
+    if seed % 3 == 0:
+        px = rng.randint(0, 256, size=w * h * channels, dtype=np.uint8)
+    elif seed % 3 == 1:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+        px = np.stack([g] * channels, axis=-1)
+    else:
+        px = np.full((h, w, channels), 200, dtype=np.uint8)
+        px[rng.randint(0, h), rng.randint(0, w)] = 0
+    kw = dict(channels=channels, quality=quality, subsample=sub,
+              restart_interval=restart)
+    base = decode_jpeg(encode_jpeg(w, h, px.tobytes(), **kw))
+    prog = decode_jpeg(encode_jpeg(w, h, px.tobytes(), progressive=True, **kw))
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3])

@@ -125,6 +125,21 @@ also writes the full result (notes included) to BENCH_FULL.json and
 prints a compact final line, so the driver's bounded stdout capture can
 parse it again (r4's line outgrew the window).
 
+Round-7 de-noise: each of the 3 measured passes now visits the suite in
+a different seeded-shuffled order, BENCH_FULL.json records per-query
+[min, median, max] spread, the stdout line is trimmed to fit the
+driver's measured ~2000-char capture tail (totals + flagship + slowest
+queries; full map stays in BENCH_FULL.json), and
+`tools/bench_compare.py` suppresses deltas whose spread bands overlap.
+Adjudication of the r6->r7 compare (old artifact has no spread, so all
+flags shown): `chargram_jaccard_pairs` 3.09->5.19 s in-suite flagged
+1.68x on UNTOUCHED code — its r7 spread band is [3.57, 14.1] and a
+fresh-session standalone median is 2.74 s (faster than r6), so the
+in-suite number is neighbor interference, the exact class the spread
+recording now makes self-suppressing; `tfidf_top_terms_per_doc` 0.42x
+and `grouped_median_pandas` 0.63x are improvements of the same noise
+class. Common-96-query total: 0.99x (flat).
+
 ## Semantics notes
 
 - `chargram_jaccard_pairs` computes jaccard over 32-bit md5-derived
