@@ -347,6 +347,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    prog_levels: int = 2,
 ) -> bytes:
     """Encode raw 8-bit pixels (row-major, interleaved) as a baseline
     sequential JPEG — or, with ``progressive=True``, as a progressive
@@ -413,7 +414,8 @@ def encode_jpeg(
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if progressive:
         _encode_progressive_scans(
-            out, coefs, samp, ncomp, restart_interval, width, height
+            out, coefs, samp, ncomp, restart_interval, width, height,
+            levels=prog_levels,
         )
         out += b"\xff\xd9"  # EOI
         return bytes(out)
@@ -674,11 +676,15 @@ def _ac_refine_scan_bits(coef, hb, wb, ss, se, al, ri, ac_codes) -> bytes:
 
 
 def _encode_progressive_scans(
-    out: bytearray, coefs, samp, ncomp, ri, width: int, height: int
+    out: bytearray, coefs, samp, ncomp, ri, width: int, height: int,
+    levels: int = 2,
 ) -> None:
     """The scan script: DHT (flat progressive tables), interleaved DC
-    first at Al=1, per-component AC band first passes at Al=1, DC
-    refinement to Al=0, per-component AC band refinements to Al=0."""
+    first at Al=levels-1, per-component AC band first passes at the same
+    bit plane, then per-level DC + AC refinement scans down to Al=0
+    (levels=2 is the default two-plane script; levels=3 exercises
+    refinement of a coefficient that itself arrived in a refinement
+    pass, the deepest T.81 G.1.2.3 path)."""
     for tc_th, (bits, vals) in [(0x00, _DC_PROG), (0x10, _AC_PROG)]:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
@@ -697,24 +703,26 @@ def _encode_progressive_scans(
         for ci in range(ncomp)
     ]
     all_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
-    out += _sos(all_comps, 0, 0, 0, _PROG_AL)
-    out += _dc_scan_bits(coefs, samp, ncomp, 0, _PROG_AL, ri, dc_codes)
+    top = levels - 1
+    out += _sos(all_comps, 0, 0, 0, top)
+    out += _dc_scan_bits(coefs, samp, ncomp, 0, top, ri, dc_codes)
     for ci in range(ncomp):
         hb, wb = grids[ci]
         for ss, se in _PROG_BANDS:
-            out += _sos([(ci + 1, 0, 0)], ss, se, 0, _PROG_AL)
+            out += _sos([(ci + 1, 0, 0)], ss, se, 0, top)
             out += _ac_first_scan_bits(
-                coefs[ci], hb, wb, ss, se, _PROG_AL, ri, ac_codes
+                coefs[ci], hb, wb, ss, se, top, ri, ac_codes
             )
-    out += _sos(all_comps, 0, 0, _PROG_AL, 0)
-    out += _dc_scan_bits(coefs, samp, ncomp, _PROG_AL, 0, ri, dc_codes)
-    for ci in range(ncomp):
-        hb, wb = grids[ci]
-        for ss, se in _PROG_BANDS:
-            out += _sos([(ci + 1, 0, 0)], ss, se, _PROG_AL, 0)
-            out += _ac_refine_scan_bits(
-                coefs[ci], hb, wb, ss, se, 0, ri, ac_codes
-            )
+    for al in range(top - 1, -1, -1):
+        out += _sos(all_comps, 0, 0, al + 1, al)
+        out += _dc_scan_bits(coefs, samp, ncomp, al + 1, al, ri, dc_codes)
+        for ci in range(ncomp):
+            hb, wb = grids[ci]
+            for ss, se in _PROG_BANDS:
+                out += _sos([(ci + 1, 0, 0)], ss, se, al + 1, al)
+                out += _ac_refine_scan_bits(
+                    coefs[ci], hb, wb, ss, se, al, ri, ac_codes
+                )
 
 
 # ---------------------------------------------------------------- decoder
@@ -788,6 +796,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 bits = list(seg[i + 1 : i + 17])
                 nvals = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + nvals])
+                if len(bits) < 16 or len(vals) < nvals:
+                    # a BITS list promising more symbols than the segment
+                    # holds would index past HUFFVAL during canonical
+                    # assignment (fuzz finding)
+                    raise ValueError("truncated DHT table")
                 htables[(tc, th)] = _build_decode_map(bits, vals)
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
@@ -917,6 +930,8 @@ def _decode_scan(payload, pos, seg, frame, qtables, htables, restart_interval):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         size = reader.decode_symbol(c["dc_tab"])
+                        if size > 15:
+                            raise ValueError(f"invalid DC size category {size}")
                         diff = _extend(reader.bits(size), size)
                         preds[c["id"]] += diff
                         zz[0] = preds[c["id"]]
@@ -1154,6 +1169,10 @@ def _decode_progressive_scan(payload, pos, seg, frame, htables, restart_interval
                                 blk = c["coef"][my * v_s + by, mx * h_s + bx]
                                 if ah == 0:
                                     size = reader.decode_symbol(dc_tab)
+                                    if size > 15:
+                                        raise ValueError(
+                                            f"invalid DC size category {size}"
+                                        )
                                     preds[c["id"]] += _extend(reader.bits(size), size)
                                     blk[0] = preds[c["id"]] << al
                                 else:
@@ -1172,6 +1191,8 @@ def _decode_progressive_scan(payload, pos, seg, frame, htables, restart_interval
                     blk = c["coef"][by, bx]
                     if ah == 0:
                         size = reader.decode_symbol(dc_tab)
+                        if size > 15:
+                            raise ValueError(f"invalid DC size category {size}")
                         preds[c["id"]] += _extend(reader.bits(size), size)
                         blk[0] = preds[c["id"]] << al
                     else:

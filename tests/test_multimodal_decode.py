@@ -827,3 +827,54 @@ def test_decode_image_real_progressive_jpeg_without_pil(spark):
     assert (row.width, row.height, row.channels) == (24, 16, 3)
     _, _, _, arr = decode_jpeg(payload)
     assert row.mean_intensity == pytest.approx(float(arr.mean()), abs=1e-9)
+
+
+@pytest.mark.parametrize("levels", [1, 3])
+def test_jpeg_multilevel_successive_approximation_matches_baseline(levels):
+    """Scan scripts beyond the default two bit planes: levels=1 is pure
+    spectral selection (no refinement at all), levels=3 refines a
+    coefficient that itself arrived in a refinement pass — the deepest
+    T.81 G.1.2.3 path (correction bits over a value placed at a higher
+    bit plane). Identity with baseline must hold for all of them."""
+    rng = np.random.default_rng(42)
+    for (w, h, ch, sub, q, ri) in [
+        (24, 16, 3, False, 90, 0),
+        (21, 13, 3, True, 85, 2),
+        (17, 9, 1, False, 60, 3),
+    ]:
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        kw = dict(channels=ch, quality=q, subsample=sub, restart_interval=ri)
+        db = decode_jpeg(encode_jpeg(w, h, px, **kw))
+        dp = decode_jpeg(
+            encode_jpeg(w, h, px, progressive=True, prog_levels=levels, **kw)
+        )
+        assert db[:3] == dp[:3]
+        assert np.array_equal(db[3], dp[3])
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_jpeg_byte_corruption_never_escapes_valueerror(progressive):
+    """Crash-safety fuzz: flipping any single byte in the DHT-onward
+    region (tables + scan headers + entropy data) must either still
+    decode (benign bit) or raise ValueError — never IndexError /
+    struct.error / KeyError / OverflowError, which would blow through
+    decode_image_real's except-ValueError PIL fallback and kill the
+    executor task (the round-6 ADVICE failure class, fuzzed rather than
+    enumerated)."""
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+    good = encode_jpeg(16, 16, px, channels=3, quality=80,
+                       progressive=progressive)
+    start = good.index(b"\xff\xc4")  # first DHT: tables onward
+    outcomes = {"ok": 0, "valueerror": 0}
+    for _ in range(250):
+        i = int(rng.integers(start, len(good)))
+        mutated = bytearray(good)
+        mutated[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_jpeg(bytes(mutated))
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["valueerror"] += 1
+    # both outcomes occur across 250 mutations; nothing else may escape
+    assert outcomes["valueerror"] > 0
