@@ -72,6 +72,11 @@ _PRIORITY = [
     "equi_depth_deciles",
     *["multimodal_decode_real", "multimodal_decode_png",
       "multimodal_decode_jpeg"],
+    # Round-8 arithmetic (recorded for continuity; `--window-budget 8`
+    # recomputes it mechanically): demand = flagship + set_union
+    # (must_rotate=8) + 47 r5-aged rows = 49 slots, leaving ONE for a
+    # new or fingerprint-changed query. Plan round-8 code changes
+    # accordingly, or re-promise displaced r5 rows explicitly.
 ]
 
 

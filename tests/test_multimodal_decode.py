@@ -878,3 +878,22 @@ def test_jpeg_byte_corruption_never_escapes_valueerror(progressive):
             outcomes["valueerror"] += 1
     # both outcomes occur across 250 mutations; nothing else may escape
     assert outcomes["valueerror"] > 0
+
+
+def test_png_byte_corruption_never_escapes_valueerror():
+    """PNG twin of the JPEG corruption fuzz: any single-byte flip after
+    the signature must decode (benign — e.g. inside an ancillary chunk)
+    or raise ValueError; zlib.error, struct.error and IndexError are all
+    normalized at the codec boundary."""
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, size=12 * 9 * 3, dtype=np.uint8).tobytes()
+    good = encode_png(12, 9, px, 3)
+    saw_error = False
+    for _ in range(250):
+        m = bytearray(good)
+        m[int(rng.integers(8, len(good)))] ^= int(rng.integers(1, 256))
+        try:
+            decode_png(bytes(m))
+        except ValueError:
+            saw_error = True
+    assert saw_error
