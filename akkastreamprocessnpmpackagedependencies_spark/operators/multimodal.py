@@ -574,6 +574,13 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean straight from the text in SQL — the multimodal_decode_png
     technique extended to the lossy container.
 
+    Round 7: every ODD doc_id ships as a PROGRESSIVE (SOF2) JPEG — a
+    progressive transmission carries the same quantized coefficients as
+    a baseline one, so the oracle is encoding-agnostic and the driver's
+    value hash now verifies the full Annex-G decode path (spectral
+    bands, successive approximation, EOBRUN, refinement corrections)
+    end-to-end, not just in pytest.
+
     Scale shape: identical to the PNG query — encode and decode share
     one Arrow-batched executor pass, payloads never cross the wire, the
     ASCII gate is the audio query's established predicate."""
@@ -596,7 +603,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pixels = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
                 ids.append(doc_id)
                 payloads.append(
-                    encode_jpeg(wb * 8, hb * 8, pixels.tobytes(), channels=1, quality=100)
+                    encode_jpeg(
+                        wb * 8, hb * 8, pixels.tobytes(), channels=1,
+                        quality=100, progressive=bool(doc_id % 2),
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
