@@ -485,7 +485,6 @@ _AC_PROG = (
     _AC_PROG_VALS,
 )
 
-_PROG_AL = 1  # the script's successive-approximation split point
 _PROG_BANDS = [(1, 5), (6, 63)]  # spectral-selection bands for AC scans
 
 
