@@ -348,6 +348,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     prog_levels: int = 2,
+    prog_script=None,
 ) -> bytes:
     """Encode raw 8-bit pixels (row-major, interleaved) as a baseline
     sequential JPEG — or, with ``progressive=True``, as a progressive
@@ -415,7 +416,7 @@ def encode_jpeg(
     if progressive:
         _encode_progressive_scans(
             out, coefs, samp, ncomp, restart_interval, width, height,
-            levels=prog_levels,
+            levels=prog_levels, script=prog_script,
         )
         out += b"\xff\xd9"  # EOI
         return bytes(out)
@@ -676,14 +677,23 @@ def _ac_refine_scan_bits(coef, hb, wb, ss, se, al, ri, ac_codes) -> bytes:
 
 def _encode_progressive_scans(
     out: bytearray, coefs, samp, ncomp, ri, width: int, height: int,
-    levels: int = 2,
+    levels: int = 2, script=None,
 ) -> None:
     """The scan script: DHT (flat progressive tables), interleaved DC
     first at Al=levels-1, per-component AC band first passes at the same
     bit plane, then per-level DC + AC refinement scans down to Al=0
     (levels=2 is the default two-plane script; levels=3 exercises
     refinement of a coefficient that itself arrived in a refinement
-    pass, the deepest T.81 G.1.2.3 path)."""
+    pass, the deepest T.81 G.1.2.3 path).
+
+    ``script`` overrides the default shape with an arbitrary legal
+    Annex-G progression: ``(dc_levels, bands)`` where ``bands[ci]`` is a
+    list of ``(ss, se, band_levels)`` spectral ranges for component
+    ``ci`` — each band carries its own successive-approximation depth,
+    like real libjpeg scan scripts do (e.g. luma refined deeper than
+    chroma, uneven band splits). Within each band the refinement order
+    is sequential by construction; order ACROSS bands/components is
+    free per T.81 G.1.1.1."""
     for tc_th, (bits, vals) in [(0x00, _DC_PROG), (0x10, _AC_PROG)]:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
@@ -701,23 +711,27 @@ def _encode_progressive_scans(
         )
         for ci in range(ncomp)
     ]
+    if script is None:
+        script = (levels, [[(ss, se, levels) for ss, se in _PROG_BANDS]
+                           for _ in range(ncomp)])
+    dc_levels, bands = script
     all_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
-    top = levels - 1
-    out += _sos(all_comps, 0, 0, 0, top)
-    out += _dc_scan_bits(coefs, samp, ncomp, 0, top, ri, dc_codes)
+    out += _sos(all_comps, 0, 0, 0, dc_levels - 1)
+    out += _dc_scan_bits(coefs, samp, ncomp, 0, dc_levels - 1, ri, dc_codes)
     for ci in range(ncomp):
         hb, wb = grids[ci]
-        for ss, se in _PROG_BANDS:
-            out += _sos([(ci + 1, 0, 0)], ss, se, 0, top)
+        for ss, se, bl in bands[ci]:
+            out += _sos([(ci + 1, 0, 0)], ss, se, 0, bl - 1)
             out += _ac_first_scan_bits(
-                coefs[ci], hb, wb, ss, se, top, ri, ac_codes
+                coefs[ci], hb, wb, ss, se, bl - 1, ri, ac_codes
             )
-    for al in range(top - 1, -1, -1):
+    for al in range(dc_levels - 2, -1, -1):
         out += _sos(all_comps, 0, 0, al + 1, al)
         out += _dc_scan_bits(coefs, samp, ncomp, al + 1, al, ri, dc_codes)
-        for ci in range(ncomp):
-            hb, wb = grids[ci]
-            for ss, se in _PROG_BANDS:
+    for ci in range(ncomp):
+        hb, wb = grids[ci]
+        for ss, se, bl in bands[ci]:
+            for al in range(bl - 2, -1, -1):
                 out += _sos([(ci + 1, 0, 0)], ss, se, al + 1, al)
                 out += _ac_refine_scan_bits(
                     coefs[ci], hb, wb, ss, se, al, ri, ac_codes

@@ -897,3 +897,47 @@ def test_png_byte_corruption_never_escapes_valueerror():
         except ValueError:
             saw_error = True
     assert saw_error
+
+
+def test_jpeg_progressive_arbitrary_scan_scripts_match_baseline():
+    """Scan-script generality — the diversity real third-party encoders
+    bring: a libjpeg-default-shaped script (luma split into two bands at
+    3 bit planes, full-band chroma at 2, interleaved DC at 2) plus 15
+    seeded RANDOM legal scripts (random contiguous band partitions of
+    1..63 per component, per-band successive-approximation depth 1..3,
+    random DC depth, optional restarts) must all decode bit-identically
+    to the baseline encoding. Any mis-handling of per-band state
+    (EOBRUN confinement to a band, refinement sequencing, single-
+    component geometry) breaks at least one script."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=32 * 24 * 3, dtype=np.uint8).tobytes()
+    libjpeg_shaped = (2, [[(1, 5, 3), (6, 63, 3)], [(1, 63, 2)], [(1, 63, 2)]])
+    db = decode_jpeg(encode_jpeg(32, 24, px, channels=3, quality=85))
+    dp = decode_jpeg(
+        encode_jpeg(32, 24, px, channels=3, quality=85, progressive=True,
+                    prog_script=libjpeg_shaped)
+    )
+    assert np.array_equal(db[3], dp[3])
+    for trial in range(15):
+        ch = 1 if trial % 2 else 3
+        w, h = int(rng.integers(8, 40)), int(rng.integers(8, 30))
+        q = int(rng.integers(30, 101))
+        ri = int(rng.choice([0, 0, 2]))
+        pxb = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        bands = []
+        for _ in range(ch):
+            cuts = sorted(set(
+                rng.integers(2, 63, size=int(rng.integers(0, 4))).tolist()
+            ))
+            edges = [1] + cuts + [64]
+            bands.append([
+                (edges[i], edges[i + 1] - 1, int(rng.integers(1, 4)))
+                for i in range(len(edges) - 1)
+            ])
+        script = (int(rng.integers(1, 4)), bands)
+        kw = dict(channels=ch, quality=q, restart_interval=ri)
+        db = decode_jpeg(encode_jpeg(w, h, pxb, **kw))
+        dp = decode_jpeg(
+            encode_jpeg(w, h, pxb, progressive=True, prog_script=script, **kw)
+        )
+        assert np.array_equal(db[3], dp[3]), (trial, script)
