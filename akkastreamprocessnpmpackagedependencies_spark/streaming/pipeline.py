@@ -455,3 +455,53 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         keep.write.mode("append").parquet(corpus_path)
 
     return docs.writeStream.foreachBatch(_ingest)
+
+
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """The running per-user counter on Spark 4's transformWithState API —
+    the structured successor of ``applyInPandasWithState`` (named state
+    handles via ``StatefulProcessorHandle``: ValueState/ListState/
+    MapState, TTL, timers) and the migration target for every custom
+    stateful operator in this module. Semantically identical to
+    ``stateful_user_counts``; the test asserts final-count equality
+    where the API can run.
+
+    Environment note (honest seam, PIL-pattern): the state-server
+    protocol needs ``google.protobuf``, which this container does not
+    ship — the operator raises ImportError with the named dependency up
+    front instead of crashing the streaming Python runner mid-query
+    (verified: without the guard the query dies with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE deep in
+    StateMessage_pb2). Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as ex:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (state-server "
+            "protocol); install protobuf or use stateful_user_counts "
+            "(applyInPandasWithState), which is dependency-free"
+        ) from ex
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _CountProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._n = handle.getValueState("n", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(_CountProcessor(), _OUT_SCHEMA, "Update", "None")
+    )

@@ -897,3 +897,43 @@ def test_table_exists_is_filesystem_agnostic(spark, tmp_path):
     assert table_exists(spark, f"file:{d}")
     assert not table_exists(spark, str(tmp_path / "missing"))
     assert not table_exists(spark, f"file:{tmp_path}/missing")
+
+
+def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir, tmp_path):
+    """The transformWithState twin either runs and matches the
+    applyInPandasWithState counter exactly (environments with protobuf +
+    RocksDB provider), or fails FAST with the dependency named — never
+    the opaque mid-query streaming-runner crash."""
+    import pytest
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    try:
+        df = sp.stateful_user_counts_tws(ev)
+    except ImportError as ex:
+        assert "google.protobuf" in str(ex)
+        pytest.skip("protobuf not in this container; operator guarded")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = sp.run_to_memory(df, "tws_out", "update")
+        _drain(q)
+        from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+        expected = {
+            r.user_id: r.n
+            for r in load_events(spark, sf_dir)
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        final = {
+            r.user_id: r.n_events
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) AS n_events FROM tws_out GROUP BY user_id"
+            ).collect()
+        }
+        assert final == expected
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
