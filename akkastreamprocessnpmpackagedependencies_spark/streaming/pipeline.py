@@ -505,3 +505,77 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .transformWithStateInPandas(_CountProcessor(), _OUT_SCHEMA, "Update", "None")
     )
+
+
+MG_CAPACITY = 8  # Misra-Gries counters per shard
+MG_SHARDS = 4  # state parallelism: shards x capacity counters total
+
+_MG_STATE_SCHEMA = "items array<long>, counts array<long>, n long"
+_MG_OUT_SCHEMA = "shard long, user_id long, mg_count long, shard_n long"
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, capacity: int = MG_CAPACITY, shards: int = MG_SHARDS
+) -> DataFrame:
+    """Streaming HEAVY HITTERS via the Misra-Gries summary as a custom
+    stateful operator — "which keys dominate the stream", the sketch
+    analytics a 100 TB event pipeline runs continuously where exact
+    per-key counts would need unbounded state.
+
+    Sharding is the scale story: the stream groups by ``user_id %
+    shards`` and each shard maintains an INDEPENDENT Misra-Gries summary
+    of ``capacity`` counters in its group state — total state is the
+    constant ``shards x capacity`` counters regardless of stream length
+    or key cardinality (contrast ``stateful_user_counts``: one state row
+    per distinct key). The decrement-all step charges every stored
+    counter when a new key arrives at a full summary, which yields the
+    classic deterministic guarantees PER SHARD after n events:
+
+      mg_count <= true_count <= mg_count + n/(capacity+1),
+
+    so every key with true frequency above n/(capacity+1) is guaranteed
+    present — the invariants ``tests/test_streaming.py`` asserts against
+    batch ground truth, micro-batch by micro-batch. Each update emits
+    the shard's current summary tagged with its event count, so the
+    latest row group per shard is the live sketch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, n = state.get
+            mg = dict(zip(items, counts))
+            n = int(n)
+        else:
+            mg, n = {}, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                n += 1
+                if uid in mg:
+                    mg[uid] += 1
+                elif len(mg) < capacity:
+                    mg[uid] = 1
+                else:
+                    # summary full: decrement every counter (the arriving
+                    # key's implicit count decrements to zero with them)
+                    mg = {k: c - 1 for k, c in mg.items() if c > 1}
+        state.update((list(mg), list(mg.values()), n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(mg),
+                "user_id": list(mg),
+                "mg_count": list(mg.values()),
+                "shard_n": [n] * len(mg),
+            }
+        )
+
+    return (
+        events.select((F.col("user_id") % shards).alias("shard"), "user_id")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update, _MG_OUT_SCHEMA, _MG_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -937,3 +937,55 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
     finally:
         if old is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_heavy_hitters_misra_gries_guarantees(spark, sf_dir, tmp_path):
+    """The sharded Misra-Gries sketch must satisfy its deterministic
+    bounds against batch ground truth, per shard, at the FINAL emitted
+    summary: (a) mg_count never overestimates, (b) the underestimate is
+    at most shard_n/(capacity+1), (c) every key with true frequency
+    above that bound is present in the sketch — while total state stays
+    at shards x capacity counters no matter how many distinct users the
+    stream carries."""
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_heavy_hitters(ev), "hh_out", "update")
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    truth = {
+        (r.shard, r.user_id): r.n
+        for r in load_events(spark, sf_dir)
+        .groupBy((F.col("user_id") % sp.MG_SHARDS).alias("shard"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    shard_totals = {}
+    for (shard, _), n in truth.items():
+        shard_totals[shard] = shard_totals.get(shard, 0) + n
+    rows = spark.sql(
+        """SELECT * FROM hh_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM hh_out GROUP BY shard)"""
+    ).collect()
+    assert rows, "no summaries emitted"
+    seen_shards = set()
+    for r in rows:
+        seen_shards.add(r.shard)
+        # final summary: the whole shard has been consumed
+        assert r.shard_n == shard_totals[r.shard]
+        true = truth[(r.shard, r.user_id)]
+        eps = r.shard_n / (sp.MG_CAPACITY + 1)
+        assert r.mg_count <= true, (r, true)
+        assert true - r.mg_count <= eps, (r, true, eps)
+        # bounded state: at most `capacity` counters per shard
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in per_shard.items():
+        assert len(rs) <= sp.MG_CAPACITY
+        eps = shard_totals[shard] / (sp.MG_CAPACITY + 1)
+        sketched = {r.user_id for r in rs}
+        for (s, uid), n in truth.items():
+            if s == shard and n > eps:
+                assert uid in sketched, (shard, uid, n, eps)
+    assert seen_shards == set(shard_totals)
