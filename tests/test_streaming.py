@@ -989,3 +989,50 @@ def test_streaming_heavy_hitters_misra_gries_guarantees(spark, sf_dir, tmp_path)
             if s == shard and n > eps:
                 assert uid in sketched, (shard, uid, n, eps)
     assert seen_shards == set(shard_totals)
+
+
+def test_streaming_value_anomalies_match_serial_replay(spark, sf_dir, tmp_path):
+    """The streaming detector's verdicts must equal a driver-side serial
+    Welford replay over the same per-user (ts, event_id) order — exact
+    event-id sets and z-scores to 1e-9 — across micro-batch boundaries
+    (state carries (n, mean, M2) between files)."""
+    import math
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_value_anomalies(ev), "anom_out", "append")
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    got = {
+        r.event_id: r.zscore
+        for r in spark.sql("SELECT event_id, zscore FROM anom_out").collect()
+    }
+    want = {}
+    rows = (
+        load_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    flagged_something = False
+    for user, urs in by_user.items():
+        urs.sort(key=lambda r: (r.ts, r.event_id))
+        n, mean, m2 = 0, 0.0, 0.0
+        for r in urs:
+            v = float(r.value)
+            if n >= sp.ANOM_MIN_N:
+                sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                if sd > 0 and abs(v - mean) > sp.ANOM_Z * sd:
+                    want[r.event_id] = (v - mean) / sd
+                    flagged_something = True
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    assert set(got) == set(want)
+    for eid, zs in want.items():
+        assert abs(got[eid] - zs) < 1e-9
+    # the fixture stream must actually exercise the flag path
+    assert flagged_something
