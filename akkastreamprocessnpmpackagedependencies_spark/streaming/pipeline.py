@@ -651,3 +651,118 @@ def streaming_value_anomalies(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GK_EPS = 0.05  # rank error bound: |est_rank - target| <= eps * n
+GK_PHIS = [0.1, 0.25, 0.5, 0.75, 0.9]
+GK_SHARDS = 4
+
+_GK_STATE_SCHEMA = "vs array<double>, gs array<long>, ds array<long>, n long"
+_GK_OUT_SCHEMA = "shard long, phi double, estimate double, shard_n long"
+
+
+def streaming_quantiles_gk(
+    events: DataFrame, eps: float = GK_EPS, shards: int = GK_SHARDS
+) -> DataFrame:
+    """Streaming quantiles via the Greenwald-Khanna summary in group
+    state — the third of the streaming-sketch trio (exact counter /
+    Misra-Gries heavy hitters / GK quantiles): continuous percentile
+    monitoring of ``value`` whose state is O((1/eps) log(eps n)) tuples
+    per shard instead of the stream itself.
+
+    Each state tuple (v, g, delta) brackets the true rank of v between
+    rmin = sum(g up to here) and rmax = rmin + delta; inserts add
+    (v, 1, floor(2 eps n)) before the first larger element (delta 0 at
+    the extremes), and a periodic compress merges neighbors while
+    g_i + g_{i+1} + delta_{i+1} <= 2 eps n — the GK invariant that makes
+    every phi-quantile answerable within eps*n rank error,
+    DETERMINISTICALLY (no randomness, unlike KLL/reservoir), which is
+    what lets the test assert hard bounds against exact batch ranks.
+    Emits the current estimates for GK_PHIS per shard each micro-batch,
+    tagged with the shard's event count; latest row group per shard is
+    the live answer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    period = max(1, int(1.0 / (2 * eps)))
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            vs, gs, ds, n = state.get
+            tup = [[float(v), int(g), int(d)] for v, g, d in zip(vs, gs, ds)]
+            n = int(n)
+        else:
+            tup, n = [], 0
+
+        def compress():
+            t = 2 * eps * n
+            i = 0
+            while i < len(tup) - 1:
+                # never merge away the extremes (their delta is 0 and
+                # they anchor the min/max answers)
+                if i > 0 and tup[i][1] + tup[i + 1][1] + tup[i + 1][2] <= t:
+                    tup[i + 1][1] += tup[i][1]
+                    del tup[i]
+                else:
+                    i += 1
+
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = float(row.value)
+                n += 1
+                lo = 0
+                while lo < len(tup) and tup[lo][0] <= v:
+                    lo += 1
+                if lo == 0 or lo == len(tup):
+                    tup.insert(lo, [v, 1, 0])
+                else:
+                    # delta = floor(2 eps n) - 1 so the new tuple's
+                    # g + delta respects the invariant strictly (the
+                    # unreduced floor(2 eps n) overshoots it by one and
+                    # the rank-bound proof with it)
+                    tup.insert(
+                        lo, [v, 1, max(0, int(math.floor(2 * eps * n)) - 1)]
+                    )
+                if n % period == 0:
+                    compress()
+
+        out = {k: [] for k in ("shard", "phi", "estimate", "shard_n")}
+        for phi in GK_PHIS:
+            # the GK01 QUANTILE rule: answer the value BEFORE the first
+            # tuple whose rmax exceeds r + eps*n — under the invariant
+            # its rank is within eps*n of r (a two-sided containment
+            # test is WRONG: near-boundary tuples can all have rmax past
+            # the band while the previous value is still in bounds)
+            r = max(1, int(math.ceil(phi * n)))
+            bound = eps * n
+            rmin = 0
+            ans = prev = tup[0][0] if tup else float("nan")
+            for v, g, d in tup:
+                rmin += g
+                if rmin + d > r + bound:
+                    ans = prev
+                    break
+                prev = v
+                ans = v
+            out["shard"].append(key[0])
+            out["phi"].append(phi)
+            out["estimate"].append(ans)
+            out["shard_n"].append(n)
+        state.update((
+            [t[0] for t in tup], [t[1] for t in tup], [t[2] for t in tup], n,
+        ))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select(
+            (F.col("user_id") % shards).alias("shard"), "ts", "event_id", "value"
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update, _GK_OUT_SCHEMA, _GK_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

