@@ -10,9 +10,15 @@ analogues implemented here:
   replaces the reference's single mutable heap map
   (AccumulatedDependencyCount.scala:4), which was its scale ceiling;
 - event-time operators over the ``events`` table: watermarked tumbling /
-  sliding / session windows, dedup-within-watermark, and a custom stateful
-  per-user counter via ``applyInPandasWithState`` — capabilities with no
-  reference counterpart (no timestamps exist there at all).
+  sliding / session windows, dedup-within-watermark, and custom stateful
+  operators via ``applyInPandasWithState`` — capabilities with no
+  reference counterpart (no timestamps exist there at all): a per-user
+  counter (plus a ``transformWithStateInPandas`` twin, protobuf-gated),
+  an expiring sessionizer, and the round-7 sketch trio a monitoring
+  pipeline runs where exact state would be unbounded — sharded
+  Misra-Gries heavy hitters, Greenwald-Khanna quantiles, and per-key
+  Welford anomaly detection, each with its deterministic guarantee
+  asserted against batch ground truth in ``tests/test_streaming.py``.
 
 Scale notes: streaming aggs shuffle once per micro-batch on the grouping
 key; the state store is partitioned the same way, so state lookups are
