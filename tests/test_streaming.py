@@ -1077,3 +1077,93 @@ def test_streaming_quantiles_gk_rank_bounds(spark, sf_dir, tmp_path):
         eps_n = sp.GK_EPS * n + 1  # +1: ceil/tie slack
         assert lo - eps_n <= target <= hi + eps_n, (r, lo, hi, target)
     assert seen == set(vals)
+
+
+def test_stateful_anomalies_survive_checkpoint_restart(spark, sf_dir, tmp_path):
+    """State RECOVERY, not just offset recovery: the Welford (n, mean,
+    M2) per-user state must survive a stop/restart from the checkpoint —
+    phase-2 verdicts are judged against statistics accumulated in
+    phase 1, and the union of both phases' anomalies must equal the
+    uninterrupted serial replay exactly (ids and z-scores). A lost or
+    reset state would re-enter the min_n warmup and silently drop or
+    re-score phase-2 anomalies."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    staging = str(tmp_path / "staged")
+    live = str(tmp_path / "live")
+    ck = str(tmp_path / "anom_ck")
+    os.makedirs(live)
+    _write_time_sliced(load_events(spark, sf_dir), staging, 4)
+    parts = sorted(
+        glob.glob(os.path.join(staging, "part-*")), key=os.path.getmtime
+    )
+    assert len(parts) == 4
+
+    sink = str(tmp_path / "anom_sink")
+
+    def start():
+        # a DURABLE sink: the memory sink refuses checkpoint recovery
+        # outright ("does not support recovering from checkpoint")
+        ev = sp.read_events_stream(spark, live, max_files=1)
+        return (
+            sp.streaming_value_anomalies(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    def arrive(ps, t0):
+        # explicit strictly-increasing mtimes: the file source orders
+        # same-batch files by modification time, and two shutil.copy
+        # calls land in the same millisecond — a TIE breaks by random
+        # part-file name and can deliver the later time slice first
+        # (observed: tile 4 before tile 3 -> 13 events missing from the
+        # Welford state when the extras were judged)
+        for i, p in enumerate(ps):
+            dst = os.path.join(live, os.path.basename(p))
+            shutil.copy(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    import time
+
+    arrive(parts[:2], time.time() - 60)
+    _drain(start())
+    phase1_ids = {r.event_id for r in spark.read.parquet(sink).collect()}
+    arrive(parts[2:], time.time() - 30)
+    _drain(start())
+    got = {
+        r.event_id: r.zscore for r in spark.read.parquet(sink).collect()
+    }
+    phase2_ids = set(got) - phase1_ids
+
+    want = {}
+    by_user = {}
+    for r in load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    ).collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, urs in by_user.items():
+        urs.sort(key=lambda r: (r.ts, r.event_id))
+        n, mean, m2 = 0, 0.0, 0.0
+        for r in urs:
+            v = float(r.value)
+            if n >= sp.ANOM_MIN_N:
+                sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                if sd > 0 and abs(v - mean) > sp.ANOM_Z * sd:
+                    want[r.event_id] = (v - mean) / sd
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    assert set(got) == set(want)
+    for eid, zs in want.items():
+        assert abs(got[eid] - zs) < 1e-9
+    # both phases contributed (state genuinely crossed the restart)
+    assert phase1_ids and phase2_ids
