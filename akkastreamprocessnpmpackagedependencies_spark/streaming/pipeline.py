@@ -24,6 +24,16 @@ Scale notes: streaming aggs shuffle once per micro-batch on the grouping
 key; the state store is partitioned the same way, so state lookups are
 local. Watermarks bound state size — without them a 100 TB stream's window
 state grows forever.
+
+Round-8 throughput work: the Misra-Gries and Welford operators' within-
+batch paths are vectorized (``value_counts`` + one batched decrement;
+numpy cumsum closed forms) — the per-event Python loop was the
+throughput ceiling at a real event rate — and the GK sketch gained a
+summary-emitting twin (``streaming_quantiles_gk_summary``) plus a pure
+merge (``gk_merged_quantiles``) that answers GLOBAL quantiles across
+shards with the summed-eps bound. ``bench.py`` now times this whole
+surface (rows/s + per-micro-batch latency, BENCH_FULL.json "streaming"
+section).
 """
 
 from __future__ import annotations
@@ -472,9 +482,13 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     ``stateful_user_counts``; the test asserts final-count equality
     where the API can run.
 
-    Environment note (honest seam, PIL-pattern): the state-server
-    protocol needs ``google.protobuf``, which this container does not
-    ship — the operator raises ImportError with the named dependency up
+    Environment note (honest seam, PIL-pattern): PRESENT BUT
+    UNEXECUTABLE IN THIS CONTAINER. The state-server protocol needs
+    ``google.protobuf``, which this container does not ship and cannot
+    obtain offline (round-8 check: no vendored wheel, no pip-cache hit,
+    no network) — so this operator has NEVER executed here and its
+    equality test is a pytest skip until an environment ships protobuf.
+    The operator raises ImportError with the named dependency up
     front instead of crashing the streaming Python runner mid-query
     (verified: without the guard the query dies with
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE deep in
@@ -516,6 +530,26 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
 MG_CAPACITY = 8  # Misra-Gries counters per shard
 MG_SHARDS = 4  # state parallelism: shards x capacity counters total
 
+
+def _mg_merge(mg: dict, weighted: "iterable", capacity: int) -> dict:
+    """Merge per-key weighted counts into a Misra-Gries summary with the
+    batched decrement (the mergeable-summaries MG merge): add every
+    weight, then — if more than ``capacity`` counters remain — subtract
+    the (capacity+1)-th largest count from ALL counters and keep the
+    strictly positive ones. At most ``capacity`` survive (at most
+    ``capacity`` counts can strictly exceed the (capacity+1)-th largest),
+    and each subtracted unit is simultaneously charged against >=
+    capacity+1 counters' mass, so across a stream of n events the total
+    decrement — hence any key's undercount — is <= n/(capacity+1): the
+    exact per-event MG guarantee, preserved order-robustly."""
+    for k, w in weighted:
+        k = int(k)
+        mg[k] = mg.get(k, 0) + int(w)
+    if len(mg) > capacity:
+        sub = sorted(mg.values(), reverse=True)[capacity]
+        mg = {k: c - sub for k, c in mg.items() if c > sub}
+    return mg
+
 _MG_STATE_SCHEMA = "items array<long>, counts array<long>, n long"
 _MG_OUT_SCHEMA = "shard long, user_id long, mg_count long, shard_n long"
 
@@ -543,7 +577,21 @@ def streaming_heavy_hitters(
     present — the invariants ``tests/test_streaming.py`` asserts against
     batch ground truth, micro-batch by micro-batch. Each update emits
     the shard's current summary tagged with its event count, so the
-    latest row group per shard is the live sketch."""
+    latest row group per shard is the live sketch.
+
+    Within-batch path (round-8 vectorization, round-7 verdict item #4):
+    instead of walking events one at a time in Python — the operator's
+    throughput ceiling at a real event rate — each pandas batch collapses
+    to per-key WEIGHTED counts via ``value_counts`` (one C pass), merges
+    them into the summary, and applies ONE batched decrement: subtract
+    the (capacity+1)-th largest count from every counter and drop the
+    non-positives. This is the classic mergeable-summaries MG merge
+    (Agarwal et al., PODS'12): every unit of decrement is charged to at
+    least capacity+1 counters' mass simultaneously, so the cumulative
+    decrement any key absorbs stays <= n/(capacity+1) — the identical
+    deterministic guarantee, order-robust, at per-batch instead of
+    per-event Python cost. ``_mg_merge`` is the pure, unit-testable
+    kernel."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
@@ -556,17 +604,9 @@ def streaming_heavy_hitters(
         else:
             mg, n = {}, 0
         for pdf in pdfs:
-            for uid in pdf["user_id"]:
-                uid = int(uid)
-                n += 1
-                if uid in mg:
-                    mg[uid] += 1
-                elif len(mg) < capacity:
-                    mg[uid] = 1
-                else:
-                    # summary full: decrement every counter (the arriving
-                    # key's implicit count decrements to zero with them)
-                    mg = {k: c - 1 for k, c in mg.items() if c > 1}
+            n += len(pdf)
+            vc = pdf["user_id"].value_counts()
+            mg = _mg_merge(mg, zip(vc.index, vc.to_numpy()), capacity)
         state.update((list(mg), list(mg.values()), n))
         yield pd.DataFrame(
             {
@@ -611,43 +651,66 @@ def streaming_value_anomalies(
     would re-scan history.
 
     Determinism contract (what the test leans on): within each
-    micro-batch the update sorts a user's rows by (ts, event_id), and
-    the file source delivers files in order — so the per-user
-    observation SEQUENCE is identical to a batch replay ordered the
-    same way, and the emitted z-scores match a serial recomputation
-    exactly."""
+    micro-batch the update sorts a user's rows by (ts, event_id) across
+    ALL arrow chunks of the group, and the file source delivers files in
+    order — so the per-user observation SEQUENCE is identical to a batch
+    replay ordered the same way, and the emitted z-scores match a serial
+    recomputation to well under the test's 1e-9.
+
+    Within-batch path (round-8 vectorization, round-7 verdict item #4):
+    the Welford recursion unrolled over a batch is closed-form — after
+    the j-th in-batch value, n_j = n0 + j and mean_j = (n0*mean0 +
+    cumsum(v)_j) / n_j, and the M2 increments (v_j - mean_{j-1}) *
+    (v_j - mean_j) need only the SHIFTED running-mean array — so the
+    whole per-event loop collapses to numpy cumsums plus one boolean
+    mask over the prior-state statistics. Numerically this differs from
+    the sequential recursion only in summation rounding (~1e-15
+    relative; the serial-replay test asserts 1e-9)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        import math
-
+        import numpy as np
         import pandas as pd
 
         if state.exists:
-            n, mean, m2 = state.get
-            n = int(n)
+            n0, mean0, m2_0 = state.get
+            n0 = int(n0)
         else:
-            n, mean, m2 = 0, 0.0, 0.0
-        out = {k: [] for k in ("user_id", "event_id", "value", "zscore", "n_prior")}
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                v = float(row.value)
-                if n >= min_n:
-                    var = m2 / (n - 1) if n > 1 else 0.0
-                    sd = math.sqrt(var)
-                    if sd > 0 and abs(v - mean) > z * sd:
-                        out["user_id"].append(key[0])
-                        out["event_id"].append(int(row.event_id))
-                        out["value"].append(v)
-                        out["zscore"].append((v - mean) / sd)
-                        out["n_prior"].append(n)
-                # Welford update with the new observation
-                n += 1
-                d = v - mean
-                mean += d / n
-                m2 += d * (v - mean)
-        state.update((n, float(mean), float(m2)))
-        yield pd.DataFrame(out)
+            n0, mean0, m2_0 = 0, 0.0, 0.0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        m = len(v)
+        if m == 0:
+            state.update((n0, float(mean0), float(m2_0)))
+            yield pd.DataFrame(
+                {k: [] for k in ("user_id", "event_id", "value", "zscore", "n_prior")}
+            )
+            return
+        n_cur = n0 + np.arange(1, m + 1)
+        mean_cur = (n0 * mean0 + np.cumsum(v)) / n_cur
+        mean_prev = np.concatenate(([mean0], mean_cur[:-1]))
+        m2_cur = m2_0 + np.cumsum((v - mean_prev) * (v - mean_cur))
+        m2_prev = np.concatenate(([m2_0], m2_cur[:-1]))
+        n_prev = n_cur - 1
+        var_prev = np.where(n_prev > 1, m2_prev / np.maximum(n_prev - 1, 1), 0.0)
+        sd_prev = np.sqrt(np.maximum(var_prev, 0.0))
+        flag = (
+            (n_prev >= min_n)
+            & (sd_prev > 0)
+            & (np.abs(v - mean_prev) > z * sd_prev)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zs = np.where(flag, (v - mean_prev) / np.where(sd_prev > 0, sd_prev, 1.0), 0.0)
+        state.update((int(n_cur[-1]), float(mean_cur[-1]), float(m2_cur[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(int(flag.sum()), key[0], dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64)[flag],
+                "value": v[flag],
+                "zscore": zs[flag],
+                "n_prior": n_prev[flag].astype(np.int64),
+            }
+        )
 
     return (
         events.select("user_id", "ts", "event_id", "value")
@@ -665,6 +728,166 @@ GK_SHARDS = 4
 
 _GK_STATE_SCHEMA = "vs array<double>, gs array<long>, ds array<long>, n long"
 _GK_OUT_SCHEMA = "shard long, phi double, estimate double, shard_n long"
+_GK_SUMMARY_OUT_SCHEMA = (
+    "shard long, vs array<double>, gs array<long>, ds array<long>, shard_n long"
+)
+
+
+def _gk_state_load(state) -> tuple[list[list], int]:
+    if state.exists:
+        vs, gs, ds, n = state.get
+        return [[float(v), int(g), int(d)] for v, g, d in zip(vs, gs, ds)], int(n)
+    return [], 0
+
+
+def _gk_state_dump(tup: list[list], n: int) -> tuple:
+    return ([t[0] for t in tup], [t[1] for t in tup], [t[2] for t in tup], n)
+
+
+def _gk_insert_batch(tup: list[list], n: int, pdf, eps: float) -> int:
+    """Insert one pandas batch of (ts, event_id, value) rows into the GK
+    summary IN OBSERVATION ORDER (ts, event_id) — the sequential GK01
+    algorithm, shared by the estimate- and summary-emitting operators so
+    their state evolution is identical. Returns the new n; mutates
+    ``tup`` in place. Compression runs every ~1/(2 eps) inserts, the
+    standard schedule that keeps the summary O((1/eps) log(eps n))."""
+    import math
+
+    period = max(1, int(1.0 / (2 * eps)))
+
+    def compress():
+        t = 2 * eps * n
+        i = 0
+        while i < len(tup) - 1:
+            # never merge away the extremes (their delta is 0 and
+            # they anchor the min/max answers)
+            if i > 0 and tup[i][1] + tup[i + 1][1] + tup[i + 1][2] <= t:
+                tup[i + 1][1] += tup[i][1]
+                del tup[i]
+            else:
+                i += 1
+
+    for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+        v = float(row.value)
+        n += 1
+        lo = 0
+        while lo < len(tup) and tup[lo][0] <= v:
+            lo += 1
+        if lo == 0 or lo == len(tup):
+            tup.insert(lo, [v, 1, 0])
+        else:
+            # delta = floor(2 eps n) - 1 so the new tuple's
+            # g + delta respects the invariant strictly (the
+            # unreduced floor(2 eps n) overshoots it by one and
+            # the rank-bound proof with it)
+            tup.insert(lo, [v, 1, max(0, int(math.floor(2 * eps * n)) - 1)])
+        if n % period == 0:
+            compress()
+    return n
+
+
+def gk_merged_quantiles(
+    summaries: list[tuple[list[float], list[int], list[int], int]],
+    phis: list[float] = GK_PHIS,
+    eps: float = GK_EPS,
+) -> dict[float, float]:
+    """GLOBAL quantiles from per-shard GK summaries (round-7 verdict item
+    #6: GK summaries are mergeable). Pure function — the inputs are the
+    (vs, gs, ds, n) rows ``streaming_quantiles_gk_summary`` emits, a few
+    hundred tuples per shard no matter how large the stream, so merging
+    1000 shards driver-side (or in ``foreachBatch``) is O(total tuples ×
+    log) work on kilobytes of data.
+
+    Method: each shard bounds the rank-below-or-equal of any value v
+    between lower_s(v) = rmin of its last tuple <= v and upper_s(v) =
+    rmax of its next tuple minus 1 (n_s when no next tuple); the GK
+    invariant keeps each shard's bracket width <= 2*eps*n_s. Summing
+    across shards brackets the GLOBAL rank of v within sum_s(2 eps n_s)
+    = 2*eps*N, so a bracket MIDPOINT estimates the true rank within
+    eps*N. The answer for target rank r is the candidate value whose
+    midpoint is closest to r; stepping between consecutive candidates
+    moves only the shard(s) whose stored tuple sits at that value, so
+    the midpoint granularity is <= eps*max_s(n_s) — the summed-eps
+    bound the test asserts against exact batch ranks:
+
+        |true_rank(answer) - r| <= eps*N + eps*max_s(n_s) + shards,
+
+    (the trailing +shards absorbs tuple-boundary tie slack, one per
+    shard, like the per-shard test's +1). Candidates are the union of
+    all stored tuple values, so no raw data is revisited."""
+    import bisect
+    import math
+
+    pre = []  # per shard: (values, rmins, rmaxs, n)
+    candidates: set[float] = set()
+    total_n = 0
+    for vs, gs, ds, n in summaries:
+        rmins, acc = [], 0
+        for g in gs:
+            acc += int(g)
+            rmins.append(acc)
+        rmaxs = [rm + int(d) for rm, d in zip(rmins, ds)]
+        pre.append(([float(v) for v in vs], rmins, rmaxs, int(n)))
+        candidates.update(float(v) for v in vs)
+        total_n += int(n)
+    cand = sorted(candidates)
+
+    def bracket(v: float) -> tuple[int, int]:
+        lo_sum = hi_sum = 0
+        for vs, rmins, rmaxs, n in pre:
+            j = bisect.bisect_right(vs, v) - 1  # last tuple <= v
+            lo_sum += rmins[j] if j >= 0 else 0
+            hi_sum += (rmaxs[j + 1] - 1) if j + 1 < len(vs) else n
+        return lo_sum, hi_sum
+
+    brackets = [bracket(v) for v in cand]
+    out = {}
+    for phi in phis:
+        r = max(1, int(math.ceil(phi * total_n)))
+        best, best_dist = float("nan"), float("inf")
+        for v, (lo, hi) in zip(cand, brackets):
+            mid = (lo + hi) / 2.0
+            if abs(mid - r) < best_dist:
+                best, best_dist = v, abs(mid - r)
+        out[phi] = best
+    return out
+
+
+def streaming_quantiles_gk_summary(
+    events: DataFrame, eps: float = GK_EPS, shards: int = GK_SHARDS
+) -> DataFrame:
+    """The summary-emitting twin of ``streaming_quantiles_gk``: identical
+    state evolution (shared ``_gk_insert_batch`` kernel), but each
+    micro-batch emits the shard's raw GK tuples (vs, gs, ds, n) instead
+    of point estimates — the mergeable form. Downstream, the latest row
+    per shard feeds ``gk_merged_quantiles`` for GLOBAL quantiles with
+    the summed-eps bound; the rows are O((1/eps) log(eps n)) doubles per
+    shard, so shipping them every batch costs kilobytes at any stream
+    size."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        tup, n = _gk_state_load(state)
+        for pdf in pdfs:
+            n = _gk_insert_batch(tup, n, pdf, eps)
+        state.update(_gk_state_dump(tup, n))
+        vs, gs, ds, _ = _gk_state_dump(tup, n)
+        yield pd.DataFrame(
+            {"shard": [key[0]], "vs": [vs], "gs": [gs], "ds": [ds], "shard_n": [n]}
+        )
+
+    return (
+        events.select(
+            (F.col("user_id") % shards).alias("shard"), "ts", "event_id", "value"
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update, _GK_SUMMARY_OUT_SCHEMA, _GK_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def streaming_quantiles_gk(
@@ -689,51 +912,14 @@ def streaming_quantiles_gk(
     the live answer."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    period = max(1, int(1.0 / (2 * eps)))
-
     def update(key, pdfs, state):
         import math
 
         import pandas as pd
 
-        if state.exists:
-            vs, gs, ds, n = state.get
-            tup = [[float(v), int(g), int(d)] for v, g, d in zip(vs, gs, ds)]
-            n = int(n)
-        else:
-            tup, n = [], 0
-
-        def compress():
-            t = 2 * eps * n
-            i = 0
-            while i < len(tup) - 1:
-                # never merge away the extremes (their delta is 0 and
-                # they anchor the min/max answers)
-                if i > 0 and tup[i][1] + tup[i + 1][1] + tup[i + 1][2] <= t:
-                    tup[i + 1][1] += tup[i][1]
-                    del tup[i]
-                else:
-                    i += 1
-
+        tup, n = _gk_state_load(state)
         for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                v = float(row.value)
-                n += 1
-                lo = 0
-                while lo < len(tup) and tup[lo][0] <= v:
-                    lo += 1
-                if lo == 0 or lo == len(tup):
-                    tup.insert(lo, [v, 1, 0])
-                else:
-                    # delta = floor(2 eps n) - 1 so the new tuple's
-                    # g + delta respects the invariant strictly (the
-                    # unreduced floor(2 eps n) overshoots it by one and
-                    # the rank-bound proof with it)
-                    tup.insert(
-                        lo, [v, 1, max(0, int(math.floor(2 * eps * n)) - 1)]
-                    )
-                if n % period == 0:
-                    compress()
+            n = _gk_insert_batch(tup, n, pdf, eps)
 
         out = {k: [] for k in ("shard", "phi", "estimate", "shard_n")}
         for phi in GK_PHIS:
@@ -757,9 +943,7 @@ def streaming_quantiles_gk(
             out["phi"].append(phi)
             out["estimate"].append(ans)
             out["shard_n"].append(n)
-        state.update((
-            [t[0] for t in tup], [t[1] for t in tup], [t[2] for t in tup], n,
-        ))
+        state.update(_gk_state_dump(tup, n))
         yield pd.DataFrame(out)
 
     return (

@@ -60,11 +60,12 @@ def test_compact_line_small_suite_includes_everything():
     assert set(json.loads(line)["queries"]) == set(times)
 
 
-def test_bands_overlap():
-    assert bc.bands_overlap([1.0, 1.5, 2.0], [1.9, 2.2, 3.0])
-    assert not bc.bands_overlap([1.0, 1.5, 2.0], [2.1, 2.2, 3.0])
-    assert not bc.bands_overlap([2.1, 2.2, 3.0], [1.0, 1.5, 2.0])  # symmetric
-    assert bc.bands_overlap([1.0, 2.0, 3.0], [1.5, 1.6, 1.7])  # containment
+def test_median_in_band():
+    assert bc.median_in_band(1.5, [1.0, 1.5, 2.0])
+    assert bc.median_in_band(1.0, [1.0, 1.5, 2.0])  # inclusive edges
+    assert bc.median_in_band(2.0, [1.0, 1.5, 2.0])
+    assert not bc.median_in_band(2.1, [1.0, 1.5, 2.0])
+    assert not bc.median_in_band(0.9, [1.0, 1.5, 2.0])
 
 
 def _write(tmp_path, name, payload) -> str:
@@ -99,7 +100,63 @@ def test_compare_flags_delta_beyond_spread_bands(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "SLOWER q" in out
     assert "flagged >1.5x: 1" in out
-    assert "bands [0.90,1.10] vs [1.90,2.10]" in out
+    assert "bands [0.90,1.10] vs norm'd [1.90,2.10]" in out
+
+
+def test_outlier_inflated_band_no_longer_suppresses(tmp_path, capsys):
+    """Round-8 ADVICE: with 3 samples, one outlier pass used to inflate a
+    band enough that mere band OVERLAP masked a genuine regression. The
+    tightened rule — new MEDIAN must lie inside the old band — flags it:
+    new band [1.05,2.1] overlaps old [0.9,1.1], but the 2.0 median does
+    not sit inside the old band."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0}, "spread": {"q": [0.9, 1.0, 1.1]}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 2.0}, "spread": {"q": [1.05, 2.0, 2.1]}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "SLOWER q" in out and "flagged >1.5x: 1" in out
+
+
+def test_calibration_normalizes_uniform_session_shift(tmp_path, capsys):
+    """The round-7 failure mode: every query uniformly ~2x slower because
+    the SESSION was slower (calibration moved 2x too). Normalized, zero
+    flags; a query that moved 4x raw (2x beyond the session shift) is
+    still caught."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q1": 1.0, "q2": 2.0, "q3": 0.5},
+        "spread": {"q1": [0.9, 1.0, 1.1], "q2": [1.9, 2.0, 2.1],
+                   "q3": [0.45, 0.5, 0.55]},
+        "calibration": {"median": 0.10}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q1": 2.0, "q2": 4.1, "q3": 2.0},
+        "spread": {"q1": [1.9, 2.0, 2.1], "q2": [3.9, 4.1, 4.3],
+                   "q3": [1.9, 2.0, 2.1]},
+        "calibration": {"median": 0.20}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "dividing new timings by 2.000" in out
+    # q1 (2x raw = session shift) and q2 (2.05x raw) normalize clean;
+    # q3 (4x raw = 2x normalized, outside old band) is the real mover
+    assert "SLOWER q3" in out
+    assert "flagged >1.5x: 1" in out
+
+
+def test_median_normalize_fallback_for_pre_calibration_artifacts(tmp_path, capsys):
+    """Pre-round-8 artifacts carry no calibration; --normalize median
+    divides by the median per-query ratio instead, so a uniformly
+    shifted session yields zero flags."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {f"q{i}": 1.0 for i in range(9)}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {f"q{i}": 1.7 for i in range(9)}})
+    sys.argv = ["bench_compare", old, new, "--normalize", "median"]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "median per-query ratio" in out
+    assert "flagged >1.5x: 0" in out
 
 
 def test_compare_without_spread_falls_back_to_median_only(tmp_path, capsys):

@@ -937,6 +937,10 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
     finally:
         if old is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            # leaving RocksDB active would silently change every later
+            # test sharing the session fixture (round-7 ADVICE)
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def test_streaming_heavy_hitters_misra_gries_guarantees(spark, sf_dir, tmp_path):
@@ -1077,6 +1081,124 @@ def test_streaming_quantiles_gk_rank_bounds(spark, sf_dir, tmp_path):
         eps_n = sp.GK_EPS * n + 1  # +1: ceil/tie slack
         assert lo - eps_n <= target <= hi + eps_n, (r, lo, hi, target)
     assert seen == set(vals)
+
+
+def test_mg_merge_kernel_preserves_guarantees():
+    """The batched Misra-Gries merge (round-8 vectorization) must satisfy
+    the SAME deterministic guarantees as the per-event update it
+    replaced, on an adversarial sequence (a heavy key buried in churn):
+    never overestimates, undercounts by at most n/(capacity+1), keeps
+    at most `capacity` counters, and retains every key whose true
+    frequency exceeds the bound — checked after EVERY batch, not just at
+    the end, and against a per-event reference run side by side."""
+    import random
+
+    cap = sp.MG_CAPACITY
+    rng = random.Random(8)
+    stream = [999] * 120 + [rng.randrange(1000) for _ in range(880)]
+    rng.shuffle(stream)
+
+    def per_event(mg, uid):
+        if uid in mg:
+            mg[uid] += 1
+        elif len(mg) < cap:
+            mg[uid] = 1
+        else:
+            mg = {k: c - 1 for k, c in mg.items() if c > 1}
+        return mg
+
+    mg_vec, mg_ref, truth, n = {}, {}, {}, 0
+    for start in range(0, len(stream), 97):  # uneven batch sizes
+        batch = stream[start : start + 97]
+        n += len(batch)
+        weights = {}
+        for uid in batch:
+            truth[uid] = truth.get(uid, 0) + 1
+            weights[uid] = weights.get(uid, 0) + 1
+            mg_ref = per_event(mg_ref, uid)
+        mg_vec = sp._mg_merge(mg_vec, weights.items(), cap)
+        bound = n / (cap + 1)
+        for mg in (mg_vec, mg_ref):
+            assert len(mg) <= cap
+            for k, c in mg.items():
+                assert c <= truth[k], (k, c, truth[k])
+                assert truth[k] - c <= bound
+            for k, t in truth.items():
+                if t > bound:
+                    assert k in mg, (k, t, bound)
+    # the heavy key survives both paths with a usable count
+    assert 999 in mg_vec and 999 in mg_ref
+
+
+def test_gk_merged_quantiles_summed_eps_bound(spark, sf_dir, tmp_path):
+    """Cross-shard GK merge (round-7 verdict item #6): the summary-
+    emitting twin streams the same state evolution, and merging the
+    final per-shard summaries must answer GLOBAL quantiles within the
+    summed-eps rank bound, eps*N + eps*max_shard_n + shards (+1 ceil
+    slack), against the exact sorted batch values across ALL shards."""
+    import bisect
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(
+        sp.streaming_quantiles_gk_summary(ev), "gk_sum_out", "update"
+    )
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    rows = spark.sql(
+        """SELECT * FROM gk_sum_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM gk_sum_out GROUP BY shard)"""
+    ).collect()
+    assert len(rows) == sp.GK_SHARDS
+    summaries = [(r.vs, r.gs, r.ds, r.shard_n) for r in rows]
+    # sublinear state: far fewer stored tuples than events
+    assert all(len(r.vs) < r.shard_n / 4 for r in rows)
+    xs = sorted(r.value for r in load_events(spark, sf_dir).select("value").collect())
+    n_total = len(xs)
+    assert n_total == sum(r.shard_n for r in rows)
+    max_shard = max(r.shard_n for r in rows)
+    merged = sp.gk_merged_quantiles(summaries)
+    assert set(merged) == set(sp.GK_PHIS)
+    bound = sp.GK_EPS * n_total + sp.GK_EPS * max_shard + sp.GK_SHARDS + 1
+    for phi, est in merged.items():
+        lo = bisect.bisect_left(xs, est) + 1
+        hi = bisect.bisect_right(xs, est)
+        target = phi * n_total
+        assert lo - bound <= target <= hi + bound, (phi, est, lo, hi, target, bound)
+
+
+def test_gk_merged_quantiles_pure_kernel_exactness():
+    """On summaries built from disjoint sorted runs the merge must land
+    near the true global quantiles of the union — a Spark-free check
+    that the bracket arithmetic (rmin/rmax prefix sums, candidate
+    midpoints) is right, with eps tight enough that an off-by-a-tuple
+    bug would blow the bound."""
+    import bisect
+
+    eps = sp.GK_EPS
+    shards = []
+    allv = []
+    for s in range(3):
+        vals = [float(s * 1000 + i * 3 % 997) for i in range(500)]
+        allv.extend(vals)
+        tup, n = [], 0
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"ts": range(len(vals)), "event_id": range(len(vals)), "value": vals}
+        )
+        n = sp._gk_insert_batch(tup, n, pdf, eps)
+        shards.append(sp._gk_state_dump(tup, n))
+    xs = sorted(allv)
+    n_total = len(xs)
+    merged = sp.gk_merged_quantiles(shards)
+    bound = eps * n_total + eps * 500 + 3 + 1
+    for phi, est in merged.items():
+        lo = bisect.bisect_left(xs, est) + 1
+        hi = bisect.bisect_right(xs, est)
+        target = phi * n_total
+        assert lo - bound <= target <= hi + bound, (phi, est, lo, hi, target)
 
 
 def test_stateful_anomalies_survive_checkpoint_restart(spark, sf_dir, tmp_path):

@@ -1,6 +1,7 @@
 """Compare two bench JSON files per query and flag real regressions.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [ratio]
+                                     [--normalize cal|median|none]
 
 Accepts either a raw ``bench.py`` output line saved to a file or a
 driver-recorded ``BENCH_r{N}.json``. A driver file's payload sits under
@@ -13,14 +14,28 @@ median changed by more than the ratio (default 1.5x either way) plus
 adds/removes, so a round's bench deltas are triaged in one look instead
 of eyeballing two JSON blobs.
 
-Noise-band suppression (round-7, after rounds 5 AND 6 each burned audit
-time on phantom swings in untouched code): when BOTH files carry the
-per-query ``spread`` ([min, median, max] over the measured passes,
-recorded by bench.py since round 7), a median delta is flagged ONLY if
-the two [min, max] bands are DISJOINT — overlapping bands mean the runs
-are within each other's measured session noise, whatever the medians
-say. Files without spread fall back to median-only flagging. Suppressed
-overlaps are summarized so they stay auditable.
+Session normalization (round-8, after THREE consecutive rounds of
+ambient-drift audit cost — r5 phantom swings, r6 chargram +50%, r7 a
+uniform 1.66x session that flagged 89 of 96 untouched queries): bench.py
+now times a fixed calibration micro-workload (deterministic in-memory
+agg + one shuffle, no parquet, bracketing the measured passes) and
+records its median. When BOTH artifacts carry it, every NEW median and
+band is divided by (new_cal / old_cal) before any flagging logic — the
+calibration measures the session, never the code, so a uniformly
+shifted session cancels out. ``--normalize median`` is the fallback for
+pre-round-8 artifacts without calibration: it divides by the median
+per-query ratio instead (a uniform shift moves that median; real
+regressions in a handful of queries do not). ``--normalize none``
+disables both.
+
+Noise-band suppression (round-7, TIGHTENED round-8 per ADVICE): when
+BOTH files carry the per-query ``spread`` ([min, median, max] over the
+measured passes), a super-threshold delta is suppressed as noise ONLY if
+the (normalized) new MEDIAN lies inside the old [min, max] band — mere
+band overlap let one outlier pass inflate a band enough to mask a
+genuine 1.5x median regression indefinitely. Files without spread fall
+back to median-only flagging. Suppressed deltas are summarized so they
+stay auditable.
 
 Exits non-zero only when an input yields ZERO queries — that is a broken
 artifact, not an empty delta (round-4 ADVICE); explained deltas stay
@@ -30,16 +45,17 @@ from __future__ import annotations
 
 import json
 import re
+import statistics
 import sys
 
 
 def _from_tail(tail: str) -> dict[str, float]:
     """Salvage per-query timings from a truncated capture: every
     '"name": <number>' pair inside the (possibly tail-only) queries map.
-    Non-query scalar fields (value, sf, runs_per_query, n_queries) are
-    filtered by name; collisions are impossible because query names
-    never match them."""
-    skip = {"value", "sf", "runs_per_query", "n_queries"}
+    Non-query scalar fields (value, sf, runs_per_query, n_queries,
+    calibration) are filtered by name; collisions are impossible because
+    query names never match them."""
+    skip = {"value", "sf", "runs_per_query", "n_queries", "calibration"}
     out = {}
     # anchor on the preceding '{' or ',' so a tail window that starts
     # mid-pair can't salvage a cut-off name fragment ("...ency_counts")
@@ -50,9 +66,10 @@ def _from_tail(tail: str) -> dict[str, float]:
     return out
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
-    """Returns (median per query, spread per query). Spread is {} for
-    pre-round-7 artifacts and truncated-tail salvage."""
+def load(path: str) -> tuple[dict[str, float], dict[str, list[float]], float | None]:
+    """Returns (median per query, spread per query, calibration median).
+    Spread is {} and calibration None for pre-round-7/8 artifacts and
+    truncated-tail salvage."""
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
@@ -66,28 +83,71 @@ def load(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
                     f"{len(qs)} queries from its tail",
                     file=sys.stderr,
                 )
-            return qs, {}
-    return d.get("queries", {}), d.get("spread", {})
+            return qs, {}, None
+    cal = d.get("calibration")
+    if isinstance(cal, dict):  # BENCH_FULL carries the whole record
+        cal = cal.get("median")
+    return d.get("queries", {}), d.get("spread", {}), cal
 
 
-def bands_overlap(sa: list[float], sb: list[float]) -> bool:
-    """True when the two [min, .., max] sample bands intersect — i.e. the
-    delta is within measured session noise, not a real change."""
-    return sa[0] <= sb[-1] and sb[0] <= sa[-1]
+def session_norm(
+    old: dict[str, float],
+    new: dict[str, float],
+    old_cal: float | None,
+    new_cal: float | None,
+    mode: str,
+) -> tuple[float, str]:
+    """The divisor applied to every NEW timing before flagging, plus a
+    human-readable provenance string. 1.0 when normalization is off or
+    impossible."""
+    if mode == "none":
+        return 1.0, "normalization disabled"
+    if mode in ("cal", "auto") and old_cal and new_cal and old_cal > 0:
+        return (
+            new_cal / old_cal,
+            f"calibration {old_cal:.4f}s -> {new_cal:.4f}s",
+        )
+    if mode == "median":
+        ratios = [new[q] / old[q] for q in set(old) & set(new) if old[q] > 0 and new[q] > 0]
+        if ratios:
+            return (
+                statistics.median(ratios),
+                f"median per-query ratio over {len(ratios)} common queries",
+            )
+    return 1.0, "no calibration in both artifacts (pre-round-8); not normalized"
+
+
+def median_in_band(median: float, band: list[float]) -> bool:
+    """True when ``median`` lies inside the [min, .., max] sample band —
+    the round-8 suppression rule (new median within OLD band), strictly
+    tighter than the round-7 band-overlap rule a single outlier pass
+    could satisfy forever."""
+    return band[0] <= median <= band[-1]
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    mode = "auto"
+    if "--normalize" in argv:
+        i = argv.index("--normalize")
+        mode = argv[i + 1]
+        del argv[i : i + 2]
+    if len(argv) < 2:
         sys.exit(__doc__)
-    (old, old_sp), (new, new_sp) = load(sys.argv[1]), load(sys.argv[2])
-    bad = [p for p, qs in ((sys.argv[1], old), (sys.argv[2], new)) if not qs]
+    (old, old_sp, old_cal), (new, new_sp, new_cal) = load(argv[0]), load(argv[1])
+    bad = [p for p, qs in ((argv[0], old), (argv[1], new)) if not qs]
     if bad:
         sys.exit(f"error: no queries parseable from: {', '.join(bad)}")
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    ratio = float(argv[2]) if len(argv) > 2 else 1.5
+    norm, why = session_norm(old, new, old_cal, new_cal, mode)
+    if norm != 1.0:
+        print(f"session normalization: dividing new timings by {norm:.3f} ({why})")
+    else:
+        print(f"session normalization: off ({why})")
     both = sorted(set(old) & set(new))
     flagged, suppressed = [], []
     for q in both:
-        a, b = old[q], new[q]
+        a, b = old[q], new[q] / norm
         if (b == 0) != (a == 0):
             # a measured query can't take literally 0s on either side —
             # suspicious artifact value, not a real delta (round-4 ADVICE:
@@ -95,7 +155,7 @@ def main() -> None:
             # the same disease in OLD.json)
             flagged.append((0.0, q, a, b))
         elif a > 0 and (b / a >= ratio or (b > 0 and a / b >= ratio)):
-            if q in old_sp and q in new_sp and bands_overlap(old_sp[q], new_sp[q]):
+            if q in old_sp and q in new_sp and median_in_band(b, old_sp[q]):
                 suppressed.append((b / a, q, a, b))
             else:
                 flagged.append((b / a, q, a, b))
@@ -105,13 +165,13 @@ def main() -> None:
         if q in old_sp and q in new_sp:
             band = (
                 f"  bands [{old_sp[q][0]:.2f},{old_sp[q][-1]:.2f}] vs "
-                f"[{new_sp[q][0]:.2f},{new_sp[q][-1]:.2f}]"
+                f"norm'd [{new_sp[q][0] / norm:.2f},{new_sp[q][-1] / norm:.2f}]"
             )
         print(f"{tag:6s} {q:36s} {a:8.3f} -> {b:8.3f}  ({r:5.2f}x){band}")
     for r, q, a, b in sorted(suppressed, reverse=True):
         print(
             f"noise  {q:36s} {a:8.3f} -> {b:8.3f}  ({r:5.2f}x) "
-            f"within overlapping spread bands — not flagged"
+            f"normalized median inside old band — not flagged"
         )
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -120,10 +180,10 @@ def main() -> None:
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     tot_o = sum(old[q] for q in both)
-    tot_n = sum(new[q] for q in both)
+    tot_n = sum(new[q] / norm for q in both)
     rate = f"{tot_n / tot_o:.2f}x" if tot_o else "n/a"
     print(
-        f"common {len(both)} queries: {tot_o:.2f}s -> {tot_n:.2f}s "
+        f"common {len(both)} queries: {tot_o:.2f}s -> {tot_n:.2f}s normalized "
         f"({rate}); flagged >{ratio}x: {len(flagged)}"
         + (f"; noise-suppressed: {len(suppressed)}" if suppressed else "")
     )

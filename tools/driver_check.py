@@ -185,7 +185,33 @@ def _nested_codes(code):
             yield from _nested_codes(c)
 
 
-_IMPORT_RE = None  # compiled lazily (keeps module import light)
+_IMPORT_RE = None  # compiled lazily (regex fallback only)
+
+
+def _import_targets(src: str):
+    """Dotted module targets of every import statement in ``src``, parsed
+    with ``ast`` so import-shaped lines inside docstrings/strings cannot
+    leak into fingerprints (round-7 ADVICE: a doc-only edit mentioning
+    'import X' at line start spuriously marked queries window-mandatory).
+    Relative imports keep their leading dots so the caller's
+    ``resolve_name`` path is unchanged. Falls back to the old line regex
+    only when the source does not parse standalone (e.g. dedented
+    fragments)."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        for m in _IMPORT_RE.finditer(src):
+            yield m.group(1) or m.group(2)
+        return
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                yield alias.name
+        elif isinstance(node, ast.ImportFrom):
+            yield "." * node.level + (node.module or "")
 
 
 def _local_pkg_imports(src: str, module_name: str):
@@ -206,8 +232,7 @@ def _local_pkg_imports(src: str, module_name: str):
             r"^\s*(?:from\s+([.\w]+)\s+import\s|import\s+([\w.]+))", re.M
         )
     pkg = module_name.rpartition(".")[0]
-    for m in _IMPORT_RE.finditer(src):
-        target = m.group(1) or m.group(2)
+    for target in _import_targets(src):
         try:
             resolved = (
                 importlib.util.resolve_name(target, pkg)

@@ -11,8 +11,8 @@ python -m pytest tests/ -x -q
 python tools/driver_check.py --staleness
 # window-budget gate for the UPCOMING round (highest recorded driver
 # round + 1): catches over-subscribed rotation demand mechanically
-NEXT_ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null | sed 's/[^0-9]*//g' | sort -n | tail -1)
-python tools/driver_check.py --window-budget $(( ${NEXT_ROUND:-0} + 1 ))
+NEXT_ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/[^0-9]//g; s/^0+//' | sort -n | tail -1)
+python tools/driver_check.py --window-budget $(( 10#${NEXT_ROUND:-0} + 1 ))
 
 echo "== 1/4 driver simulation (vanilla session, all queries) =="
 python - <<'EOF'
