@@ -40,43 +40,40 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 7 slot budget (standing rule: new+fingerprint-changed <= 8
+    # round 8 slot budget (standing rule: new+fingerprint-changed <= 8
     # per round, >= 41 slots serve rotation; enforced mechanically by
-    # `tools/driver_check.py --window-budget 7`): 50 slots = 1 flagship
-    # + the 4 must_rotate=7 promises carried from round 6 + 41 of the 42
-    # r4-aged rows + 4 fingerprint-changed (equi_depth_deciles went
-    # lazy; the three multimodal decode queries sit on the jpeg/png
-    # codecs hardened for the round-6 ADVICE). The one r4-aged query
-    # that does not fit — set_union — is RE-PROMISED as must_rotate=8
-    # (its family is freshly covered: set_except r5, set_intersect
-    # rotating this round).
-    *["case_bucketing", "cube_qty", "rollup_qty", "set_intersect"],
-    *["approx_sketches_exact", "asof_cogroup_pandas",
-      "asof_purchase_signup", "bm25_topk_docs", "chargram_jaccard_pairs",
-      "contamination_ngram_hits", "cosine_topk_bruteforce",
-      "cosine_topk_ivf", "dataset_shuffle_order", "dataset_split_assign",
-      "dedup_exact_hash", "dedup_incremental", "deterministic_sample",
-      "dominant_part_suppliers", "dq_expectations",
-      "duplicate_ngram_overlap", "embedding_covariance",
-      "embedding_pca_project", "events_funnel_conversion",
-      "events_mad_outliers", "events_retention_cohorts",
-      "fuzzy_dedup_keep_one", "key_skew_profile", "kmeans_assignments",
-      "kmeans_clusters", "length_weighted_sample", "min_cost_supplier",
-      "minhash_lsh_neardup", "nation_pair_trade", "neardup_clusters",
-      "part_supplier_variety", "part_value_concentration",
-      "pricing_summary", "scd2_user_tiers", "session_concurrency_hourly",
-      "shipping_delay_priority", "simhash_candidate_pairs",
-      "snapshot_diff", "source_mixing_weights", "token_rarity_scores",
-      "zorder_bucket_profile"],
-    # round 7: fingerprint-changed (window-mandatory)
-    "equi_depth_deciles",
-    *["multimodal_decode_real", "multimodal_decode_png",
-      "multimodal_decode_jpeg"],
-    # Round-8 arithmetic (recorded for continuity; `--window-budget 8`
-    # recomputes it mechanically): demand = flagship + set_union
-    # (must_rotate=8) + 47 r5-aged rows = 49 slots, leaving ONE for a
-    # new or fingerprint-changed query. Plan round-8 code changes
-    # accordingly, or re-promise displaced r5 rows explicitly.
+    # `tools/driver_check.py --window-budget 8`): 50 slots = 1 flagship
+    # + set_union (the must_rotate=8 promise carried from round 7's
+    # displacement) + the 47 r5-aged rows + ONE deliberately held slot
+    # (see the tail comment). This executes the rotation plan recorded
+    # at the end of round 7 exactly.
+    "set_union",
+    # the 47 r5-aged rows, alphabetical
+    *["array_funcs", "bigram_lm_probs", "chunk_documents",
+      "corpus_budget_select", "corpus_pipeline_verdicts",
+      "cosine_topk_lsh", "date_funcs", "dedup_exact_summary",
+      "dedup_normalized_hash", "doc_fingerprints", "embedding_centroids",
+      "events_hourly_gapfill", "events_sessionize",
+      "events_sliding_1h_30m", "events_tumbling_1h",
+      "grouped_median_pandas", "json_corrupt_tolerant", "json_funcs",
+      "lang_id_heuristic", "map_funcs", "math_funcs",
+      "minhash_signatures", "multimodal_decode_audio",
+      "multimodal_decode_features", "multimodal_frame_sample",
+      "multimodal_metadata", "multimodal_resize_plan",
+      "npm_dependency_pagerank", "npm_transitive_deps",
+      "order_priority_by_quarter", "pca_project_fixed_basis",
+      "pii_redact", "pii_scan", "price_histogram", "price_outliers_iqr",
+      "semdedup_keep_one", "session_overlap_pairs", "set_except",
+      "simhash_fingerprints", "sql_api_revenue_by_nation",
+      "stratified_sample", "string_funcs", "text_normalize",
+      "text_quality_scores", "token_counts", "udtf_sentences",
+      "vocab_top_terms"],
+    # Slot 50 is the round's ONE discretionary slot (round-7 verdict
+    # item #7). Spent below; swap the name if a round-8 code change
+    # fingerprint-changes a registered query instead. Round-9
+    # arithmetic: demand = flagship + the 46 r6-aged rows = 47 slots,
+    # leaving three free.
+    "npm_reverse_dependency_counts",
 ]
 
 
