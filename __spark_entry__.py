@@ -69,11 +69,15 @@ _PRIORITY = [
       "text_quality_scores", "token_counts", "udtf_sentences",
       "vocab_top_terms"],
     # Slot 50 is the round's ONE discretionary slot (round-7 verdict
-    # item #7). Spent below; swap the name if a round-8 code change
-    # fingerprint-changes a registered query instead. Round-9
+    # item #7), spent on the round's single NEW query: the VP8L WebP
+    # decode (functions/webp.py + operators/multimodal.py, appended so
+    # no existing fingerprint moved — verified: zero drift). Round-9
     # arithmetic: demand = flagship + the 46 r6-aged rows = 47 slots,
-    # leaving three free.
-    "npm_reverse_dependency_counts",
+    # leaving three free — the recorded plan for those three: wire
+    # functions/webp.py into decode_image_real (multimodal.py), which
+    # fingerprint-moves exactly the three decode queries
+    # (multimodal_decode_real/png/jpeg) that share that dispatch.
+    "multimodal_decode_webp",
 ]
 
 

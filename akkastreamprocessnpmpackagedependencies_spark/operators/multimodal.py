@@ -617,3 +617,80 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REG.add("multimodal_decode_jpeg", _JPEG_ORACLE)(multimodal_decode_jpeg)
+
+
+# Oracle for multimodal_decode_webp (registered round 8, below): identical
+# arithmetic to the PNG/JPEG oracles — dims from doc_id, byte-mean of the
+# rpad'ed ASCII body, same non-empty pure-ASCII gate. The Spark side
+# deliberately rotates VP8L encode modes per doc_id, so a single driver row
+# certifies three different bitstream shapes decoding to the same bytes.
+_WEBP_ORACLE = f"""
+    WITH img AS (
+      SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
+             rpad(text, {_PPM_W} * {_PPM_H} * 3, 'x') AS body
+      FROM documents
+      WHERE length(text) > 0 AND length(text) = octet_length(encode(text)))
+    SELECT doc_id, width, height, 3 AS channels,
+           CAST(list_sum(list_transform(split(body, ''), ch -> unicode(ch)))
+                AS DOUBLE) / (width * height * 3) AS mean_intensity
+    FROM img
+    """
+
+
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP (VP8L lossless) decode end-to-end: every (ASCII, non-empty)
+    document becomes a real lossless WebP — doc_id-derived dimensions,
+    raster from the document bytes padded/truncated to w*h*3, entropy-
+    coded with a PER-DOC rotation of bitstream shapes (pure literals /
+    LZ77 run copies with direct distances / color cache + subtract-green
+    transform) — and ``functions/webp.py`` decodes the container back
+    (RIFF framing, canonical prefix codes incl. the RLE-coded code-length
+    code, transform inversion). The oracle recomputes dims and byte-mean
+    in SQL, so an entropy, transform, or container bug in encode OR
+    decode anywhere across the three mode shapes breaks the value hash —
+    the multimodal_decode_png/jpeg technique, extended with cross-path
+    identity inside one driver-checked query (round-7 verdict item #8:
+    the last image-codec seam, VP8L landed; predictor/cross-color
+    transforms and plane distance codes stay loud ValueErrors, see the
+    module docstring of functions/webp.py).
+
+    Scale shape: encode and decode run in the SAME Arrow-batched executor
+    pass; the compressed payload never crosses the wire — only typed
+    features return. No reference analogue (the reference is text-only:
+    src/main/scala/Main.scala:20-24)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
+
+    def _encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.webp import decode_webp, encode_webp
+
+        modes = [
+            dict(use_lz77=False, cache_bits=0),
+            dict(use_lz77=True, cache_bits=0),
+            dict(use_lz77=True, cache_bits=6, subtract_green=True),
+        ]
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_intensity")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(4 + doc_id % 13)
+                h = int(3 + doc_id % 11)
+                n = w * h * 3
+                body = text.encode("ascii").ljust(n, b"x")[:n]
+                payload = encode_webp(w, h, body, 3, **modes[int(doc_id) % 3])
+                dw, dh, dc, arr = decode_webp(payload)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["channels"].append(dc)
+                # dtype by name: the closure ships to executors by value
+                # and must not capture module globals (np)
+                out["mean_intensity"].append(
+                    float(int(arr.sum(dtype="int64"))) / arr.size
+                )
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(_encode_decode, schema=_DECODE_SCHEMA)
+
+
+REG.add("multimodal_decode_webp", _WEBP_ORACLE)(multimodal_decode_webp)

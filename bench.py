@@ -47,6 +47,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MEASURE_RUNS = 3
+CAL_RUNS = 5
+
+
+def calibration_once(spark) -> float:
+    """One timed pass of the fixed calibration micro-workload: a
+    deterministic in-memory aggregate with exactly one shuffle and no
+    parquet, identical bytes every session. Its runtime measures the
+    SESSION (JVM state, CPU contention, thermal/host noise), never the
+    code under test — tools/bench_compare.py divides per-query medians
+    by the old/new calibration ratio so a uniformly slow session (round
+    7 ran 1.66x slower than round 6 on untouched code) stops flagging
+    every query (round-7 verdict item #2)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 4_000_000, 1, 32)
+        .selectExpr("id % 9973 AS k", "(id * 2654435761) % 1000003 AS v")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+            F.max("v").alias("mx"),
+        )
+        .orderBy("k")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
 
 HEADLINE = [
     "npm_dependency_counts",
@@ -167,7 +198,155 @@ HEADLINE = [
     "split_leakage_audit",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    # round-8 addition: the VP8L WebP decode (three bitstream shapes)
+    "multimodal_decode_webp",
 ]
+
+
+# Streaming surface (round-7 verdict item #3): each stateful/windowed
+# operator timed once over the sf events fixture, sliced into time-ordered
+# files so several micro-batches run. One pass per op (a streaming run IS
+# a sequence of samples: the per-micro-batch durations give the spread).
+STREAM_N_FILES = 6
+STREAM_FILES_PER_TRIGGER = 2
+STREAMING_OPS = [
+    ("stateful_user_counts", "update"),
+    ("streaming_heavy_hitters", "update"),
+    ("streaming_quantiles_gk", "update"),
+    ("streaming_quantiles_gk_summary", "update"),
+    ("streaming_value_anomalies", "append"),
+    ("sessionize_with_expiry", "append"),
+    ("dedup_within_watermark", "append"),
+    ("tumbling_counts", "append"),
+]
+
+
+def _progress_stats(query) -> tuple[int, int, list[float]]:
+    """(input rows, batches with data, per-batch triggerExecution ms) from
+    a drained query's recentProgress."""
+    rows, batches, durs = 0, 0, []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        n = int(d.get("numInputRows", 0))
+        if n <= 0:
+            continue  # idle/no-data triggers measure nothing
+        rows += n
+        batches += 1
+        durs.append(float(d["durationMs"]["triggerExecution"]))
+    return rows, batches, durs
+
+
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Throughput/latency numbers for the streaming operators: rows/s over
+    the whole run plus the per-micro-batch duration spread. Uses the noop
+    sink (no memory-sink accumulation skewing the measurement) and
+    AvailableNow-style draining via processAllAvailable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events, load_table
+    from akkastreamprocessnpmpackagedependencies_spark.streaming import pipeline as sp
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    out: dict[str, dict] = {}
+    try:
+        # time-sliced event files -> STREAM_N_FILES micro-batch inputs,
+        # strictly increasing mtimes so file order == event-time order
+        # (single-partition ntile window is setup, not measured); ts goes
+        # back to raw ns longs, the encoding read_events_stream expects
+        ev = load_events(spark, sf_dir)
+        bounds = ev.select(
+            F.ntile(STREAM_N_FILES).over(Window.orderBy("ts")).alias("slice"), "*"
+        )
+        src = os.path.join(work, "events_src")
+        for i in range(1, STREAM_N_FILES + 1):
+            (
+                bounds.filter(F.col("slice") == i)
+                .drop("slice")
+                .withColumn("ts", F.unix_micros("ts") * 1000)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            time.sleep(0.05)
+
+        def run(name: str, df, mode: str) -> None:
+            ck = os.path.join(work, f"ck_{name}")
+            t0 = time.perf_counter()
+            q = (
+                df.writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            rows, batches, durs = _progress_stats(q)
+            q.stop()
+            durs.sort()
+            out[name] = {
+                "rows": rows,
+                "wall_sec": round(wall, 3),
+                "rows_per_sec": round(rows / wall) if wall > 0 else None,
+                "batches": batches,
+                "batch_ms": [
+                    round(durs[0]),
+                    round(statistics.median(durs)),
+                    round(durs[-1]),
+                ]
+                if durs
+                else [],
+            }
+
+        for name, mode in STREAMING_OPS:
+            stream = sp.read_events_stream(
+                spark, src, max_files=STREAM_FILES_PER_TRIGGER
+            )
+            run(name, getattr(sp, name)(stream), mode)
+
+        # dedup-gated ingestion streams DOCUMENTS (LSH check per batch via
+        # foreachBatch, so it's started from its own writer)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs_src = os.path.join(work, "docs_src")
+        for part in range(3):
+            (
+                d.filter(F.col("doc_id") % 3 == part)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(docs_src)
+            )
+        corpus = os.path.join(work, "dg_corpus")
+        t0 = time.perf_counter()
+        q = (
+            sp.write_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_src),
+                corpus,
+            )
+            .option("checkpointLocation", os.path.join(work, "dg_ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        rows, batches, durs = _progress_stats(q)
+        q.stop()
+        durs.sort()
+        out["write_dedup_gated"] = {
+            "rows": rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall) if wall > 0 else None,
+            "batches": batches,
+            "batch_ms": [round(durs[0]), round(statistics.median(durs)), round(durs[-1])]
+            if durs
+            else [],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -193,6 +372,11 @@ def main() -> None:
     for name in HEADLINE:
         run_once(name)
 
+    # session calibration, bracketing the measured passes (start AND end,
+    # so a mid-session slowdown shows up as start/end disagreement)
+    calibration_once(spark)  # its own warmup
+    cal_start = [calibration_once(spark) for _ in range(CAL_RUNS)]
+
     # measured passes: each full pass visits the suite in a different
     # seeded-shuffled order, so session interference (GC, pool respawn,
     # a neighbor's spill) can't hit the same query every pass — the
@@ -206,6 +390,20 @@ def main() -> None:
         for name in order:
             samples[name].append(run_once(name))
 
+    cal_end = [calibration_once(spark) for _ in range(CAL_RUNS)]
+    calibration = {
+        "workload": "range(4e6,32p) modkey groupBy agg orderBy -> noop",
+        "runs": CAL_RUNS,
+        "start_median": round(statistics.median(cal_start), 4),
+        "end_median": round(statistics.median(cal_end), 4),
+        "median": round(statistics.median(cal_start + cal_end), 4),
+        "samples": [round(x, 4) for x in cal_start + cal_end],
+    }
+
+    # streaming surface: outside the calibration bracket by design (it
+    # measures different machinery; the bracket certifies the batch passes)
+    streaming = bench_streaming(spark, sf_dir)
+
     times = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
         n: [round(min(s), 3), times[n], round(max(s), 3)]
@@ -218,6 +416,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "calibration": calibration,
+        "streaming": streaming,
         "sf": sf,
         "runs_per_query": MEASURE_RUNS,
         "aggregation": "median",
@@ -236,7 +436,7 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    line, n_kept = compact_line(times, total, sf)
+    line, n_kept = compact_line(times, total, sf, cal=calibration["median"])
     print(
         f"bench: stdout line {len(line)}B carries flagship + {n_kept - 1} "
         f"slowest of {len(times)} queries; full map in {full_path}",
@@ -251,7 +451,11 @@ LINE_BUDGET = 1800  # headroom under the measured 2000-char capture tail
 
 
 def compact_line(
-    times: dict[str, float], total: float, sf: float, budget: int = LINE_BUDGET
+    times: dict[str, float],
+    total: float,
+    sf: float,
+    budget: int = LINE_BUDGET,
+    cal: float | None = None,
 ) -> tuple[str, int]:
     """The ONE stdout JSON line, guaranteed to fit the driver's capture.
 
@@ -279,6 +483,8 @@ def compact_line(
             "runs_per_query": MEASURE_RUNS,
             "aggregation": "median",
         }
+        if cal is not None:
+            compact["calibration"] = cal
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget or len(keep) <= 1:
             return line, len(keep)

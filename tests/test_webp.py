@@ -1,0 +1,277 @@
+"""VP8L WebP codec tests (functions/webp.py) — pure Python, no Spark.
+
+The oracle strategy is cross-PATH identity (the baseline/progressive
+JPEG technique): the same raster encoded through materially different
+bitstream shapes — pure literals, LZ77 run copies, color-cache hits,
+subtract-green, palette/color-indexing with sub-byte bundling — must
+decode back to the identical source bytes. A decode bug would have to
+exist consistently across unrelated code paths to hide. Unsupported
+spec surface (VP8 lossy, predictor/cross-color transforms, distance
+plane codes) must fail loudly with named ValueErrors, never garbage."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from akkastreamprocessnpmpackagedependencies_spark.functions.webp import (
+    _BitReader,
+    _BitWriter,
+    _canonical_code,
+    _prefix_symbol,
+    _prefix_value,
+    decode_webp,
+    encode_webp,
+)
+
+MODES = [
+    dict(use_lz77=False, cache_bits=0),
+    dict(use_lz77=True, cache_bits=0),
+    dict(use_lz77=True, cache_bits=6),
+    dict(use_lz77=False, cache_bits=4),
+    dict(use_lz77=True, cache_bits=3, subtract_green=True),
+    dict(use_lz77=False, cache_bits=0, subtract_green=True),
+]
+
+
+def _rng():
+    return np.random.default_rng(2026)
+
+
+# ------------------------------------------------------------ bit plumbing
+
+
+def test_bit_reader_writer_roundtrip_lsb_first():
+    bw = _BitWriter()
+    fields = [(0b101, 3), (0, 1), (0x3FFF, 14), (7, 3), (1, 1), (0xAB, 8)]
+    for v, n in fields:
+        bw.write(v, n)
+    br = _BitReader(bw.bytes())
+    for v, n in fields:
+        assert br.read(n) == v
+
+
+def test_bit_reader_rejects_truncation():
+    br = _BitReader(b"\x01")
+    br.read(8)
+    with pytest.raises(ValueError, match="truncated"):
+        br.read(1)
+
+
+def test_prefix_symbol_value_inverse_exhaustive():
+    for value in range(1, 4097):
+        code, payload, nbits = _prefix_symbol(value)
+        bw = _BitWriter()
+        bw.write(payload, nbits)
+        br = _BitReader(bw.bytes() or b"\x00")
+        assert _prefix_value(code, br) == value
+
+
+def test_canonical_code_rejects_incomplete_and_oversubscribed():
+    with pytest.raises(ValueError, match="Kraft"):
+        _canonical_code([2, 2, 2, 0])  # incomplete
+    with pytest.raises(ValueError, match="Kraft"):
+        _canonical_code([1, 1, 1])  # oversubscribed
+    # complete code decodes
+    code = _canonical_code([1, 2, 2])
+    bw = _BitWriter()
+    for c, l in [(0, 1), (0b10, 2), (0b11, 2)]:
+        bw.write_code(c, l)
+    br = _BitReader(bw.bytes())
+    assert [code.decode(br) for _ in range(3)] == [0, 1, 2]
+
+
+# ------------------------------------------------------- cross-path oracle
+
+
+def test_cross_path_identity_random_rasters():
+    """Every encode mode reproduces random (incompressible) rasters
+    byte-exactly — and produces a DIFFERENT bitstream at least somewhere,
+    so the modes genuinely exercise different decode paths."""
+    rng = _rng()
+    for w, h in [(1, 1), (7, 3), (16, 16), (37, 11)]:
+        raw = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        streams = set()
+        for kwargs in MODES:
+            data = encode_webp(w, h, raw, 3, **kwargs)
+            streams.add(data)
+            W, H, C, arr = decode_webp(data)
+            assert (W, H, C) == (w, h, 3)
+            assert arr.tobytes() == raw
+        assert len(streams) > 1
+
+
+def test_cross_path_identity_runs_exercise_lz77_and_cache():
+    """Rasters with horizontal AND vertical runs: the LZ77 encoder emits
+    dist-1 and dist-width copies (direct distance codes), the cache mode
+    emits hits; all decode identically to the literal-only stream."""
+    rng = _rng()
+    w, h = 24, 18
+    base = rng.integers(0, 4, size=(h // 2, w // 3, 3), dtype=np.uint8) * 80
+    px = np.repeat(np.repeat(base, 2, axis=0), 3, axis=1)[:h, :w]
+    raw = px.tobytes()
+    decoded = set()
+    for kwargs in MODES:
+        W, H, C, arr = decode_webp(encode_webp(w, h, raw, 3, **kwargs))
+        decoded.add(arr.tobytes())
+    assert decoded == {raw}
+
+
+def test_palette_modes_with_bundling():
+    """Color-indexing transform at every bundling width (8/4/2 px per
+    byte and unbundled), including palette sizes at the bundling
+    boundaries."""
+    rng = _rng()
+    for ncolors in [2, 3, 4, 5, 16, 17, 200, 256]:
+        w, h = 23, 9
+        pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        # ensure distinct palette entries (encoder palettizes by value)
+        pal[:, 0] = np.arange(ncolors) % 256
+        idx = rng.integers(0, ncolors, size=(h, w))
+        raw = pal[idx].tobytes()
+        data = encode_webp(w, h, raw, 3, palette=True, use_lz77=False)
+        W, H, C, arr = decode_webp(data)
+        assert (W, H, C) == (w, h, 3)
+        assert arr.tobytes() == raw
+
+
+def test_rgba_alpha_roundtrip_and_channel_count():
+    rng = _rng()
+    px = rng.integers(0, 256, size=(5, 9, 4), dtype=np.uint8)
+    data = encode_webp(9, 5, px.tobytes(), 4, use_lz77=True, cache_bits=4)
+    W, H, C, arr = decode_webp(data)
+    assert (W, H, C) == (9, 5, 4)
+    assert arr.tobytes() == px.tobytes()
+    # constant-255 alpha collapses to declared-opaque 3-channel output
+    px[..., 3] = 255
+    W, H, C, arr = decode_webp(encode_webp(9, 5, px.tobytes(), 4))
+    assert C == 3
+    assert arr.tobytes() == px[..., :3].tobytes()
+
+
+def test_single_color_image_degenerate_codes():
+    """A one-color image drives every alphabet to a single symbol — the
+    degenerate zero-bit / dummy-padded code paths."""
+    raw = bytes([7, 130, 255]) * (12 * 5)
+    for kwargs in MODES:
+        W, H, C, arr = decode_webp(encode_webp(12, 5, raw, 3, **kwargs))
+        assert (W, H, C) == (12, 5, 3)
+        assert arr.tobytes() == raw
+
+
+def test_extreme_dimensions():
+    rng = _rng()
+    for w, h in [(1, 64), (64, 1), (1, 1)]:
+        raw = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        W, H, C, arr = decode_webp(encode_webp(w, h, raw, 3, use_lz77=True))
+        assert (W, H) == (w, h) and arr.tobytes() == raw
+
+
+# --------------------------------------------------------- loud rejection
+
+
+def test_rejects_non_webp_and_lossy_and_extended():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp(b"GIF89a" + b"\x00" * 40)
+    lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    with pytest.raises(ValueError, match="lossy"):
+        decode_webp(lossy)
+    ext = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8X" + b"\x00" * 12
+    with pytest.raises(ValueError, match="VP8X"):
+        decode_webp(ext)
+
+
+def test_rejects_bad_signature_and_truncation():
+    good = encode_webp(4, 4, bytes(48), 3)
+    bad_sig = bytearray(good)
+    bad_sig[20] = 0x2E
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp(bytes(bad_sig))
+    with pytest.raises(ValueError):
+        decode_webp(good[: len(good) - 3] if len(good) > 23 else good[:21])
+
+
+def test_rejects_unsupported_transforms_by_name():
+    """Hand-built headers announcing predictor / cross-color transforms
+    must fail with the feature named (the honest-seam contract)."""
+    for ttype, name in [(0, "predictor"), (1, "cross-color")]:
+        bw = _BitWriter()
+        bw.write(3, 14)  # width-1
+        bw.write(3, 14)  # height-1
+        bw.write(0, 1)  # no alpha
+        bw.write(0, 3)  # version
+        bw.write(1, 1)  # transform present
+        bw.write(ttype, 2)
+        payload = b"\x2f" + bw.bytes()
+        data = (
+            b"RIFF"
+            + struct.pack("<I", 12 + 8 + len(payload))
+            + b"WEBPVP8L"
+            + struct.pack("<I", len(payload))
+            + payload
+        )
+        with pytest.raises(ValueError, match=name):
+            decode_webp(data)
+
+
+def test_rejects_distance_plane_codes_by_name():
+    """A bitstream using 2D plane distance codes (<=120) is refused with
+    the seam named, never silently mis-mapped. Built by patching the
+    encoder's token emitter is brittle; instead decode a stream we craft
+    with a direct distance, then check the guard path via a copy token
+    whose distance code lands <= 120: craft by encoding a 2-row image
+    with a dist-1 run and rewriting is fragile too — so drive the guard
+    directly through a miniature hand-rolled stream."""
+    # miniature 4x1 image: literal A, then copy(len=3, plane code 1)
+    bw = _BitWriter()
+    bw.write(3, 14)  # width-1 = 3
+    bw.write(0, 14)  # height-1 = 0
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta image
+    # green code: simple, 2 symbols: 100 (literal) and 256+2 -> needs 8-bit+
+    # symbol 258 > 255 can't ride a simple code; use full code instead via
+    # encoder helper
+    from akkastreamprocessnpmpackagedependencies_spark.functions.webp import (
+        _write_prefix_code,
+    )
+
+    g_enc = _write_prefix_code(bw, {100: 1, 256 + 1: 1}, 256 + 24)  # len code 1 -> L=2..3
+    r_enc = _write_prefix_code(bw, {10: 1}, 256)
+    b_enc = _write_prefix_code(bw, {20: 1}, 256)
+    a_enc = _write_prefix_code(bw, {255: 1}, 256)
+    d_enc = _write_prefix_code(bw, {0: 1}, 40)  # distance prefix 0 -> value 1 (plane!)
+    c, l = g_enc[100]
+    bw.write_code(c, l)
+    for enc, sym in [(r_enc, 10), (b_enc, 20), (a_enc, 255)]:
+        c, l = enc[sym]
+        bw.write_code(c, l)
+    c, l = g_enc[256 + 1]  # copy, length prefix 1 -> length 2
+    bw.write_code(c, l)
+    c, l = d_enc[0]  # distance value 1 -> plane code
+    bw.write_code(c, l)
+    payload = b"\x2f" + bw.bytes()
+    data = (
+        b"RIFF"
+        + struct.pack("<I", 12 + 8 + len(payload))
+        + b"WEBPVP8L"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+    with pytest.raises(ValueError, match="plane"):
+        decode_webp(data)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="channels"):
+        encode_webp(2, 2, bytes(8), 2)
+    with pytest.raises(ValueError, match="mismatch"):
+        encode_webp(2, 2, bytes(11), 3)
+    with pytest.raises(ValueError, match="range"):
+        encode_webp(0, 2, b"", 3)
+    with pytest.raises(ValueError, match="palette"):
+        encode_webp(2, 1, bytes(range(6)), 3, palette=True, subtract_green=True)
