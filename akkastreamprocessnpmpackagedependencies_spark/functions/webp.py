@@ -56,18 +56,30 @@ class _BitReader:
 
     def __init__(self, data: bytes) -> None:
         self._d = data
+        self._nbits = len(data) * 8
         self.pos = 0  # in bits
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        p, o = divmod(self.pos, 8)
-        end = p + ((o + n + 7) >> 3)
-        if end > len(self._d):
+        if self.pos + n > self._nbits:
             raise ValueError("VP8L: bitstream truncated")
-        chunk = int.from_bytes(self._d[p:end], "little")
+        p, o = divmod(self.pos, 8)
+        chunk = int.from_bytes(self._d[p : p + ((o + n + 7) >> 3)], "little")
         self.pos += n
         return (chunk >> o) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        """Up to ``n`` bits without consuming; bits past the end read as
+        zero (the consuming ``advance`` enforces the boundary loudly)."""
+        p, o = divmod(self.pos, 8)
+        chunk = int.from_bytes(self._d[p : p + ((o + n + 7) >> 3)], "little")
+        return (chunk >> o) & ((1 << n) - 1)
+
+    def advance(self, n: int) -> None:
+        if self.pos + n > self._nbits:
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos += n
 
 
 class _BitWriter:
@@ -114,11 +126,19 @@ class _Code:
     def decode(self, br: _BitReader) -> int:
         if self.zero_bit_symbol is not None:
             return self.zero_bit_symbol
+        # ONE buffered peek instead of a read() per bit (the decode hot
+        # path); the stream is LSB-first, the code MSB-first, so code
+        # bit i is peek bit i. advance() re-checks the true stream end,
+        # so a match assembled from past-the-end zero padding still
+        # fails loudly.
+        peek = br.peek(self.max_len)
         code = 0
+        table = self.table
         for length in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((length, code))
+            code = (code << 1) | ((peek >> (length - 1)) & 1)
+            sym = table.get((length, code))
             if sym is not None:
+                br.advance(length)
                 return sym
         raise ValueError("VP8L: invalid prefix code in bitstream")
 
@@ -155,12 +175,23 @@ def _canonical_code(lengths: list[int]) -> _Code:
     return _Code(table, max_len)
 
 
+def _bit_reverse(code: int, length: int) -> int:
+    r = 0
+    for _ in range(length):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
 def _canonical_encoder(lengths: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) for the same canonical numbering."""
+    """symbol -> (BIT-REVERSED code, length) for the same canonical
+    numbering: prefix codes transmit MSB-first into the LSB-first stream,
+    so pre-reversing once per code lets the hot emit path be a single
+    ``_BitWriter.write`` instead of a per-bit loop."""
     code = _canonical_code(lengths)
     if code.zero_bit_symbol is not None:
         return {code.zero_bit_symbol: (0, 0)}
-    return {sym: (c, l) for (l, c), sym in code.table.items()}
+    return {sym: (_bit_reverse(c, l), l) for (l, c), sym in code.table.items()}
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Code:
@@ -576,7 +607,7 @@ def _write_full_code(bw: _BitWriter, lengths: list[int]) -> None:
     bw.write(0, 1)  # no explicit max_symbol
     for s, payload, nbits in tokens:
         c, l = enc[s]
-        bw.write_code(c, l)
+        bw.write(c, l)
         if nbits:
             bw.write(payload, nbits)
 
@@ -810,24 +841,24 @@ def _encode_pixel_stream(
         if t[0] == "lit":
             p = t[1]
             c, l = g_enc[(p >> 8) & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
             c, l = r_enc[(p >> 16) & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
             c, l = b_enc[p & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
             c, l = a_enc[(p >> 24) & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
         elif t[0] == "copy":
             lcode, payload, nbits = _prefix_symbol(t[1])
             c, l = g_enc[256 + lcode]
-            bw.write_code(c, l)
+            bw.write(c, l)
             if nbits:
                 bw.write(payload, nbits)
             dcode, payload, nbits = _prefix_symbol(t[2] + 120)
             c, l = d_enc[dcode]
-            bw.write_code(c, l)
+            bw.write(c, l)
             if nbits:
                 bw.write(payload, nbits)
         else:
             c, l = g_enc[256 + 24 + t[1]]
-            bw.write_code(c, l)
+            bw.write(c, l)

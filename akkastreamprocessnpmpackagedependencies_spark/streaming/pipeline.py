@@ -213,18 +213,21 @@ def sessionize_with_expiry(events: DataFrame, watermark: str = "30 minutes") -> 
             )
 
         def sessions(times):
-            out, start, last, n = [], None, None, 0
-            for t in times:
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last <= gap_us:
-                    last, n = t, n + 1
-                else:
-                    out.append((start, last, n))
-                    start, last, n = t, t, 1
-            if start is not None:
-                out.append((start, last, n))
-            return out
+            # vectorized gap walk (round 8): a strictly-greater-than-gap
+            # silence starts a new session, exactly the old per-element
+            # walk (equivalence proven over randomized + boundary cases)
+            if not times:
+                return []
+            import numpy as np
+
+            t = np.asarray(times, dtype=np.int64)
+            brk = np.flatnonzero(np.diff(t) > gap_us) + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(t)]))
+            return [
+                (int(t[s]), int(t[e - 1]), int(e - s))
+                for s, e in zip(starts, ends)
+            ]
 
         if state.hasTimedOut:
             (pending,) = state.get
@@ -233,7 +236,7 @@ def sessionize_with_expiry(events: DataFrame, watermark: str = "30 minutes") -> 
             return
         pending = list(state.get[0]) if state.exists else []
         for pdf in pdfs:
-            pending.extend(int(t) for t in pdf["ts_us"])
+            pending.extend(pdf["ts_us"].to_numpy(dtype="int64").tolist())
         pending.sort()
         wm_us = state.getCurrentWatermarkMs() * 1000
         walked = sessions(pending)
@@ -751,9 +754,15 @@ def _gk_insert_batch(tup: list[list], n: int, pdf, eps: float) -> int:
     their state evolution is identical. Returns the new n; mutates
     ``tup`` in place. Compression runs every ~1/(2 eps) inserts, the
     standard schedule that keeps the summary O((1/eps) log(eps n))."""
+    import bisect
     import math
 
     period = max(1, int(1.0 / (2 * eps)))
+    # parallel sorted-keys list: bisect finds the insertion point in
+    # O(log n) instead of the previous linear Python scan (bisect_right
+    # lands after equal values — identical position, identical state
+    # evolution); kept in lockstep through insert and compress
+    keys = [t[0] for t in tup]
 
     def compress():
         t = 2 * eps * n
@@ -764,15 +773,17 @@ def _gk_insert_batch(tup: list[list], n: int, pdf, eps: float) -> int:
             if i > 0 and tup[i][1] + tup[i + 1][1] + tup[i + 1][2] <= t:
                 tup[i + 1][1] += tup[i][1]
                 del tup[i]
+                del keys[i]
             else:
                 i += 1
 
-    for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-        v = float(row.value)
+    # one vectorized sort + column pull; the per-value loop then runs on
+    # plain floats (itertuples built a namedtuple per row — measured 2x+
+    # of the whole insert cost at sf0.1 rates)
+    values = pdf.sort_values(["ts", "event_id"])["value"].to_numpy(dtype=float).tolist()
+    for v in values:
         n += 1
-        lo = 0
-        while lo < len(tup) and tup[lo][0] <= v:
-            lo += 1
+        lo = bisect.bisect_right(keys, v)
         if lo == 0 or lo == len(tup):
             tup.insert(lo, [v, 1, 0])
         else:
@@ -781,6 +792,7 @@ def _gk_insert_batch(tup: list[list], n: int, pdf, eps: float) -> int:
             # unreduced floor(2 eps n) overshoots it by one and
             # the rank-bound proof with it)
             tup.insert(lo, [v, 1, max(0, int(math.floor(2 * eps * n)) - 1)])
+        keys.insert(lo, v)
         if n % period == 0:
             compress()
     return n

@@ -144,6 +144,29 @@ def test_calibration_normalizes_uniform_session_shift(tmp_path, capsys):
     assert "flagged >1.5x: 1" in out
 
 
+def test_streaming_section_compared_with_inverse_normalization(tmp_path, capsys):
+    """rows/s scales inversely with session slowness: under a 2x-slower
+    session (calibration 2x), an op whose raw rows/s halved is unchanged
+    after normalization, while a real 4x-raw throughput drop stays
+    flagged."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "calibration": {"median": 0.1},
+        "streaming": {"op_same": {"rows_per_sec": 1000},
+                      "op_drop": {"rows_per_sec": 1000}}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 2.0},
+        "calibration": {"median": 0.2},
+        "streaming": {"op_same": {"rows_per_sec": 500},
+                      "op_drop": {"rows_per_sec": 250}}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "op_same" not in out
+    assert "SLOWER [stream] op_drop" in out
+    assert "streaming: 2 common ops, flagged >1.5x: 1" in out
+
+
 def test_median_normalize_fallback_for_pre_calibration_artifacts(tmp_path, capsys):
     """Pre-round-8 artifacts carry no calibration; --normalize median
     divides by the median per-query ratio instead, so a uniformly
@@ -168,6 +191,29 @@ def test_compare_without_spread_falls_back_to_median_only(tmp_path, capsys):
     bc.main()
     out = capsys.readouterr().out
     assert "SLOWER q" in out and "flagged >1.5x: 1" in out
+
+
+def test_progress_stats_filters_idle_triggers():
+    """bench.py's streaming-progress reducer: idle (0-row) triggers must
+    not dilute rows/s or the latency spread; dict and .json-attr
+    progress shapes both parse."""
+
+    class _P:
+        def __init__(self, payload):
+            self.json = json.dumps(payload)
+
+    progresses = [
+        {"numInputRows": 100, "durationMs": {"triggerExecution": 50}},
+        {"numInputRows": 0, "durationMs": {"triggerExecution": 5}},  # idle
+        _P({"numInputRows": 300, "durationMs": {"triggerExecution": 150}}),
+    ]
+
+    class _Q:
+        recentProgress = progresses
+
+    rows, batches, durs = bench._progress_stats(_Q())
+    assert (rows, batches) == (400, 2)
+    assert durs == [50.0, 150.0]
 
 
 def test_tail_salvage_skips_scalar_fields():

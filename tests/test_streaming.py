@@ -1289,3 +1289,40 @@ def test_stateful_anomalies_survive_checkpoint_restart(spark, sf_dir, tmp_path):
         assert abs(got[eid] - zs) < 1e-9
     # both phases contributed (state genuinely crossed the restart)
     assert phase1_ids and phase2_ids
+
+
+def test_gk_merged_quantiles_property_random_shards():
+    """Property: for random shard counts, sizes, and value distributions,
+    merged global quantiles stay within the documented summed-eps rank
+    bound of the exact union ranks."""
+    import bisect
+    import random
+
+    import pandas as pd
+
+    eps = sp.GK_EPS
+    for trial in range(12):
+        rng = random.Random(100 + trial)
+        n_shards = rng.randint(1, 6)
+        allv, shards = [], []
+        for s in range(n_shards):
+            m = rng.randint(1, 800)
+            vals = [rng.gauss(rng.uniform(-5, 5), rng.uniform(0.5, 3)) for _ in range(m)]
+            allv.extend(vals)
+            pdf = pd.DataFrame(
+                {"ts": range(m), "event_id": range(m), "value": vals}
+            )
+            tup = []
+            n = sp._gk_insert_batch(tup, 0, pdf, eps)
+            shards.append(sp._gk_state_dump(tup, n))
+        xs = sorted(allv)
+        n_total = len(xs)
+        max_shard = max(s[3] for s in shards)
+        bound = eps * n_total + eps * max_shard + n_shards + 1
+        for phi, est in sp.gk_merged_quantiles(shards).items():
+            lo = bisect.bisect_left(xs, est) + 1
+            hi = bisect.bisect_right(xs, est)
+            target = phi * n_total
+            assert lo - bound <= target <= hi + bound, (
+                trial, phi, est, lo, hi, target, bound,
+            )

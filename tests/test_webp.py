@@ -240,20 +240,21 @@ def test_rejects_distance_plane_codes_by_name():
         _write_prefix_code,
     )
 
+    # encoder maps carry pre-bit-reversed codes, emitted via write()
     g_enc = _write_prefix_code(bw, {100: 1, 256 + 1: 1}, 256 + 24)  # len code 1 -> L=2..3
     r_enc = _write_prefix_code(bw, {10: 1}, 256)
     b_enc = _write_prefix_code(bw, {20: 1}, 256)
     a_enc = _write_prefix_code(bw, {255: 1}, 256)
     d_enc = _write_prefix_code(bw, {0: 1}, 40)  # distance prefix 0 -> value 1 (plane!)
     c, l = g_enc[100]
-    bw.write_code(c, l)
+    bw.write(c, l)
     for enc, sym in [(r_enc, 10), (b_enc, 20), (a_enc, 255)]:
         c, l = enc[sym]
-        bw.write_code(c, l)
+        bw.write(c, l)
     c, l = g_enc[256 + 1]  # copy, length prefix 1 -> length 2
-    bw.write_code(c, l)
+    bw.write(c, l)
     c, l = d_enc[0]  # distance value 1 -> plane code
-    bw.write_code(c, l)
+    bw.write(c, l)
     payload = b"\x2f" + bw.bytes()
     data = (
         b"RIFF"
@@ -275,3 +276,52 @@ def test_encoder_input_validation():
         encode_webp(0, 2, b"", 3)
     with pytest.raises(ValueError, match="palette"):
         encode_webp(2, 1, bytes(range(6)), 3, palette=True, subtract_green=True)
+
+
+# ------------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 23),
+    h=st.integers(1, 17),
+    mode=st.integers(0, len(MODES) - 1),
+    data=st.data(),
+)
+def test_property_any_raster_any_mode_roundtrips(w, h, mode, data):
+    """Property: EVERY raster round-trips bit-exactly through every
+    encode mode — hypothesis explores dimension/pixel/mode corners the
+    fixed seeds cannot (single-pixel images, constant planes, near-
+    palette images, run boundaries at row edges)."""
+    raw = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    W, H, C, arr = decode_webp(encode_webp(w, h, raw, 3, **MODES[mode]))
+    assert (W, H, C) == (w, h, 3)
+    assert arr.tobytes() == raw
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 19),
+    h=st.integers(1, 13),
+    ncolors=st.integers(1, 17),
+    seed=st.integers(0, 2**31),
+)
+def test_property_palette_roundtrips_across_bundling_widths(w, h, ncolors, seed):
+    """Property: palettized rasters round-trip at every bundling width,
+    including 1-color images (degenerate palette) and widths that are
+    not multiples of the pixels-per-byte packing."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    pal[:, 2] = np.arange(ncolors)  # force distinct entries
+    raw = pal[rng.integers(0, ncolors, size=(h, w))].tobytes()
+    W, H, C, arr = decode_webp(encode_webp(w, h, raw, 3, palette=True))
+    assert (W, H, C) == (w, h, 3)
+    assert arr.tobytes() == raw

@@ -66,10 +66,12 @@ def _from_tail(tail: str) -> dict[str, float]:
     return out
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, list[float]], float | None]:
-    """Returns (median per query, spread per query, calibration median).
-    Spread is {} and calibration None for pre-round-7/8 artifacts and
-    truncated-tail salvage."""
+def load(
+    path: str,
+) -> tuple[dict[str, float], dict[str, list[float]], float | None, dict]:
+    """Returns (median per query, spread per query, calibration median,
+    streaming section). Spread/calibration/streaming are empty for
+    pre-round-7/8 artifacts and truncated-tail salvage."""
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
@@ -83,11 +85,11 @@ def load(path: str) -> tuple[dict[str, float], dict[str, list[float]], float | N
                     f"{len(qs)} queries from its tail",
                     file=sys.stderr,
                 )
-            return qs, {}, None
+            return qs, {}, None, {}
     cal = d.get("calibration")
     if isinstance(cal, dict):  # BENCH_FULL carries the whole record
         cal = cal.get("median")
-    return d.get("queries", {}), d.get("spread", {}), cal
+    return d.get("queries", {}), d.get("spread", {}), cal, d.get("streaming") or {}
 
 
 def session_norm(
@@ -134,7 +136,10 @@ def main() -> None:
         del argv[i : i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
-    (old, old_sp, old_cal), (new, new_sp, new_cal) = load(argv[0]), load(argv[1])
+    (old, old_sp, old_cal, old_str), (new, new_sp, new_cal, new_str) = (
+        load(argv[0]),
+        load(argv[1]),
+    )
     bad = [p for p, qs in ((argv[0], old), (argv[1], new)) if not qs]
     if bad:
         sys.exit(f"error: no queries parseable from: {', '.join(bad)}")
@@ -179,6 +184,20 @@ def main() -> None:
         print(f"added   ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
+    # streaming surface (BENCH_FULL round 8+): compare rows/s per op,
+    # normalized the same way (rows/s scales INVERSELY with session
+    # slowness, so multiply by norm)
+    s_both = sorted(set(old_str) & set(new_str))
+    s_flagged = 0
+    for op in s_both:
+        a = old_str[op].get("rows_per_sec") or 0
+        b = (new_str[op].get("rows_per_sec") or 0) * norm
+        if a and b and (a / b >= ratio or b / a >= ratio):
+            s_flagged += 1
+            tag = "SLOWER" if b < a else "faster"
+            print(f"{tag:6s} [stream] {op:27s} {a:8.0f} -> {b:8.0f} rows/s")
+    if s_both:
+        print(f"streaming: {len(s_both)} common ops, flagged >{ratio}x: {s_flagged}")
     tot_o = sum(old[q] for q in both)
     tot_n = sum(new[q] / norm for q in both)
     rate = f"{tot_n / tot_o:.2f}x" if tot_o else "n/a"

@@ -41,6 +41,7 @@ SHOWCASE = [
     ("approx_sketches_exact", "exact twin of the sketch query: distinct counts + discrete percentiles"),
     ("kmeans_assignments", "final Lloyd assignment (broadcast argmin against checkpointed centroids)"),
     ("multimodal_decode_real", "real PPM decode through Arrow-batched mapInPandas"),
+    ("multimodal_decode_webp", "VP8L WebP encode+decode fused in one Arrow-batched pass"),
     ("min_cost_supplier", "Q2 shape: correlated MIN as window-min — single fact scan"),
     ("dedup_incremental", "corpus-vs-delta banded LSH: cost scales with the delta"),
     ("token_rarity_scores", "df-weighted rarity stats: explode -> vocab agg -> term join -> doc agg"),
@@ -139,6 +140,23 @@ in-suite number is neighbor interference, the exact class the spread
 recording now makes self-suppressing; `tfidf_top_terms_per_doc` 0.42x
 and `grouped_median_pandas` 0.63x are improvements of the same noise
 class. Common-96-query total: 0.99x (flat).
+
+Round-8 session normalization: rounds 5-7 each lost audit time to
+BETWEEN-session ambient shifts the spread bands cannot absorb (r7 ran a
+uniform ~1.66x slower than r6 on untouched code, flagging 89 of 96
+queries). bench.py now times a fixed calibration micro-workload
+(deterministic in-memory agg + one shuffle, no parquet; CAL_RUNS
+samples bracketing the measured passes, start AND end medians recorded
+so mid-session drift is visible) and `tools/bench_compare.py` divides
+new timings by the old/new calibration ratio before any flag logic
+(`--normalize median` approximates this for pre-round-8 artifacts; the
+r6->r7 compare re-adjudicates from 89 flags to ~4 genuine movers under
+it). The noise rule is also tighter per round-7 ADVICE: suppression now
+requires the normalized new MEDIAN inside the old band, not mere band
+overlap. BENCH_FULL additionally gains a "streaming" section — rows/s
+and per-micro-batch latency spread for the stateful/windowed operators
+over time-sliced sf event files — which the comparator diffs with the
+inverse normalization (rows/s scales inversely with session slowness).
 
 ## Semantics notes
 
