@@ -31,8 +31,12 @@ numpy cumsum closed forms) — the per-event Python loop was the
 throughput ceiling at a real event rate — and the GK sketch gained a
 summary-emitting twin (``streaming_quantiles_gk_summary``) plus a pure
 merge (``gk_merged_quantiles``) that answers GLOBAL quantiles across
-shards with the summed-eps bound. ``bench.py`` now times this whole
-surface (rows/s + per-micro-batch latency, BENCH_FULL.json "streaming"
+shards with the summed-eps bound — operationalized live by
+``write_global_quantiles`` (foreachBatch merge -> parquet time series)
+and mirrored for the heavy-hitter sketch by
+``mg_global_heavy_hitters`` (key-sharded summaries union with the
+shard-local guarantee). ``bench.py`` now times this whole surface
+(rows/s + per-micro-batch latency, BENCH_FULL.json "streaming"
 section).
 """
 
@@ -900,6 +904,70 @@ def streaming_quantiles_gk_summary(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def mg_global_heavy_hitters(
+    rows: list, total_n: int, capacity: int = MG_CAPACITY
+) -> dict[int, int]:
+    """GLOBAL heavy hitters from the per-shard Misra-Gries summaries
+    ``streaming_heavy_hitters`` emits. Because sharding is BY KEY
+    (user_id % shards), each key lives in exactly one shard, so the
+    global sketch is the plain union of shard summaries — no sketch
+    merge needed — and each key's global guarantee is its SHARD's:
+
+        mg_count <= true_count <= mg_count + n_shard/(capacity+1)
+                               <= mg_count + total_n/(capacity+1),
+
+    so every key with true global frequency above total_n/(capacity+1)
+    is guaranteed present (its shard bound is tighter). rows are
+    (shard, user_id, mg_count, shard_n) records — take the latest
+    summary per shard before calling. Pure function; merging 1000
+    shards is dict-union work on shards x capacity counters."""
+    out: dict[int, int] = {}
+    for r in rows:
+        uid, c = int(r[1] if not hasattr(r, "user_id") else r.user_id), int(
+            r[2] if not hasattr(r, "mg_count") else r.mg_count
+        )
+        if uid in out:
+            raise ValueError(
+                f"key {uid} present in two shard summaries — rows are not "
+                "key-sharded; the union bound does not apply"
+            )
+        out[uid] = c
+    return out
+
+
+def write_global_quantiles(
+    summaries: DataFrame, out_path: str, eps: float = GK_EPS
+):
+    """Operationalize the GK merge as a LIVE pipeline: consume the
+    summary stream (``streaming_quantiles_gk_summary``) in foreachBatch,
+    keep only each shard's latest summary (max shard_n), merge
+    driver-side — kilobytes of tuples no matter the stream size — and
+    append one row per phi per micro-batch to ``out_path``. The stored
+    history is the global-quantile time series a monitoring pipeline
+    wants; the last batch_id group is the live answer, within the
+    summed-eps rank bound of ``gk_merged_quantiles``."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rows = batch.collect()  # O(shards) summary rows, never events
+        if not rows:
+            return
+        latest: dict[int, tuple] = {}
+        for r in rows:
+            if r.shard not in latest or r.shard_n > latest[r.shard][3]:
+                latest[r.shard] = (r.vs, r.gs, r.ds, r.shard_n)
+        merged = gk_merged_quantiles(list(latest.values()), eps=eps)
+        n_total = sum(s[3] for s in latest.values())
+        out = spark.createDataFrame(
+            [(int(batch_id), float(phi), float(est), int(n_total))
+             for phi, est in merged.items()],
+            "batch_id long, phi double, estimate double, n_total long",
+        )
+        out.coalesce(1).write.mode("append").parquet(out_path)
+
+    return summaries.writeStream.outputMode("update").foreachBatch(_merge)
 
 
 def streaming_quantiles_gk(

@@ -273,15 +273,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             )
             time.sleep(0.05)
 
-        def run(name: str, df, mode: str) -> None:
-            ck = os.path.join(work, f"ck_{name}")
-            t0 = time.perf_counter()
-            q = (
-                df.writeStream.format("noop")
-                .outputMode(mode)
-                .option("checkpointLocation", ck)
-                .start()
-            )
+        def record(name: str, q, t0: float) -> None:
             q.processAllAvailable()
             wall = time.perf_counter() - t0
             rows, batches, durs = _progress_stats(q)
@@ -301,11 +293,36 @@ def bench_streaming(spark, sf_dir: str) -> dict:
                 else [],
             }
 
+        def run(name: str, df, mode: str) -> None:
+            ck = os.path.join(work, f"ck_{name}")
+            t0 = time.perf_counter()
+            q = (
+                df.writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            record(name, q, t0)
+
         for name, mode in STREAMING_OPS:
             stream = sp.read_events_stream(
                 spark, src, max_files=STREAM_FILES_PER_TRIGGER
             )
             run(name, getattr(sp, name)(stream), mode)
+
+        # live global-quantiles pipeline: summary stream -> foreachBatch
+        # GK merge -> parquet time series (its own writer)
+        stream = sp.read_events_stream(spark, src, max_files=STREAM_FILES_PER_TRIGGER)
+        t0 = time.perf_counter()
+        q = (
+            sp.write_global_quantiles(
+                sp.streaming_quantiles_gk_summary(stream),
+                os.path.join(work, "gq_out"),
+            )
+            .option("checkpointLocation", os.path.join(work, "gq_ck"))
+            .start()
+        )
+        record("write_global_quantiles", q, t0)
 
         # dedup-gated ingestion streams DOCUMENTS (LSH check per batch via
         # foreachBatch, so it's started from its own writer)
@@ -330,20 +347,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             .option("checkpointLocation", os.path.join(work, "dg_ck"))
             .start()
         )
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0
-        rows, batches, durs = _progress_stats(q)
-        q.stop()
-        durs.sort()
-        out["write_dedup_gated"] = {
-            "rows": rows,
-            "wall_sec": round(wall, 3),
-            "rows_per_sec": round(rows / wall) if wall > 0 else None,
-            "batches": batches,
-            "batch_ms": [round(durs[0]), round(statistics.median(durs)), round(durs[-1])]
-            if durs
-            else [],
-        }
+        record("write_dedup_gated", q, t0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -607,3 +607,26 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
         assert "might_contain" not in _plan(q())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_multimodal_decode_webp_is_zero_shuffle_pruned_scan(spark, sf_dir):
+    """The round-8 WebP query must stay a map-only pipeline: pruned
+    2-column scan with the non-null filter pushed to parquet, one
+    Arrow-batched MapInPandas, ZERO exchanges — the compressed payload
+    never crosses the wire at any scale."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.multimodal import (
+        multimodal_decode_webp,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.sources.io import (
+        plan_exchange_count,
+    )
+
+    df = multimodal_decode_webp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan_exchange_count(df) == 0
+    assert "MapInPandas" in plan
+    explained = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(text)]" in explained
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in explained

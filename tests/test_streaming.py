@@ -1326,3 +1326,82 @@ def test_gk_merged_quantiles_property_random_shards():
             assert lo - bound <= target <= hi + bound, (
                 trial, phi, est, lo, hi, target, bound,
             )
+
+
+def test_mg_global_heavy_hitters_union_bound(spark, sf_dir, tmp_path):
+    """Global heavy hitters from the key-sharded MG summaries: the union
+    is the global sketch (each key lives in one shard), every key with
+    true global frequency above total_n/(capacity+1) must be present,
+    counts never overestimate, and a fabricated cross-shard duplicate is
+    rejected loudly."""
+    import pytest as _pytest
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_heavy_hitters(ev), "hh_glob_out", "update")
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    rows = spark.sql(
+        """SELECT * FROM hh_glob_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM hh_glob_out GROUP BY shard)"""
+    ).collect()
+    truth = {
+        r.user_id: r.n
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    total_n = sum(truth.values())
+    glob = sp.mg_global_heavy_hitters(rows, total_n)
+    bound = total_n / (sp.MG_CAPACITY + 1)
+    for uid, c in glob.items():
+        assert c <= truth[uid]
+    for uid, t in truth.items():
+        if t > bound:
+            assert uid in glob, (uid, t, bound)
+    # key-sharding violation must be loud, not silently double-counted
+    dup = rows + [rows[0]]
+    with _pytest.raises(ValueError, match="two shard summaries"):
+        sp.mg_global_heavy_hitters(dup, total_n)
+
+
+def test_write_global_quantiles_live_pipeline(spark, sf_dir, tmp_path):
+    """The operationalized GK merge: summary stream -> foreachBatch merge
+    -> parquet time series. The LAST batch's estimates must satisfy the
+    summed-eps rank bound against the exact union of all values, and the
+    series must contain one row per phi per non-empty batch."""
+    import bisect
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "gq_out")
+    q = (
+        sp.write_global_quantiles(sp.streaming_quantiles_gk_summary(ev), out)
+        .option("checkpointLocation", str(tmp_path / "gq_ck"))
+        .start()
+    )
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    series = spark.read.parquet(out).collect()
+    assert series, "no global quantiles written"
+    last_batch = max(r.batch_id for r in series)
+    final = {r.phi: r for r in series if r.batch_id == last_batch}
+    assert set(final) == set(sp.GK_PHIS)
+    xs = sorted(r.value for r in load_events(spark, sf_dir).select("value").collect())
+    n_total = len(xs)
+    assert final[0.5].n_total == n_total  # final batch saw every event
+    # per-shard sizes for the bound's max_shard term
+    shard_n = {}
+    for v in (
+        load_events(spark, sf_dir)
+        .groupBy((F.col("user_id") % sp.GK_SHARDS).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        shard_n[v.s] = v.n
+    bound = sp.GK_EPS * n_total + sp.GK_EPS * max(shard_n.values()) + sp.GK_SHARDS + 1
+    for phi, r in final.items():
+        lo = bisect.bisect_left(xs, r.estimate) + 1
+        hi = bisect.bisect_right(xs, r.estimate)
+        target = phi * n_total
+        assert lo - bound <= target <= hi + bound, (phi, r, lo, hi, target)

@@ -325,3 +325,43 @@ def test_property_palette_roundtrips_across_bundling_widths(w, h, ncolors, seed)
     W, H, C, arr = decode_webp(encode_webp(w, h, raw, 3, palette=True))
     assert (W, H, C) == (w, h, 3)
     assert arr.tobytes() == raw
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 2**31), nbytes=st.integers(0, 200))
+def test_fuzz_decoder_never_hangs_or_returns_garbage(seed, nbytes):
+    """Fuzz: random bytes behind a valid RIFF/VP8L framing must either
+    decode (vanishingly unlikely) or raise ValueError — never hang,
+    never raise anything else, never crash the worker. This is the
+    robustness contract for a decoder that runs inside executor tasks."""
+    rng = np.random.default_rng(seed)
+    payload = b"\x2f" + rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes()
+    data = (
+        b"RIFF"
+        + struct.pack("<I", 12 + 8 + len(payload))
+        + b"WEBPVP8L"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+    try:
+        w, h, c, arr = decode_webp(data)
+        assert arr.shape == (h, w, c)  # if it decodes, it must be coherent
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31), cut=st.floats(0.05, 0.98))
+def test_fuzz_truncated_valid_streams_raise_value_error(seed, cut):
+    """Fuzz: a VALID stream cut at any point must raise ValueError (the
+    zero-padding a buffered peek sees past the end must not leak a
+    silently wrong decode)."""
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(2, 20)), int(rng.integers(2, 16))
+    raw = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    good = encode_webp(w, h, raw, 3, use_lz77=True, cache_bits=4)
+    k = max(21, int(len(good) * cut))
+    if k >= len(good):
+        return
+    with pytest.raises(ValueError):
+        decode_webp(good[:k])
