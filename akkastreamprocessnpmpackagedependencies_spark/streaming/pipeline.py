@@ -899,8 +899,11 @@ def streaming_quantiles_gk_summary(
             (F.col("user_id") % shards).alias("shard"), "ts", "event_id", "value"
         )
         .groupBy("shard")
+        # append mode: each batch's summary row is an immutable time-series
+        # record (never retracted), which also admits durable append sinks
+        # (parquet) for checkpoint-recovery coverage
         .applyInPandasWithState(
-            update, _GK_SUMMARY_OUT_SCHEMA, _GK_STATE_SCHEMA, "update",
+            update, _GK_SUMMARY_OUT_SCHEMA, _GK_STATE_SCHEMA, "append",
             GroupStateTimeout.NoTimeout,
         )
     )
@@ -967,7 +970,7 @@ def write_global_quantiles(
         )
         out.coalesce(1).write.mode("append").parquet(out_path)
 
-    return summaries.writeStream.outputMode("update").foreachBatch(_merge)
+    return summaries.writeStream.outputMode("append").foreachBatch(_merge)
 
 
 def streaming_quantiles_gk(

@@ -213,7 +213,7 @@ STREAMING_OPS = [
     ("stateful_user_counts", "update"),
     ("streaming_heavy_hitters", "update"),
     ("streaming_quantiles_gk", "update"),
-    ("streaming_quantiles_gk_summary", "update"),
+    ("streaming_quantiles_gk_summary", "append"),
     ("streaming_value_anomalies", "append"),
     ("sessionize_with_expiry", "append"),
     ("dedup_within_watermark", "append"),

@@ -1140,7 +1140,7 @@ def test_gk_merged_quantiles_summed_eps_bound(spark, sf_dir, tmp_path):
 
     ev = _events_stream(spark, sf_dir, tmp_path)
     q = sp.run_to_memory(
-        sp.streaming_quantiles_gk_summary(ev), "gk_sum_out", "update"
+        sp.streaming_quantiles_gk_summary(ev), "gk_sum_out", "append"
     )
     _drain(q)
     from akkastreamprocessnpmpackagedependencies_spark.session import load_events
@@ -1405,3 +1405,70 @@ def test_write_global_quantiles_live_pipeline(spark, sf_dir, tmp_path):
         hi = bisect.bisect_right(xs, r.estimate)
         target = phi * n_total
         assert lo - bound <= target <= hi + bound, (phi, r, lo, hi, target)
+
+
+def test_gk_summary_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """State recovery for the round-8 GK summary operator: the per-shard
+    (vs, gs, ds, n) summary must survive a stop/restart from the
+    checkpoint. GK state evolution is deterministic in arrival order, so
+    the FINAL per-shard summary after phase-1 (2 files) + restart +
+    phase-2 (2 files) must equal, tuple for tuple, an uninterrupted run
+    over the same 4 files — a reset state would restart n at 0 and
+    produce visibly different (g, delta) layouts."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    staging = str(tmp_path / "staged")
+    _write_time_sliced(load_events(spark, sf_dir), staging, 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*")), key=os.path.getmtime)
+    assert len(parts) == 4
+
+    def arrive(live, ps, t0):
+        os.makedirs(live, exist_ok=True)
+        for i, p in enumerate(ps):
+            dst = os.path.join(live, os.path.basename(p))
+            shutil.copy(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    def final_summaries(sink):
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in rows:
+            if r.shard not in latest or r.shard_n > latest[r.shard][3]:
+                latest[r.shard] = (list(r.vs), list(r.gs), list(r.ds), r.shard_n)
+        return latest
+
+    def start(live, sink, ck):
+        ev = sp.read_events_stream(spark, live, max_files=1)
+        return (
+            sp.streaming_quantiles_gk_summary(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    # interrupted run: 2 files, stop, restart from checkpoint, 2 more
+    live_a = str(tmp_path / "live_a")
+    sink_a = str(tmp_path / "gk_sink_a")
+    ck_a = str(tmp_path / "gk_ck_a")
+    arrive(live_a, parts[:2], time.time() - 60)
+    _drain(start(live_a, sink_a, ck_a))
+    arrive(live_a, parts[2:], time.time() - 30)
+    _drain(start(live_a, sink_a, ck_a))
+
+    # uninterrupted control: all 4 files, one run
+    live_b = str(tmp_path / "live_b")
+    sink_b = str(tmp_path / "gk_sink_b")
+    arrive(live_b, parts, time.time() - 60)
+    _drain(start(live_b, sink_b, str(tmp_path / "gk_ck_b")))
+
+    a, b = final_summaries(sink_a), final_summaries(sink_b)
+    assert set(a) == set(b) == set(range(sp.GK_SHARDS))
+    for shard in a:
+        assert a[shard] == b[shard], (shard, a[shard][3], b[shard][3])
