@@ -1472,3 +1472,73 @@ def test_gk_summary_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     assert set(a) == set(b) == set(range(sp.GK_SHARDS))
     for shard in a:
         assert a[shard] == b[shard], (shard, a[shard][3], b[shard][3])
+
+
+def test_welford_closed_form_matches_serial_recursion_numerically():
+    """The round-8 vectorization unrolls the Welford recursion to
+    cumsums CENTERED on the prior mean (exact algebraic identity, but
+    deviation-scale arithmetic). Pin the numeric envelope Spark-free by
+    driving the operator's actual kernel (_welford_batch) across hostile
+    regimes — offset/sd ratios up to 1e9, tiny variances, mixed signs,
+    uneven batch splits — against a serial recursion. The tolerance is
+    the CONDITION bound, not a constant: float64 values at offset b with
+    deviations sd only carry the deviation to ~eps*|b|/sd relative, so
+    NO algorithm (serial included) can agree tighter than that — the
+    assert is 1e-9 + 8*eps*|b|/sd in z units, which collapses to the
+    streaming test's 1e-9 in benign regimes. Flag sets must agree except
+    possibly at borderline crossings within the same bound of the z
+    threshold."""
+    import math
+    import random
+
+    import numpy as np
+
+    for trial, (offset, scale) in enumerate(
+        [(0.0, 1.0), (1e6, 1e-3), (-1e5, 50.0), (1e3, 1e-6), (1e9, 1.0)]
+    ):
+        rng = random.Random(trial)
+        values = [offset + scale * rng.gauss(0, 1) for _ in range(400)]
+        for k in range(20, 400, 57):  # inject outliers so the flag path runs
+            values[k] += scale * 12
+
+        # serial recursion (the pre-round-8 semantics)
+        n, mean, m2 = 0, 0.0, 0.0
+        serial = {}
+        for i, v in enumerate(values):
+            if n >= sp.ANOM_MIN_N:
+                sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                if sd > 0 and abs(v - mean) > sp.ANOM_Z * sd:
+                    serial[i] = (v - mean) / sd
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+
+        # the operator's kernel, applied batch-wise with uneven splits
+        state = (0, 0.0, 0.0)
+        vec = {}
+        idx0 = 0
+        for start in range(0, 400, 73):
+            v = np.asarray(values[start : start + 73], dtype=np.float64)
+            flag, zs, n_prev, state = sp._welford_batch(
+                *state, v, sp.ANOM_Z, sp.ANOM_MIN_N
+            )
+            for j in np.flatnonzero(flag):
+                vec[idx0 + int(j)] = float(zs[j])
+            idx0 += len(v)
+
+        eps = 2.22e-16
+        tol = 1e-9 + 8 * eps * (abs(offset) / scale if scale else 0.0)
+        diff = set(vec) ^ set(serial)
+        for i in diff:  # only quantization-borderline flags may disagree
+            zv = vec.get(i, serial.get(i))
+            assert abs(abs(zv) - sp.ANOM_Z) < tol, (trial, i, zv, tol)
+        assert serial, "flag path not exercised"
+        for i, zv in serial.items():
+            if i in vec:
+                assert abs(vec[i] - zv) < tol, (trial, i, vec[i], zv, tol)
+        # final state agreement too (it seeds every later batch)
+        n1, mean1, m2_1 = state
+        assert n1 == n
+        assert abs(mean1 - mean) <= 1e-12 * max(1.0, abs(mean)) + tol * scale
+        assert abs(m2_1 - m2) <= 1e-6 * max(1.0, abs(m2)) + (tol * scale) ** 2 * n
