@@ -1542,3 +1542,46 @@ def test_welford_closed_form_matches_serial_recursion_numerically():
         assert n1 == n
         assert abs(mean1 - mean) <= 1e-12 * max(1.0, abs(mean)) + tol * scale
         assert abs(m2_1 - m2) <= 1e-6 * max(1.0, abs(m2)) + (tol * scale) ** 2 * n
+
+
+def test_gk_insert_kernel_maintains_invariant():
+    """The GK correctness proof rests on one invariant: for every stored
+    tuple i > 0, g_i + d_i <= max(1, floor(2*eps*n)) (the bound compress
+    enforces and insert respects). Assert it Spark-free after EVERY
+    batch across value distributions — sorted, reverse-sorted, heavy
+    duplicates, adversarial sawtooth — plus summary monotonicity and the
+    exact total mass sum(g) == n."""
+    import math
+    import random
+
+    import pandas as pd
+
+    eps = sp.GK_EPS
+    rng = random.Random(42)
+    streams = {
+        "sorted": sorted(rng.gauss(0, 1) for _ in range(3000)),
+        "reversed": sorted((rng.gauss(0, 1) for _ in range(3000)), reverse=True),
+        "dupes": [float(rng.randrange(7)) for _ in range(3000)],
+        "sawtooth": [float(i % 97) for i in range(3000)],
+    }
+    for name, vals in streams.items():
+        tup, n = [], 0
+        for start in range(0, len(vals), 251):
+            batch = vals[start : start + 251]
+            pdf = pd.DataFrame(
+                {
+                    "ts": range(start, start + len(batch)),
+                    "event_id": range(start, start + len(batch)),
+                    "value": batch,
+                }
+            )
+            n = sp._gk_insert_batch(tup, n, pdf, eps)
+            bound = max(1, int(math.floor(2 * eps * n)))
+            vs = [t[0] for t in tup]
+            assert vs == sorted(vs), name  # summary stays value-ordered
+            assert sum(t[1] for t in tup) == n, name  # mass conservation
+            for i, (v, g, d) in enumerate(tup):
+                if i > 0:
+                    assert g + d <= bound, (name, n, i, g, d, bound)
+        # state stays sublinear at the end
+        assert len(tup) < n / 4, (name, len(tup), n)
