@@ -222,3 +222,54 @@ def test_tail_salvage_skips_scalar_fields():
         '"sf":0.1,"runs_per_query":3'
     )
     assert qs == {"a_query": 1.25, "other": 0.5}
+
+
+def test_normalize_flag_validates_mode_and_value(tmp_path, capsys):
+    """Round-8 ADVICE: a trailing --normalize must exit with usage (not
+    IndexError) and an unknown mode must exit with usage (not silently
+    fall through to the misleading no-calibration message)."""
+    old = _write(tmp_path, "old.json", {"queries": {"q": 1.0}})
+    for argv in (
+        ["bench_compare", old, old, "--normalize"],
+        ["bench_compare", old, old, "--normalize", "typo"],
+    ):
+        sys.argv = argv
+        with pytest.raises(SystemExit) as ex:
+            bc.main()
+        assert "--normalize needs one of" in str(ex.value)
+
+
+def test_fail_on_regression_gate_trips_and_clears(tmp_path, capsys):
+    """Round-8 verdict #3: with --fail-on-regression a confirmed
+    out-of-band >1.5x slowdown exits non-zero naming the query; an
+    identical artifact pair (and an in-band delta) exits 0."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0, "r": 1.0},
+        "spread": {"q": [0.9, 1.0, 1.1], "r": [0.8, 1.0, 2.4]}})
+    slow = _write(tmp_path, "slow.json", {
+        "queries": {"q": 2.0, "r": 2.0},
+        "spread": {"q": [1.9, 2.0, 2.1], "r": [1.9, 2.0, 2.1]}})
+    sys.argv = ["bench_compare", old, slow, "--fail-on-regression"]
+    with pytest.raises(SystemExit) as ex:
+        bc.main()
+    msg = str(ex.value)
+    assert "REGRESSION GATE" in msg and "q" in msg
+    # r's 2x median sits inside old's [0.8, 2.4] band: suppressed, so it
+    # must NOT appear in the gate's confirmed list
+    assert ", r" not in msg and "r," not in msg
+    sys.argv = ["bench_compare", old, old, "--fail-on-regression"]
+    bc.main()  # no SystemExit
+    assert "regression gate: clean" in capsys.readouterr().out
+
+
+def test_fail_on_regression_ignores_speedups(tmp_path, capsys):
+    """Speedups stay informational under the gate — only slowdowns fail."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 2.0}, "spread": {"q": [1.9, 2.0, 2.1]}})
+    fast = _write(tmp_path, "fast.json", {
+        "queries": {"q": 1.0}, "spread": {"q": [0.9, 1.0, 1.1]}})
+    sys.argv = ["bench_compare", old, fast, "--fail-on-regression"]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "faster q" in out
+    assert "regression gate: clean" in out

@@ -946,6 +946,89 @@ def test_jpeg_progressive_arbitrary_scan_scripts_match_baseline():
 # --------------------------------------------------------------- WebP query
 
 
+def test_decode_image_real_vp8l_webp_without_pil(spark):
+    """Round-9 wiring: a lossless (VP8L) WebP payload decodes through the
+    PRODUCTION dispatch (decode_image_real -> functions/webp.py) with no
+    codec library installed — previously every WebP hit the PIL-or-
+    NotImplementedError seam even though the stdlib codec existed. All
+    four encode shapes (literals / LZ77 / color cache + subtract-green /
+    palette) ride the same dispatch branch."""
+    import pandas as pd
+
+    from akkastreamprocessnpmpackagedependencies_spark.functions.webp import (
+        encode_webp,
+    )
+
+    rng = np.random.default_rng(17)
+    rows, truth = [], {}
+    modes = [
+        dict(use_lz77=False),
+        dict(use_lz77=True),
+        dict(use_lz77=True, cache_bits=4, subtract_green=True),
+    ]
+    for doc_id, kw in enumerate(modes):
+        w, h = 9 + doc_id, 5 + doc_id
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        rows.append((doc_id, bytearray(encode_webp(w, h, px, **kw))))
+        truth[doc_id] = (w, h, 3, sum(px) / len(px))
+    # palette mode needs few distinct colors for sub-byte bundling
+    w, h = 12, 7
+    px = bytes([((i * 7) % 4) * 60 for i in range(w * h * 3)])
+    rows.append((3, bytearray(encode_webp(w, h, px, palette=True))))
+    truth[3] = (w, h, 3, sum(px) / len(px))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.mean_intensity)
+        for r in mm.decode_image_real(df).collect()
+    }
+    assert set(got) == set(truth)
+    for doc_id, (w, h, c, mean) in truth.items():
+        gw, gh, gc, gmean = got[doc_id]
+        assert (gw, gh, gc) == (w, h, c)
+        assert gmean == pytest.approx(mean, abs=1e-12)
+
+
+def test_decode_image_real_all_four_containers(spark):
+    """Netpbm, PNG, JPEG, and VP8L WebP payloads decode side by side in
+    one frame through the production mapInPandas operator — the complete
+    in-container codec surface after the round-9 dispatch wiring. JPEG
+    features are checked against the codec's own decode (deterministic),
+    the lossless three against raw-byte truth."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions.webp import (
+        encode_webp,
+    )
+
+    rng = np.random.default_rng(37)
+    rows, truth = [], {}
+    for doc_id, kind in enumerate(["ppm", "png", "jpeg", "webp"]):
+        w, h = 10 + doc_id, 6 + doc_id
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        if kind == "ppm":
+            payload = encode_ppm(w, h, px)
+            mean = sum(px) / len(px)
+        elif kind == "png":
+            payload = encode_png(w, h, px, 3, filter_type=2)
+            mean = sum(px) / len(px)
+        elif kind == "webp":
+            payload = encode_webp(w, h, px, cache_bits=3)
+            mean = sum(px) / len(px)
+        else:
+            payload = encode_jpeg(w, h, px, 3, quality=90)
+            arr = decode_jpeg(payload)[3]
+            mean = float(int(arr.sum(dtype=np.int64))) / arr.size
+        rows.append((doc_id, bytearray(payload)))
+        truth[doc_id] = (w, h, 3, mean)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.mean_intensity)
+        for r in mm.decode_image_real(df).collect()
+    }
+    for doc_id, (w, h, c, mean) in truth.items():
+        gw, gh, gc, gmean = got[doc_id]
+        assert (gw, gh, gc) == (w, h, c)
+        assert gmean == pytest.approx(mean, abs=1e-9)
+
+
 def test_multimodal_decode_webp_roundtrips_three_bitstream_shapes(spark, sf_dir):
     """The round-8 query: documents become REAL lossless WebPs under a
     per-doc rotation of VP8L bitstream shapes (literals / LZ77 copies /

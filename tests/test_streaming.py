@@ -1352,8 +1352,8 @@ def test_mg_global_heavy_hitters_union_bound(spark, sf_dir, tmp_path):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     total_n = sum(truth.values())
-    glob = sp.mg_global_heavy_hitters(rows, total_n)
-    bound = total_n / (sp.MG_CAPACITY + 1)
+    glob, bound = sp.mg_global_heavy_hitters(rows, total_n)
+    assert bound == total_n / (sp.MG_CAPACITY + 1)
     for uid, c in glob.items():
         assert c <= truth[uid]
     for uid, t in truth.items():
@@ -1410,7 +1410,8 @@ def test_write_global_quantiles_live_pipeline(spark, sf_dir, tmp_path):
 def test_gk_summary_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     """State recovery for the round-8 GK summary operator: the per-shard
     (vs, gs, ds, n) summary must survive a stop/restart from the
-    checkpoint. GK state evolution is deterministic in arrival order, so
+    checkpoint. GK state evolution is deterministic given the batch
+    split (sorted-splice kernel: same per-file batches -> same state), so
     the FINAL per-shard summary after phase-1 (2 files) + restart +
     phase-2 (2 files) must equal, tuple for tuple, an uninterrupted run
     over the same 4 files — a reset state would restart n at 0 and
@@ -1585,3 +1586,181 @@ def test_gk_insert_kernel_maintains_invariant():
                     assert g + d <= bound, (name, n, i, g, d, bound)
         # state stays sublinear at the end
         assert len(tup) < n / 4, (name, len(tup), n)
+
+
+def test_write_global_quantiles_carries_quiet_shard_summaries(spark, tmp_path):
+    """Round-8 ADVICE (medium): a shard with no events in a micro-batch
+    emits no summary row that batch (NoTimeout stateful op), but its
+    accumulated state must STILL contribute to that batch's global
+    quantile row. File 1 feeds all shards; file 2 feeds only shard 0 —
+    the final batch's n_total must equal the full stream's event count,
+    not just the re-emitting shard's."""
+    import time as _time
+
+    src = str(tmp_path / "quiet_src")
+    rows1 = [
+        (i, (1_700_000_000_000_000_000 + i * 1_000_000_000), i % 16,
+         "click", float(i % 101), "{}")
+        for i in range(800)
+    ]
+    # shard = user_id % GK_SHARDS; user_id multiples of 4 -> shard 0 only
+    rows2 = [
+        (10_000 + i, (1_700_001_000_000_000_000 + i * 1_000_000_000),
+         4 * (i % 5), "click", float((7 * i) % 101), "{}")
+        for i in range(300)
+    ]
+    for j, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    ev = sp.read_events_stream(spark, src, max_files=1)
+    out = str(tmp_path / "quiet_out")
+    q = (
+        sp.write_global_quantiles(sp.streaming_quantiles_gk_summary(ev), out)
+        .option("checkpointLocation", str(tmp_path / "quiet_ck"))
+        .start()
+    )
+    _drain(q)
+    series = spark.read.parquet(out).collect()
+    last_batch = max(r.batch_id for r in series)
+    assert last_batch > 0, "expected at least two micro-batches"
+    final = {r.phi: r for r in series if r.batch_id == last_batch}
+    # every shard's accumulated state is in the merge: n_total == ALL events
+    assert final[0.5].n_total == len(rows1) + len(rows2)
+    # and the quiet shards' values still influence the estimates: the
+    # estimate must be a value some shard stored, within the global range
+    assert all(0.0 <= r.estimate <= 100.0 for r in final.values())
+
+
+def test_write_global_quantiles_compaction_bounds_file_count(spark, sf_dir, tmp_path):
+    """Round-8 verdict #7: a long-running stream must not accrete one
+    parquet file per micro-batch forever — every ``compact_every``
+    appends the (tiny) series is rewritten as one file, so the part-file
+    count stays bounded while the full batch history remains intact."""
+    import glob as _glob
+
+    ev = _events_stream(spark, sf_dir, tmp_path, n_files=6)
+    out = str(tmp_path / "compact_out")
+    q = (
+        sp.write_global_quantiles(
+            sp.streaming_quantiles_gk_summary(ev), out, compact_every=2
+        )
+        .option("checkpointLocation", str(tmp_path / "compact_ck"))
+        .start()
+    )
+    _drain(q)
+    series = spark.read.parquet(out).collect()
+    assert {r.batch_id for r in series} == set(range(6))  # history intact
+    n_files = len(_glob.glob(os.path.join(out, "part-*")))
+    assert n_files <= 3, f"{n_files} part files; compaction not bounding"
+    # the final row still reflects every event (carry + compaction
+    # orthogonal: rewriting history must not perturb the live answer)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    last_batch = max(r.batch_id for r in series)
+    n_total = {r.phi: r.n_total for r in series if r.batch_id == last_batch}
+    assert n_total[0.5] == load_events(spark, sf_dir).count()
+
+
+def test_dedup_gate_band_sidecar_layout_and_fallback(spark, sf_dir, tmp_path):
+    """Round-8 verdict #5: the accepted corpus' band keys persist in a
+    sidecar PARTITIONED BY band_bucket, so a batch probe partition-prunes
+    instead of re-banding the whole corpus. Asserts (a) the sidecar
+    exists with hash-bucket directories and one row per accepted doc per
+    band, (b) a bucket-filtered read carries a partition filter in its
+    plan, (c) deleting the sidecar (pre-sidecar corpus layout) still
+    gates duplicates via the fallback band derivation AND regrows the
+    sidecar for newly accepted docs."""
+    import shutil
+
+    from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import N_BANDS
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+    from akkastreamprocessnpmpackagedependencies_spark.sources.io import (
+        scan_has_partition_filter,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "sc_src")
+    d.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(src)
+    corpus = str(tmp_path / "sc_corpus")
+    bands = corpus + "_bands"
+
+    def run_gate(ck: str):
+        q = (
+            sp.write_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                corpus,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_gate("sc_ck1")
+    acc1 = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    side = spark.read.parquet(bands)
+    assert set(side.columns) >= {"doc_id", "b", "bkey", "band_bucket"}
+    # one band row per accepted doc per band, nothing else
+    assert side.count() == len(acc1) * N_BANDS
+    assert {r.doc_id for r in side.select("doc_id").distinct().collect()} == acc1
+    # bucket-filtered read prunes partitions (the probe's shape)
+    probe = side.filter(F.col("band_bucket").isin([0, 1, 2]))
+    assert scan_has_partition_filter(probe, "band_bucket")
+
+    # pre-sidecar layout: drop the sidecar, replay the same docs under a
+    # fresh checkpoint — every doc is now a corpus duplicate and must be
+    # rejected through the fallback (on-the-fly banding) path
+    shutil.rmtree(bands)
+    run_gate("sc_ck2")
+    acc2 = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert acc2 == acc1, "replayed duplicates slipped past the fallback probe"
+    # nothing newly accepted -> the regrown sidecar stays absent or empty
+    import glob as _glob
+
+    regrown = _glob.glob(os.path.join(bands, "band_bucket=*"))
+    assert not regrown
+
+
+def test_gk_insert_kernel_edge_batches():
+    """Spark-free edges of the sorted-splice kernel: an empty batch is a
+    no-op, a single value into empty state is exact, all-duplicate
+    batches conserve mass, and a batch whose values all tie stored
+    values splices AFTER them (bisect_right semantics) while keeping the
+    summary value-ordered and the invariant intact."""
+    import math
+
+    import pandas as pd
+
+    eps = sp.GK_EPS
+
+    def batch(vals, start=0):
+        return pd.DataFrame(
+            {"ts": range(start, start + len(vals)),
+             "event_id": range(start, start + len(vals)),
+             "value": vals}
+        )
+
+    tup, n = [], 0
+    assert sp._gk_insert_batch(tup, n, batch([]), eps) == 0 and tup == []
+    n = sp._gk_insert_batch(tup, 0, batch([5.0]), eps)
+    assert n == 1 and tup == [[5.0, 1, 0]]
+    # all-duplicates, several batches: mass conserved, order kept
+    for k in range(4):
+        n = sp._gk_insert_batch(tup, n, batch([5.0] * 100, start=100 * k), eps)
+    assert n == 401
+    assert sum(t[1] for t in tup) == 401
+    vs = [t[0] for t in tup]
+    assert vs == sorted(vs)
+    bound = max(1, int(math.floor(2 * eps * n)))
+    assert all(g + d <= bound for _, g, d in tup[1:])
+    # ties against stored values plus straddling values
+    n = sp._gk_insert_batch(tup, n, batch([4.0, 5.0, 6.0], start=999), eps)
+    assert n == 404 and sum(t[1] for t in tup) == 404
+    vs = [t[0] for t in tup]
+    assert vs == sorted(vs) and vs[0] == 4.0 and vs[-1] == 6.0
+    # new global min and max took delta 0 (extremes anchor the range)
+    assert tup[0][2] == 0 and tup[-1][2] == 0

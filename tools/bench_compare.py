@@ -1,7 +1,8 @@
 """Compare two bench JSON files per query and flag real regressions.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [ratio]
-                                     [--normalize cal|median|none]
+                                     [--normalize auto|cal|median|none]
+                                     [--fail-on-regression]
 
 Accepts either a raw ``bench.py`` output line saved to a file or a
 driver-recorded ``BENCH_r{N}.json``. A driver file's payload sits under
@@ -37,9 +38,13 @@ genuine 1.5x median regression indefinitely. Files without spread fall
 back to median-only flagging. Suppressed deltas are summarized so they
 stay auditable.
 
-Exits non-zero only when an input yields ZERO queries — that is a broken
+Exits non-zero when an input yields ZERO queries — that is a broken
 artifact, not an empty delta (round-4 ADVICE); explained deltas stay
-exit 0 (see the PLANS.md bench-methodology note)."""
+exit 0 (see the PLANS.md bench-methodology note). With
+``--fail-on-regression`` (round-8 verdict #3, the verify_all gate) it
+ALSO exits non-zero when any query's normalized median is >ratio slower
+AND outside the old sample band — the confirmed-regression definition;
+in-band deltas remain suppressed noise and speedups stay exit 0."""
 
 from __future__ import annotations
 
@@ -127,11 +132,31 @@ def median_in_band(median: float, band: list[float]) -> bool:
     return band[0] <= median <= band[-1]
 
 
+_MODES = ("auto", "cal", "median", "none")
+
+
 def main() -> None:
     argv = list(sys.argv[1:])
     mode = "auto"
+    fail_on_regression = "--fail-on-regression" in argv
+    if fail_on_regression:
+        argv.remove("--fail-on-regression")
+    json_flags = None
+    if "--json-flags" in argv:
+        i = argv.index("--json-flags")
+        if i + 1 >= len(argv):
+            sys.exit("error: --json-flags needs a file path")
+        json_flags = argv[i + 1]
+        del argv[i : i + 2]
     if "--normalize" in argv:
         i = argv.index("--normalize")
+        # round-8 ADVICE: a trailing --normalize raised IndexError and a
+        # typo'd mode fell through to a misleading "no calibration" note
+        if i + 1 >= len(argv) or argv[i + 1] not in _MODES:
+            got = argv[i + 1] if i + 1 < len(argv) else "(nothing)"
+            sys.exit(
+                f"error: --normalize needs one of {'/'.join(_MODES)}, got {got!r}"
+            )
         mode = argv[i + 1]
         del argv[i : i + 2]
     if len(argv) < 2:
@@ -206,6 +231,25 @@ def main() -> None:
         f"({rate}); flagged >{ratio}x: {len(flagged)}"
         + (f"; noise-suppressed: {len(suppressed)}" if suppressed else "")
     )
+    regressed = [q for r, q, a, b in flagged if r > 1 and a > 0 and b > 0]
+    if json_flags:
+        # machine-readable verdict for verify_all's two-run intersection
+        # adjudication (a single session's flags are noise-prone; only a
+        # flag reproduced by an independent bench run is a regression)
+        with open(json_flags, "w") as f:
+            json.dump({"regressed": regressed}, f)
+    if fail_on_regression:
+        # gate mode (round-8 verdict #3): a CONFIRMED regression — the
+        # normalized new median is >ratio slower AND outside the old
+        # sample band (in-band deltas were already suppressed above) —
+        # fails the run. Speedups and zero-artifact anomalies stay
+        # informational; they are triage items, not regressions.
+        if regressed:
+            sys.exit(
+                f"REGRESSION GATE: {len(regressed)} queries confirmed "
+                f">{ratio}x slower after normalization: {', '.join(regressed)}"
+            )
+        print(f"regression gate: clean (0 confirmed >{ratio}x slowdowns)")
 
 
 if __name__ == "__main__":

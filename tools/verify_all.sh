@@ -36,7 +36,41 @@ echo "== 2/4 oracle parity (sf0.01) =="
 python tools/oracle_check.py /root/testdata/sf0.01 | tail -1
 
 echo "== 3/4 bench =="
+# keep the last COMMITTED full artifact for the regression gate below
+# (bench.py overwrites BENCH_FULL.json in place)
+git show HEAD:BENCH_FULL.json > /tmp/bench_full_prev.json 2>/dev/null || true
 python bench.py 2>/dev/null | tail -1 | python -c "import json,sys; d=json.load(sys.stdin); print('bench ok:', d['value'], d['unit'], len(d['queries']), 'queries')"
+
+echo "== 3b/4 bench regression gate (vs last committed BENCH_FULL) =="
+# round-8 verdict #3: FAIL on a confirmed regression — normalized median
+# >1.5x slower AND outside the old sample band. Calibration-normalized,
+# so a uniformly slow session cannot trip it. The calibration is a pure
+# CPU workload, so FS/JVM ambient drift can still throw single-run
+# flags on untouched queries (measured: two back-to-back r9 runs each
+# flagged 2-3 DIFFERENT untouched queries, intersection empty) — a flag
+# therefore only fails the gate when an independent second bench run
+# reproduces it. Skipped when HEAD has no BENCH_FULL.json.
+if [[ -s /tmp/bench_full_prev.json ]]; then
+  if ! python tools/bench_compare.py /tmp/bench_full_prev.json BENCH_FULL.json \
+        --fail-on-regression --json-flags /tmp/bench_flags1.json | tail -6; then
+    echo "-- first run flagged; re-benching to confirm (noise discriminator) --"
+    python bench.py 2>/dev/null | tail -1 > /dev/null
+    python tools/bench_compare.py /tmp/bench_full_prev.json BENCH_FULL.json \
+        --fail-on-regression --json-flags /tmp/bench_flags2.json | tail -6 || true
+    python - <<'PYEOF'
+import json
+a = set(json.load(open("/tmp/bench_flags1.json"))["regressed"])
+b = set(json.load(open("/tmp/bench_flags2.json"))["regressed"])
+inter = sorted(a & b)
+if inter:
+    raise SystemExit(f"REGRESSION GATE: reproduced by both independent runs: {inter}")
+print(f"regression gate: flags did not reproduce across runs "
+      f"(run1 {sorted(a)} vs run2 {sorted(b)}) — adjudicated session noise")
+PYEOF
+  fi
+else
+  echo "no committed BENCH_FULL.json to compare against; gate skipped"
+fi
 
 # Optional density sweep: SF01_SWEEP=1 re-checks the driver window at
 # sf0.1 (two real bugs only ever appeared at that density), skipping the
