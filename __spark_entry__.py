@@ -40,44 +40,45 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 8 slot budget (standing rule: new+fingerprint-changed <= 8
-    # per round, >= 41 slots serve rotation; enforced mechanically by
-    # `tools/driver_check.py --window-budget 8`): 50 slots = 1 flagship
-    # + set_union (the must_rotate=8 promise carried from round 7's
-    # displacement) + the 47 r5-aged rows + ONE deliberately held slot
-    # (see the tail comment). This executes the rotation plan recorded
-    # at the end of round 7 exactly.
-    "set_union",
-    # the 47 r5-aged rows, alphabetical
-    *["array_funcs", "bigram_lm_probs", "chunk_documents",
-      "corpus_budget_select", "corpus_pipeline_verdicts",
-      "cosine_topk_lsh", "date_funcs", "dedup_exact_summary",
-      "dedup_normalized_hash", "doc_fingerprints", "embedding_centroids",
-      "events_hourly_gapfill", "events_sessionize",
-      "events_sliding_1h_30m", "events_tumbling_1h",
-      "grouped_median_pandas", "json_corrupt_tolerant", "json_funcs",
-      "lang_id_heuristic", "map_funcs", "math_funcs",
-      "minhash_signatures", "multimodal_decode_audio",
-      "multimodal_decode_features", "multimodal_frame_sample",
-      "multimodal_metadata", "multimodal_resize_plan",
-      "npm_dependency_pagerank", "npm_transitive_deps",
-      "order_priority_by_quarter", "pca_project_fixed_basis",
-      "pii_redact", "pii_scan", "price_histogram", "price_outliers_iqr",
-      "semdedup_keep_one", "session_overlap_pairs", "set_except",
-      "simhash_fingerprints", "sql_api_revenue_by_nation",
-      "stratified_sample", "string_funcs", "text_normalize",
-      "text_quality_scores", "token_counts", "udtf_sentences",
-      "vocab_top_terms"],
-    # Slot 50 is the round's ONE discretionary slot (round-7 verdict
-    # item #7), spent on the round's single NEW query: the VP8L WebP
-    # decode (functions/webp.py + operators/multimodal.py, appended so
-    # no existing fingerprint moved — verified: zero drift). Round-9
-    # arithmetic: demand = flagship + the 46 r6-aged rows = 47 slots,
-    # leaving three free — the recorded plan for those three: wire
-    # functions/webp.py into decode_image_real (multimodal.py), which
-    # fingerprint-moves exactly the three decode queries
-    # (multimodal_decode_real/png/jpeg) that share that dispatch.
-    "multimodal_decode_webp",
+    # round 9 slot arithmetic, executing the rotation plan recorded at
+    # the end of round 8 exactly: 50 slots = 1 flagship + the 46 r6-aged
+    # rows (no registry row may age past r7) + the 3 decode queries
+    # whose fingerprints moved when functions/webp.py (VP8L) was wired
+    # into decode_image_real's production dispatch (multimodal.py) —
+    # verified: that edit moved exactly multimodal_decode_real/png/jpeg
+    # and nothing else. Demand checked green by
+    # `tools/driver_check.py --window-budget 9` before and after.
+    "multimodal_decode_real", "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    # the 46 r6-aged rows, alphabetical
+    *["ann_recall_eval", "approx_sketches", "bracket_revenue",
+      "customer_churn_full_outer", "customer_order_counts",
+      "customers_without_big_orders", "distinct_aggs",
+      "doc_perplexity_bigram", "embedding_neardup_pairs",
+      "embedding_pq_codes", "embedding_quantize_int8",
+      "events_error_context_5m", "events_value_rolling_1h",
+      "forecast_revenue", "grouping_sets_qty", "idle_rich_customers",
+      "large_volume_customers", "late_shipment_suppliers",
+      "local_supplier_revenue", "nation_market_share",
+      "npm_reverse_dependency_counts", "order_gap_days",
+      "pack_sequences", "pivot_linestatus", "pq_adc_topk",
+      "priority_with_returns", "product_profit_by_nation_year",
+      "promo_revenue_ratio", "quality_filter_composite",
+      "repetition_signals", "returned_item_customers",
+      "running_quantity_by_supplier", "skew_salted_join",
+      "small_qty_part_revenue", "split_leakage_audit", "stats_moments",
+      "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
+      "top_bigram_share", "top_orders_global",
+      "top_orders_per_customer", "top_revenue_suppliers",
+      "top_unshipped_orders", "topk_per_customer_agg",
+      "unpivot_part_metrics", "window_rank_variants"],
+    # Round-10 rotation plan (recorded per standing practice): demand =
+    # flagship + the 49 r7-aged rows (set_intersect, minhash_lsh_neardup,
+    # neardup_clusters, kmeans_assignments, ... — exactly the round-7
+    # window minus the flagship) = 50, a zero-slack window again. Any
+    # round-10 fingerprint-moving edit therefore displaces an r7 row and
+    # needs an explicit --must-rotate 11 re-promise; plan NEW operator
+    # work as appended functions (which move no existing fingerprints).
 ]
 
 

@@ -402,6 +402,13 @@ def write_hourly_partitions(events: DataFrame, out_path: str):
     return events.writeStream.foreachBatch(_write)
 
 
+# sidecar partition fan-out for the dedup gate's band-key table: wide
+# enough that a batch's probe prunes most directories, small enough that
+# local tests don't drown in tiny files and per-batch directory churn;
+# at cluster scale this would be sized to executors x a few
+DEDUP_BAND_BUCKETS = 8
+
+
 def write_dedup_gated(docs: DataFrame, corpus_path: str):
     """Dedup-gated streaming ingestion — the composition a live training-
     data pipeline runs: each micro-batch of documents is near-dup-checked
@@ -413,6 +420,19 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
     table is maintained incrementally, and per-batch cost scales with
     |batch| x bucket occupancy, not |corpus| (same economics as the batch
     ``dedup_incremental`` query).
+
+    Probe layout (round-8 verdict #5): accepted band keys live in a
+    SIDECAR table at ``<corpus_path>_bands``, PARTITIONED BY a hash
+    bucket of the band key (``band_bucket``), so each micro-batch probe
+    filter-prunes to the bucket directories its own band keys hash into
+    instead of re-deriving band keys from the full corpus every batch —
+    at 1000-executor scale the probe reads |touched buckets| / |buckets|
+    of a three-column table rather than re-banding every stored
+    signature. The sidecar is written BEFORE the corpus append (a crash
+    between the two leaves only orphan band rows, which produce extra
+    candidates that the exact-jaccard verify then drops against the
+    corpus — never a silently missed duplicate), and a corpus created by
+    an older layout (no sidecar) falls back to on-the-fly banding.
 
     Within-batch duplicates keep the smallest doc_id; a batch doc
     matching the corpus is dropped. Greedy ingestion is order-dependent
@@ -429,11 +449,22 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         _verify_jaccard,
     )
 
+    bands_path = corpus_path.rstrip("/") + "_bands"
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         sig_new = _signatures(batch.select("doc_id", "text")).localCheckpoint()
         # within-batch dedup: keep the smallest doc_id of every dup pair
-        nb = _band_frame(sig_new)
+        # (localCheckpoint: nb feeds the within-join, the corpus probe,
+        # and the sidecar append — derive the bands once)
+        nb = (
+            _band_frame(sig_new)
+            .withColumn(
+                "band_bucket",
+                F.pmod(F.xxhash64("b", "bkey"), F.lit(DEDUP_BAND_BUCKETS)),
+            )
+            .localCheckpoint()
+        )
         within = (
             nb.alias("x")
             .join(nb.alias("y"), ["b", "bkey"])
@@ -452,19 +483,38 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         # forever; only the legitimate first-batch missing-path case may
         # bypass it.
         if table_exists(spark, corpus_path):
-            corpus_sig = spark.read.parquet(corpus_path).select(
-                "doc_id", "sh", *[f"mh{h}" for h in range(N_HASHES)]
-            )
+            if table_exists(spark, bands_path):
+                # pruned probe: only the bucket directories this batch's
+                # band keys hash into are read (partition pruning on the
+                # sidecar's band_bucket partition column)
+                buckets = [
+                    r[0] for r in nb.select("band_bucket").distinct().collect()
+                ]
+                corpus_bands = spark.read.parquet(bands_path).filter(
+                    F.col("band_bucket").isin(buckets)
+                )
+            else:
+                # corpus written by the pre-sidecar layout: derive bands
+                # from the stored minhash columns (the old full-scan path)
+                corpus_bands = _band_frame(
+                    spark.read.parquet(corpus_path).select(
+                        "doc_id", *[f"mh{h}" for h in range(N_HASHES)]
+                    )
+                )
             cross = (
                 nb.alias("d")
-                .join(_band_frame(corpus_sig).alias("c"), ["b", "bkey"])
+                .join(corpus_bands.alias("c"), ["b", "bkey"])
                 .select(
                     F.col("d.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
                 )
                 .distinct()
             )
+            # exact-jaccard verify: the corpus side contributes only the
+            # (doc_id, sh) columns of the candidate doc_bs — column-pruned
+            # scan, and orphan sidecar rows (crash between the two writes)
+            # drop out here because their doc_id never joins
             sig_all = sig_new.select("doc_id", "sh").unionByName(
-                corpus_sig.select("doc_id", "sh")
+                spark.read.parquet(corpus_path).select("doc_id", "sh")
             )
             drop = drop.unionByName(
                 _verify_jaccard(cross, sig_all, "sh", JACCARD_THRESHOLD).select(
@@ -474,7 +524,17 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         keep = (
             batch.join(sig_new, "doc_id")
             .join(drop.distinct(), "doc_id", "left_anti")
+            .localCheckpoint()  # decide ONCE; feeds both appends below
         )
+        # sidecar first (see docstring: orphan band rows are safe, a
+        # corpus doc missing from the sidecar would silently skip probes).
+        # coalesce(1): one file per touched bucket per batch instead of
+        # one per (task x bucket) — band rows are a few ints/strings per
+        # accepted doc, and directory churn dominates at micro-batch
+        # granularity (at cluster scale: repartition("band_bucket"))
+        nb.join(keep.select("doc_id"), "doc_id").coalesce(1).write.mode(
+            "append"
+        ).partitionBy("band_bucket").parquet(bands_path)
         keep.write.mode("append").parquet(corpus_path)
 
     return docs.writeStream.foreachBatch(_ingest)
@@ -777,53 +837,93 @@ def _gk_state_dump(tup: list[list], n: int) -> tuple:
 
 def _gk_insert_batch(tup: list[list], n: int, pdf, eps: float) -> int:
     """Insert one pandas batch of (ts, event_id, value) rows into the GK
-    summary IN OBSERVATION ORDER (ts, event_id) — the sequential GK01
-    algorithm, shared by the estimate- and summary-emitting operators so
-    their state evolution is identical. Returns the new n; mutates
-    ``tup`` in place. Compression runs every ~1/(2 eps) inserts, the
-    standard schedule that keeps the summary O((1/eps) log(eps n))."""
-    import bisect
+    summary as a SORTED-BATCH SPLICE (round-8 verdict #4, replacing the
+    per-value Python loop): sort the batch once, vectorize the insertion
+    positions with one ``searchsorted``, splice every new (v, 1, delta)
+    tuple in with ``np.insert``, then run ONE left-to-right compress pass
+    at the batch-final threshold. Shared by the estimate- and
+    summary-emitting operators so their state evolution is identical;
+    returns the new n and mutates ``tup`` in place.
+
+    Correctness shape (the tests pin it): inserting the batch in value
+    order is a legal GK01 insertion order, and the k-th smallest batch
+    value takes the delta of its VIRTUAL sequential insertion time,
+    delta_k = floor(2*eps*(n + k + 1)) - 1 — within the invariant at the
+    batch-final n (k + 1 <= batch size), and since n only grows, forever
+    after. The time-staggering matters, not just the bound: giving every
+    new tuple the batch-FINAL delta makes each one "full" (g + d = 2*eps*n,
+    zero slack), so nothing can ever merge into it and the summary
+    degenerates to O(batch) per batch (measured: 2,500 stored tuples per
+    2,500-row batch, forever); staggered deltas leave tuple k slack
+    ~2*eps*(B - k) at this batch's compress and a further 2*eps*B more
+    each subsequent batch, reproducing the sequential algorithm's
+    staleness-driven mergeability and its O((1/eps) log(eps n)) size.
+    The extremes rule is preserved exactly as the sequential sorted
+    insert would play it: every batch value >= the existing maximum
+    lands at the end with delta 0 (each lands at the then-end), and only
+    the FIRST batch value gets delta 0 at the front (the second-smallest
+    inserts after it, so it is interior). Compressing once per batch
+    instead of every ~1/(2 eps) inserts merges under a LARGER threshold
+    (n_final), so the post-batch summary is at least as compressed;
+    mid-batch the working set is O(summary + batch) — micro-batch sized,
+    never stream sized.
+    GK state evolution remains deterministic GIVEN THE BATCH SPLIT (the
+    checkpoint-recovery test replays identical per-file batches), same
+    as the previous kernel, whose compress points also depended on the
+    per-batch insert concatenation."""
     import math
 
-    period = max(1, int(1.0 / (2 * eps)))
-    # parallel sorted-keys list: bisect finds the insertion point in
-    # O(log n) instead of the previous linear Python scan (bisect_right
-    # lands after equal values — identical position, identical state
-    # evolution); kept in lockstep through insert and compress
-    keys = [t[0] for t in tup]
+    import numpy as np
 
-    def compress():
-        t = 2 * eps * n
-        i = 0
-        while i < len(tup) - 1:
-            # never merge away the extremes (their delta is 0 and
-            # they anchor the min/max answers)
-            if i > 0 and tup[i][1] + tup[i + 1][1] + tup[i + 1][2] <= t:
-                tup[i + 1][1] += tup[i][1]
-                del tup[i]
-                del keys[i]
-            else:
-                i += 1
+    vals = pdf["value"].to_numpy(dtype=float)
+    if vals.size == 0:
+        return n
+    vals = np.sort(vals)
+    n_new = n + int(vals.size)
+    # virtual sequential insertion times: k-th smallest value "arrives"
+    # at count n + k + 1 (see docstring for why staggering is essential)
+    new_d = (
+        np.floor(2 * eps * (n + np.arange(1, vals.size + 1, dtype=np.int64)))
+        .astype(np.int64) - 1
+    )
+    np.clip(new_d, 0, None, out=new_d)
+    if tup:
+        keys = np.array([t[0] for t in tup], dtype=float)
+        gs = np.array([t[1] for t in tup], dtype=np.int64)
+        ds = np.array([t[2] for t in tup], dtype=np.int64)
+        # side="right": a batch value equal to a stored value inserts
+        # AFTER it — bisect_right semantics of the sequential algorithm
+        pos = np.searchsorted(keys, vals, side="right")
+        new_d[vals >= keys[-1]] = 0  # tail extremes, see docstring
+        if pos[0] == 0:
+            new_d[0] = 0  # new global minimum (first batch value only)
+        m_v = np.insert(keys, pos, vals)
+        m_g = np.insert(gs, pos, np.ones(vals.size, dtype=np.int64))
+        m_d = np.insert(ds, pos, new_d)
+    else:
+        # empty summary: the sequential sorted insert gives every value
+        # delta 0 (each lands at the then-end)
+        m_v = vals
+        m_g = np.ones(vals.size, dtype=np.int64)
+        m_d = np.zeros(vals.size, dtype=np.int64)
 
-    # one vectorized sort + column pull; the per-value loop then runs on
-    # plain floats (itertuples built a namedtuple per row — measured 2x+
-    # of the whole insert cost at sf0.1 rates)
-    values = pdf.sort_values(["ts", "event_id"])["value"].to_numpy(dtype=float).tolist()
-    for v in values:
-        n += 1
-        lo = bisect.bisect_right(keys, v)
-        if lo == 0 or lo == len(tup):
-            tup.insert(lo, [v, 1, 0])
+    # one compress pass, single O(len) sweep equivalent to the previous
+    # in-place cascade (merge tuple i into i+1 while the combined mass
+    # fits; the first tuple is never merged away — it anchors the min)
+    t = 2 * eps * n_new
+    vs_l, gs_l, ds_l = m_v.tolist(), m_g.tolist(), m_d.tolist()
+    out: list[list] = [[vs_l[0], gs_l[0], ds_l[0]]]
+    pending = 0  # g-mass of already-absorbed left neighbors
+    last = len(vs_l) - 1
+    for j in range(1, len(vs_l)):
+        g_here = pending + gs_l[j]
+        if j < last and g_here + gs_l[j + 1] + ds_l[j + 1] <= t:
+            pending = g_here  # absorbed into the right neighbor
         else:
-            # delta = floor(2 eps n) - 1 so the new tuple's
-            # g + delta respects the invariant strictly (the
-            # unreduced floor(2 eps n) overshoots it by one and
-            # the rank-bound proof with it)
-            tup.insert(lo, [v, 1, max(0, int(math.floor(2 * eps * n)) - 1)])
-        keys.insert(lo, v)
-        if n % period == 0:
-            compress()
-    return n
+            out.append([vs_l[j], g_here, ds_l[j]])
+            pending = 0
+    tup[:] = out
+    return n_new
 
 
 def gk_merged_quantiles(
@@ -935,7 +1035,7 @@ def streaming_quantiles_gk_summary(
 
 def mg_global_heavy_hitters(
     rows: list, total_n: int, capacity: int = MG_CAPACITY
-) -> dict[int, int]:
+) -> tuple[dict[int, int], float]:
     """GLOBAL heavy hitters from the per-shard Misra-Gries summaries
     ``streaming_heavy_hitters`` emits. Because sharding is BY KEY
     (user_id % shards), each key lives in exactly one shard, so the
@@ -948,8 +1048,12 @@ def mg_global_heavy_hitters(
     so every key with true global frequency above total_n/(capacity+1)
     is guaranteed present (its shard bound is tighter). rows are
     (shard, user_id, mg_count, shard_n) records — take the latest
-    summary per shard before calling. Pure function; merging 1000
-    shards is dict-union work on shards x capacity counters."""
+    summary per shard before calling. Returns ``(counts, bound)`` where
+    ``bound = total_n / (capacity + 1)`` is that guarantee threshold —
+    computed here (round-8 ADVICE: the parameters were previously dead)
+    so callers assert against the SAME bound the docstring promises.
+    Pure function; merging 1000 shards is dict-union work on
+    shards x capacity counters."""
     out: dict[int, int] = {}
     for r in rows:
         uid, c = int(r[1] if not hasattr(r, "user_id") else r.user_id), int(
@@ -961,38 +1065,68 @@ def mg_global_heavy_hitters(
                 "key-sharded; the union bound does not apply"
             )
         out[uid] = c
-    return out
+    return out, total_n / (capacity + 1)
 
 
 def write_global_quantiles(
-    summaries: DataFrame, out_path: str, eps: float = GK_EPS
+    summaries: DataFrame, out_path: str, eps: float = GK_EPS,
+    compact_every: int = 16,
 ):
     """Operationalize the GK merge as a LIVE pipeline: consume the
     summary stream (``streaming_quantiles_gk_summary``) in foreachBatch,
-    keep only each shard's latest summary (max shard_n), merge
-    driver-side — kilobytes of tuples no matter the stream size — and
-    append one row per phi per micro-batch to ``out_path``. The stored
-    history is the global-quantile time series a monitoring pipeline
-    wants; the last batch_id group is the live answer, within the
-    summed-eps rank bound of ``gk_merged_quantiles``."""
+    keep each shard's LATEST summary (max shard_n) — carried across
+    micro-batches in driver memory, so a shard that is quiet this batch
+    still contributes its accumulated state to the global merge (a
+    NoTimeout stateful op only re-emits a shard's summary when the shard
+    received events) — merge driver-side (kilobytes of tuples no matter
+    the stream size) and append one row per phi per micro-batch to
+    ``out_path``. The stored history is the global-quantile time series
+    a monitoring pipeline wants; the last batch_id group is the live
+    answer, within the summed-eps rank bound of ``gk_merged_quantiles``.
+
+    Restart semantics: the carried per-shard cache is driver memory, so
+    a query restart resets it; after a restart the 'global' rows cover
+    only shards that have re-emitted since (each shard's STATE survives
+    in the checkpoint, so its next event restores it to the merge). The
+    time series is annotated with n_total, which makes such windows
+    visible (n_total dips until every shard re-reports).
+
+    Small files: every ``compact_every`` appends the accumulated series
+    (tiny — phis x batches rows) is collected and rewritten as one file,
+    bounding the file count of a long-running stream at
+    ``compact_every + 1`` regardless of uptime."""
+
+    last_seen: dict[int, tuple] = {}  # shard -> (vs, gs, ds, shard_n)
+    appends = [0]  # files appended since the last compaction
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         rows = batch.collect()  # O(shards) summary rows, never events
         if not rows:
-            return
-        latest: dict[int, tuple] = {}
+            return  # empty micro-batch: nothing changed, emit nothing
         for r in rows:
-            if r.shard not in latest or r.shard_n > latest[r.shard][3]:
-                latest[r.shard] = (r.vs, r.gs, r.ds, r.shard_n)
-        merged = gk_merged_quantiles(list(latest.values()), eps=eps)
-        n_total = sum(s[3] for s in latest.values())
+            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][3]:
+                last_seen[r.shard] = (r.vs, r.gs, r.ds, r.shard_n)
+        merged = gk_merged_quantiles(list(last_seen.values()), eps=eps)
+        n_total = sum(s[3] for s in last_seen.values())
         out = spark.createDataFrame(
             [(int(batch_id), float(phi), float(est), int(n_total))
              for phi, est in merged.items()],
             "batch_id long, phi double, estimate double, n_total long",
         )
-        out.coalesce(1).write.mode("append").parquet(out_path)
+        if appends[0] >= compact_every:
+            # collect-then-overwrite: the series is O(phis x batches) tiny
+            # monitoring rows, and materializing it driver-side first is
+            # what makes overwriting the path we just read safe
+            prior = spark.read.parquet(out_path).collect()
+            full = spark.createDataFrame(
+                prior, "batch_id long, phi double, estimate double, n_total long"
+            )
+            full.unionByName(out).coalesce(1).write.mode("overwrite").parquet(out_path)
+            appends[0] = 1
+        else:
+            out.coalesce(1).write.mode("append").parquet(out_path)
+            appends[0] += 1
 
     return summaries.writeStream.outputMode("append").foreachBatch(_merge)
 
@@ -1008,8 +1142,9 @@ def streaming_quantiles_gk(
 
     Each state tuple (v, g, delta) brackets the true rank of v between
     rmin = sum(g up to here) and rmax = rmin + delta; inserts add
-    (v, 1, floor(2 eps n)) before the first larger element (delta 0 at
-    the extremes), and a periodic compress merges neighbors while
+    (v, 1, floor(2 eps n) - 1) before the first larger element (delta 0
+    at the extremes) — spliced per batch by the vectorized kernel — and
+    a per-batch compress merges neighbors while
     g_i + g_{i+1} + delta_{i+1} <= 2 eps n — the GK invariant that makes
     every phi-quantile answerable within eps*n rank error,
     DETERMINISTICALLY (no randomness, unlike KLL/reservoir), which is

@@ -426,6 +426,15 @@ def main() -> None:
         "runs_per_query": MEASURE_RUNS,
         "aggregation": "median",
         "order": "seeded shuffle per pass (random.Random(2026+run))",
+        "coverage": (
+            f"HEADLINE times {len(times)} of {len(qs)} registry queries; "
+            f"the {len(qs) - len(times)} excluded are deliberately the "
+            "sub-second scalar-function / set-operation / small-projection "
+            "queries whose sf0.1 runtime is dominated by fixed query-launch "
+            "overhead, not operator work — including them would add noise "
+            "floor, not signal (round-8 verdict #6: this subset was "
+            "previously undocumented)."
+        ),
         "notes": (
             "WindowExec single-partition warnings in the log tail are "
             "the intended one-row-per-shard offsets window in "
