@@ -214,6 +214,7 @@ STREAMING_OPS = [
     ("streaming_heavy_hitters", "update"),
     ("streaming_quantiles_gk", "update"),
     ("streaming_quantiles_gk_summary", "append"),
+    ("streaming_distinct_hll", "update"),
     ("streaming_value_anomalies", "append"),
     ("sessionize_with_expiry", "append"),
     ("dedup_within_watermark", "append"),

@@ -518,3 +518,70 @@ def test_jpeg_progressive_equals_baseline_property(
     prog = decode_jpeg(encode_jpeg(w, h, px.tobytes(), progressive=True, **kw))
     assert base[:3] == prog[:3]
     assert np.array_equal(base[3], prog[3])
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=1200,
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(max_examples=60, deadline=None)
+def test_gk_bulk_kernel_rank_bound_property(data, splits, seed):
+    """The sorted-splice GK kernel (round 9) under randomized streams AND
+    randomized micro-batch splits: after folding the whole stream, every
+    phi-quantile answered by the GK01 rule must sit within eps*n rank
+    error of the exact sorted data — the operator's contract,
+    independent of batch boundaries, duplicates, or value range. Also
+    re-asserts the structural invariants (value order, mass
+    conservation, g+delta bound) on the final summary."""
+    import bisect
+    import math
+    import random
+
+    import pandas as pd
+
+    from akkastreamprocessnpmpackagedependencies_spark.streaming import pipeline as sp
+
+    eps = sp.GK_EPS
+    rng = random.Random(seed)
+    rng.shuffle(data)
+    tup, n = [], 0
+    pos = 0
+    si = 0
+    while pos < len(data):
+        size = splits[si % len(splits)]
+        si += 1
+        batch = data[pos : pos + size]
+        pos += len(batch)
+        pdf = pd.DataFrame(
+            {"ts": range(len(batch)), "event_id": range(len(batch)), "value": batch}
+        )
+        n = sp._gk_insert_batch(tup, n, pdf, eps)
+    assert n == len(data)
+    assert sum(g for _, g, _ in tup) == n
+    vs = [v for v, _, _ in tup]
+    assert vs == sorted(vs)
+    bound_gd = max(1, int(math.floor(2 * eps * n)))
+    assert all(g + d <= bound_gd for _, g, d in tup[1:])
+    xs = sorted(data)
+    for phi in sp.GK_PHIS:
+        r = max(1, int(math.ceil(phi * n)))
+        band = eps * n
+        # the GK01 answer rule (same as streaming_quantiles_gk)
+        rmin = 0
+        ans = prev = tup[0][0]
+        for v, g, d in tup:
+            rmin += g
+            if rmin + d > r + band:
+                ans = prev
+                break
+            prev = v
+            ans = v
+        lo = bisect.bisect_left(xs, ans) + 1
+        hi = bisect.bisect_right(xs, ans)
+        # +1 absorbs ceil/tie slack, same as the streaming test's bound
+        assert lo - band - 1 <= r <= hi + band + 1, (phi, r, lo, hi, n)
