@@ -1842,3 +1842,81 @@ def test_streaming_distinct_hll_per_shard_and_global_union(spark, sf_dir, tmp_pa
     # the merge is a union, not a sum: overlapping shards make the sum
     # of per-shard distincts a gross overcount of the global answer
     assert sum(truth.values()) > 1.5 * true_global
+
+
+def test_hll_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """State recovery for the HLL op: per-shard registers must survive a
+    stop/restart from the checkpoint. HLL is even stronger than GK here —
+    registers are a grow-only element-wise max, so the interrupted run's
+    FINAL registers must equal the uninterrupted run's BYTE FOR BYTE
+    regardless of batch boundaries (not merely given the same split),
+    and the update-mode sink's latest row per shard must carry the full
+    stream's shard_n."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    staging = str(tmp_path / "hll_staged")
+    _write_time_sliced(load_events(spark, sf_dir), staging, 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*")), key=os.path.getmtime)
+    assert len(parts) == 4
+
+    def arrive(live, ps, t0):
+        os.makedirs(live, exist_ok=True)
+        for i, p in enumerate(ps):
+            dst = os.path.join(live, os.path.basename(p))
+            shutil.copy(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    def start(live, sink, ck):
+        # update-mode rows through foreachBatch appends: a durable sink
+        # that BOTH tolerates update output and recovers from checkpoints
+        # (memory sink cannot recover; parquet rejects update directly)
+        ev = sp.read_events_stream(spark, live, max_files=1)
+
+        def _sink(batch, batch_id):
+            batch.write.mode("append").parquet(sink)
+
+        return (
+            sp.streaming_distinct_hll(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    def final_rows(sink):
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in rows:
+            if r.shard not in latest or r.shard_n > latest[r.shard][1]:
+                latest[r.shard] = (bytes(r.regs), r.shard_n, r.estimate)
+        return latest
+
+    # interrupted: 2 files, stop, restart from the SAME checkpoint, 2 more
+    live_a = str(tmp_path / "hll_live_a")
+    sink_a = str(tmp_path / "hll_sink_a")
+    ck_a = str(tmp_path / "hll_ck_a")
+    arrive(live_a, parts[:2], time.time() - 60)
+    _drain(start(live_a, sink_a, ck_a))
+    arrive(live_a, parts[2:], time.time() - 30)
+    _drain(start(live_a, sink_a, ck_a))
+    a = final_rows(sink_a)
+
+    # uninterrupted control over the same 4 files
+    live_b = str(tmp_path / "hll_live_b")
+    sink_b = str(tmp_path / "hll_sink_b")
+    arrive(live_b, parts, time.time() - 60)
+    _drain(start(live_b, sink_b, str(tmp_path / "hll_ck_b")))
+    b = final_rows(sink_b)
+
+    assert set(a) == set(b) == set(range(sp.HLL_SHARDS))
+    total = load_events(spark, sf_dir).count()
+    assert sum(v[1] for v in a.values()) == total  # no event lost or replayed
+    for shard in a:
+        assert a[shard][0] == b[shard][0], f"shard {shard} registers diverged"
+        assert a[shard][1] == b[shard][1]
+        assert a[shard][2] == b[shard][2]
