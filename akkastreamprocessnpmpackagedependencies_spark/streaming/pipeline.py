@@ -1282,21 +1282,72 @@ def write_global_quantiles(
              for phi, est in merged.items()],
             "batch_id long, phi double, estimate double, n_total long",
         )
-        if appends[0] >= compact_every:
-            # collect-then-overwrite: the series is O(phis x batches) tiny
-            # monitoring rows, and materializing it driver-side first is
-            # what makes overwriting the path we just read safe
-            prior = spark.read.parquet(out_path).collect()
-            full = spark.createDataFrame(
-                prior, "batch_id long, phi double, estimate double, n_total long"
-            )
-            full.unionByName(out).coalesce(1).write.mode("overwrite").parquet(out_path)
-            appends[0] = 1
-        else:
-            out.coalesce(1).write.mode("append").parquet(out_path)
-            appends[0] += 1
+        _append_or_compact(
+            out, out_path,
+            "batch_id long, phi double, estimate double, n_total long",
+            appends, compact_every,
+        )
 
     return summaries.writeStream.outputMode("append").foreachBatch(_merge)
+
+
+def _append_or_compact(
+    out: DataFrame, out_path: str, schema: str, appends: list, compact_every: int
+) -> None:
+    """Shared sink idiom of the global-sketch monitoring pipelines: append
+    the batch's tiny row group, and every ``compact_every`` appends
+    collect-then-overwrite the whole series as one file — the series is
+    O(rows-per-batch x batches) monitoring rows, and materializing it
+    driver-side before the overwrite is what makes rewriting the path we
+    just read safe. Bounds a long-running stream's file count at
+    compact_every + 1."""
+    spark = out.sparkSession
+    if appends[0] >= compact_every:
+        prior = spark.read.parquet(out_path).collect()
+        full = spark.createDataFrame(prior, schema)
+        full.unionByName(out).coalesce(1).write.mode("overwrite").parquet(out_path)
+        appends[0] = 1
+    else:
+        out.coalesce(1).write.mode("append").parquet(out_path)
+        appends[0] += 1
+
+
+def write_global_distinct(
+    summaries: DataFrame, out_path: str, compact_every: int = 16
+):
+    """Operationalize the HLL merge as a LIVE pipeline, the cardinality
+    twin of ``write_global_quantiles``: consume ``streaming_distinct_hll``
+    rows in foreachBatch, carry each shard's latest registers across
+    micro-batches (quiet shards keep contributing; a restart resets the
+    carry until each shard re-reports, visible as an n_total dip), merge
+    register-wise — ZERO added error, see ``hll_merged_distinct`` — and
+    append one (batch_id, estimate, n_total) row per micro-batch to the
+    parquet time series, compacting every ``compact_every`` appends.
+    The last row is the live global distinct count; n_total records how
+    many events the merged registers have absorbed."""
+    last_seen: dict[int, tuple] = {}  # shard -> (regs bytes, shard_n)
+    appends = [0]
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rows = batch.collect()  # O(shards) register rows, never events
+        if not rows:
+            return
+        for r in rows:
+            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][1]:
+                last_seen[r.shard] = (bytes(r.regs), r.shard_n)
+        est = hll_merged_distinct([v[0] for v in last_seen.values()])
+        n_total = sum(v[1] for v in last_seen.values())
+        out = spark.createDataFrame(
+            [(int(batch_id), float(est), int(n_total))],
+            "batch_id long, estimate double, n_total long",
+        )
+        _append_or_compact(
+            out, out_path, "batch_id long, estimate double, n_total long",
+            appends, compact_every,
+        )
+
+    return summaries.writeStream.outputMode("update").foreachBatch(_merge)
 
 
 def streaming_quantiles_gk(

@@ -1920,3 +1920,35 @@ def test_hll_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         assert a[shard][0] == b[shard][0], f"shard {shard} registers diverged"
         assert a[shard][1] == b[shard][1]
         assert a[shard][2] == b[shard][2]
+
+
+def test_write_global_distinct_live_pipeline(spark, sf_dir, tmp_path):
+    """The operationalized HLL merge: register stream -> foreachBatch
+    union -> parquet time series. The last row's estimate must sit
+    within the error bound of the TRUE global distinct user count, its
+    n_total must equal the full event count, the series must grow
+    monotonically in n_total, and compaction must bound the file count."""
+    import glob as _glob
+
+    ev = _events_stream(spark, sf_dir, tmp_path, n_files=6)
+    out = str(tmp_path / "gd_out")
+    q = (
+        sp.write_global_distinct(
+            sp.streaming_distinct_hll(ev), out, compact_every=2
+        )
+        .option("checkpointLocation", str(tmp_path / "gd_ck"))
+        .start()
+    )
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    series = sorted(spark.read.parquet(out).collect(), key=lambda r: r.batch_id)
+    assert {r.batch_id for r in series} == set(range(6))
+    n_tot = [r.n_total for r in series]
+    assert n_tot == sorted(n_tot)  # registers only absorb, never forget
+    events = load_events(spark, sf_dir)
+    assert n_tot[-1] == events.count()
+    true_global = events.select("user_id").distinct().count()
+    tol = 3 * 1.04 / ((1 << sp.HLL_B) ** 0.5)
+    assert abs(series[-1].estimate - true_global) / true_global <= tol
+    assert len(_glob.glob(os.path.join(out, "part-*"))) <= 3
