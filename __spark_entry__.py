@@ -40,45 +40,45 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 9 slot arithmetic, executing the rotation plan recorded at
-    # the end of round 8 exactly: 50 slots = 1 flagship + the 46 r6-aged
-    # rows (no registry row may age past r7) + the 3 decode queries
-    # whose fingerprints moved when functions/webp.py (VP8L) was wired
-    # into decode_image_real's production dispatch (multimodal.py) —
-    # verified: that edit moved exactly multimodal_decode_real/png/jpeg
-    # and nothing else. Demand checked green by
-    # `tools/driver_check.py --window-budget 9` before and after.
-    "multimodal_decode_real", "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    # the 46 r6-aged rows, alphabetical
-    *["ann_recall_eval", "approx_sketches", "bracket_revenue",
-      "customer_churn_full_outer", "customer_order_counts",
-      "customers_without_big_orders", "distinct_aggs",
-      "doc_perplexity_bigram", "embedding_neardup_pairs",
-      "embedding_pq_codes", "embedding_quantize_int8",
-      "events_error_context_5m", "events_value_rolling_1h",
-      "forecast_revenue", "grouping_sets_qty", "idle_rich_customers",
-      "large_volume_customers", "late_shipment_suppliers",
-      "local_supplier_revenue", "nation_market_share",
-      "npm_reverse_dependency_counts", "order_gap_days",
-      "pack_sequences", "pivot_linestatus", "pq_adc_topk",
-      "priority_with_returns", "product_profit_by_nation_year",
-      "promo_revenue_ratio", "quality_filter_composite",
-      "repetition_signals", "returned_item_customers",
-      "running_quantity_by_supplier", "skew_salted_join",
-      "small_qty_part_revenue", "split_leakage_audit", "stats_moments",
-      "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
-      "top_bigram_share", "top_orders_global",
-      "top_orders_per_customer", "top_revenue_suppliers",
-      "top_unshipped_orders", "topk_per_customer_agg",
-      "unpivot_part_metrics", "window_rank_variants"],
-    # Round-10 rotation plan (recorded per standing practice): demand =
-    # flagship + the 49 r7-aged rows (set_intersect, minhash_lsh_neardup,
-    # neardup_clusters, kmeans_assignments, ... — exactly the round-7
-    # window minus the flagship) = 50, a zero-slack window again. Any
-    # round-10 fingerprint-moving edit therefore displaces an r7 row and
-    # needs an explicit --must-rotate 11 re-promise; plan NEW operator
-    # work as appended functions (which move no existing fingerprints).
+    # round 10 slot arithmetic, executing the rotation plan recorded at
+    # the end of round 9 (corrected against tools/evidence.json: the
+    # actual age histogram entering round 10 is r7:46, r8:49, r9:50 —
+    # the recorded plan's "49 r7-aged rows" over-counted by 3): 50 slots
+    # = 1 flagship + ALL 46 r7-aged rows (no registry row may age past
+    # r8) + the 3 alphabetically-first r8-aged rows spent from the free
+    # slots to smooth the r11 rotation. Demand checked green by
+    # `tools/driver_check.py --window-budget 10` before and after.
+    # the 46 r7-aged rows, alphabetical
+    *["approx_sketches_exact", "asof_cogroup_pandas",
+      "asof_purchase_signup", "bm25_topk_docs", "case_bucketing",
+      "chargram_jaccard_pairs", "contamination_ngram_hits",
+      "cosine_topk_bruteforce", "cosine_topk_ivf", "cube_qty",
+      "dataset_shuffle_order", "dataset_split_assign",
+      "dedup_exact_hash", "dedup_incremental", "deterministic_sample",
+      "dominant_part_suppliers", "dq_expectations",
+      "duplicate_ngram_overlap", "embedding_covariance",
+      "embedding_pca_project", "equi_depth_deciles",
+      "events_funnel_conversion", "events_mad_outliers",
+      "events_retention_cohorts", "fuzzy_dedup_keep_one",
+      "key_skew_profile", "kmeans_assignments", "kmeans_clusters",
+      "length_weighted_sample", "min_cost_supplier",
+      "minhash_lsh_neardup", "nation_pair_trade", "neardup_clusters",
+      "part_supplier_variety", "part_value_concentration",
+      "pricing_summary", "rollup_qty", "scd2_user_tiers",
+      "session_concurrency_hourly", "set_intersect",
+      "shipping_delay_priority", "simhash_candidate_pairs",
+      "snapshot_diff", "source_mixing_weights", "token_rarity_scores",
+      "zorder_bucket_profile"],
+    # the 3 alphabetically-first r8-aged rows (free-slot spend)
+    "array_funcs", "bigram_lm_probs", "chunk_documents",
+    # Round-11 rotation plan (recorded per standing practice): after
+    # this round the histogram is r8:46, r9:50, r10:49(+flagship).
+    # Demand for r11 = flagship + the 46 remaining r8-aged rows = 47,
+    # leaving 3 free slots (spend on the alphabetically-first r9 rows).
+    # Fingerprint-moving edits to registered queries remain
+    # window-mandatory; new operator work should land as appended
+    # functions or streaming ops (streaming/pipeline.py is outside
+    # queries() fingerprints — verified empirically in round 9).
 ]
 
 
