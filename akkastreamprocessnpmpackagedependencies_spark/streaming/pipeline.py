@@ -339,6 +339,32 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory rename through the Hadoop FileSystem API — the atomic
+    install step of the write-to-temp-then-swap idiom used by the
+    sidecar backfill and the series compaction. Atomic on file:/ and
+    hdfs:// (the deployment targets where crash atomicity matters);
+    object stores emulate rename by copy, where the temp-then-swap still
+    narrows the corruption window to the swap instead of the whole
+    write. A False return (e.g. destination exists) raises — callers
+    rely on the install having happened."""
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(sp, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (no-op when the
+    path is absent) — clears swap leftovers before/after a rename."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None):
     """Start a memory-sink query (test/driver harness helper)."""
     w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)
@@ -428,11 +454,19 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
     instead of re-deriving band keys from the full corpus every batch —
     at 1000-executor scale the probe reads |touched buckets| / |buckets|
     of a three-column table rather than re-banding every stored
-    signature. The sidecar is written BEFORE the corpus append (a crash
-    between the two leaves only orphan band rows, which produce extra
-    candidates that the exact-jaccard verify then drops against the
-    corpus — never a silently missed duplicate), and a corpus created by
-    an older layout (no sidecar) falls back to on-the-fly banding.
+    signature. The sidecar is written BEFORE the corpus append: a crash
+    between the two leaves only orphan band rows, which surface extra
+    candidates whose exact-jaccard verify runs against CORPUS-SIDE
+    signatures only — an orphan's doc never reached the corpus, so it
+    produces no drop and the replayed batch is re-admitted (verifying
+    against the batch's own signatures instead would self-match every
+    replayed doc at jaccard 1.0 and silently lose the whole batch).
+    Never a silently missed duplicate either way. A corpus created by an
+    older layout (no sidecar) gets a ONE-TIME BACKFILL: the full stored
+    corpus is banded and installed as the sidecar via temp + atomic
+    rename before the first post-upgrade probe, so pre-upgrade docs stay
+    probeable forever (appending only new batches' bands would silently
+    un-gate every pre-upgrade doc).
 
     Within-batch duplicates keep the smallest doc_id; a batch doc
     matching the corpus is dropped. Greedy ingestion is order-dependent
@@ -483,24 +517,45 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         # forever; only the legitimate first-batch missing-path case may
         # bypass it.
         if table_exists(spark, corpus_path):
-            if table_exists(spark, bands_path):
-                # pruned probe: only the bucket directories this batch's
-                # band keys hash into are read (partition pruning on the
-                # sidecar's band_bucket partition column)
-                buckets = [
-                    r[0] for r in nb.select("band_bucket").distinct().collect()
-                ]
-                corpus_bands = spark.read.parquet(bands_path).filter(
-                    F.col("band_bucket").isin(buckets)
-                )
-            else:
-                # corpus written by the pre-sidecar layout: derive bands
-                # from the stored minhash columns (the old full-scan path)
-                corpus_bands = _band_frame(
-                    spark.read.parquet(corpus_path).select(
-                        "doc_id", *[f"mh{h}" for h in range(N_HASHES)]
+            if not table_exists(spark, bands_path):
+                # corpus written by the pre-sidecar layout: ONE-TIME
+                # BACKFILL — band the ENTIRE stored corpus and install
+                # the result as the sidecar via write-to-temp + atomic
+                # rename. Installing the complete sidecar (not just this
+                # batch's rows) is load-bearing: appending only the
+                # batch's bands would make table_exists(bands_path) true
+                # from the next batch on while the sidecar lacked every
+                # pre-upgrade corpus doc — their duplicates would then
+                # be silently admitted forever. The temp+rename makes a
+                # crash mid-backfill leave bands_path absent, so the
+                # next attempt redoes the backfill instead of trusting a
+                # partial sidecar.
+                tmp = bands_path + "__backfill_tmp"
+                (
+                    _band_frame(
+                        spark.read.parquet(corpus_path).select(
+                            "doc_id", *[f"mh{h}" for h in range(N_HASHES)]
+                        )
                     )
+                    .withColumn(
+                        "band_bucket",
+                        F.pmod(F.xxhash64("b", "bkey"), F.lit(DEDUP_BAND_BUCKETS)),
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .partitionBy("band_bucket")
+                    .parquet(tmp)
                 )
+                fs_rename(spark, tmp, bands_path)
+            # pruned probe: only the bucket directories this batch's
+            # band keys hash into are read (partition pruning on the
+            # sidecar's band_bucket partition column)
+            buckets = [
+                r[0] for r in nb.select("band_bucket").distinct().collect()
+            ]
+            corpus_bands = spark.read.parquet(bands_path).filter(
+                F.col("band_bucket").isin(buckets)
+            )
             cross = (
                 nb.alias("d")
                 .join(corpus_bands.alias("c"), ["b", "bkey"])
@@ -509,17 +564,40 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
                 )
                 .distinct()
             )
-            # exact-jaccard verify: the corpus side contributes only the
-            # (doc_id, sh) columns of the candidate doc_bs — column-pruned
-            # scan, and orphan sidecar rows (crash between the two writes)
-            # drop out here because their doc_id never joins
-            sig_all = sig_new.select("doc_id", "sh").unionByName(
-                spark.read.parquet(corpus_path).select("doc_id", "sh")
+            # exact-jaccard verify, ASYMMETRIC on purpose: doc_a's
+            # signature comes from this batch, doc_b's comes ONLY from
+            # the stored corpus (doc_id + sh, a column-pruned scan).
+            # Keeping the batch's own signatures off the doc_b side is
+            # what makes crash replay safe: a crash between the sidecar
+            # append and the corpus append leaves orphan band rows for
+            # docs that never reached the corpus, and on replay those
+            # orphans surface the batch's own docs as (d, d) candidates
+            # — verified against batch-side signatures they'd self-match
+            # at jaccard 1.0 and the whole replayed batch would be
+            # dropped and permanently lost. Against corpus-side
+            # signatures the orphan doc_b never joins (it isn't in the
+            # corpus) and the doc is re-admitted; when BOTH writes
+            # landed before the crash, the replayed doc IS in the corpus,
+            # self-matches at 1.0, and is correctly not appended twice.
+            corpus_sigs = spark.read.parquet(corpus_path).select("doc_id", "sh")
+            inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+            union = (
+                F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+            )
+            cross_dups = (
+                cross.join(
+                    sig_new.select("doc_id", "sh").alias("sa"),
+                    F.col("doc_a") == F.col("sa.doc_id"),
+                )
+                .join(corpus_sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+                .select(
+                    "doc_a",
+                    (inter.cast("double") / union).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             )
             drop = drop.unionByName(
-                _verify_jaccard(cross, sig_all, "sh", JACCARD_THRESHOLD).select(
-                    F.col("doc_a").alias("doc_id")
-                )
+                cross_dups.select(F.col("doc_a").alias("doc_id"))
             )
         keep = (
             batch.join(sig_new, "doc_id")
@@ -871,8 +949,6 @@ def _gk_insert_batch(tup: list[list], n: int, pdf, eps: float) -> int:
     checkpoint-recovery test replays identical per-file batches), same
     as the previous kernel, whose compress points also depended on the
     per-batch insert concatenation."""
-    import math
-
     import numpy as np
 
     vals = pdf["value"].to_numpy(dtype=float)
@@ -1243,7 +1319,8 @@ def write_global_quantiles(
     """Operationalize the GK merge as a LIVE pipeline: consume the
     summary stream (``streaming_quantiles_gk_summary``) in foreachBatch,
     keep each shard's LATEST summary (max shard_n) — carried across
-    micro-batches in driver memory, so a shard that is quiet this batch
+    micro-batches in driver memory and persisted to a restart-surviving
+    sidecar, so a shard that is quiet this batch
     still contributes its accumulated state to the global merge (a
     NoTimeout stateful op only re-emits a shard's summary when the shard
     received events) — merge driver-side (kilobytes of tuples no matter
@@ -1252,29 +1329,55 @@ def write_global_quantiles(
     a monitoring pipeline wants; the last batch_id group is the live
     answer, within the summed-eps rank bound of ``gk_merged_quantiles``.
 
-    Restart semantics: the carried per-shard cache is driver memory, so
-    a query restart resets it; after a restart the 'global' rows cover
-    only shards that have re-emitted since (each shard's STATE survives
-    in the checkpoint, so its next event restores it to the merge). The
-    time series is annotated with n_total, which makes such windows
-    visible (n_total dips until every shard re-reports).
+    Restart semantics: the carried per-shard cache lives in driver
+    memory AND is persisted each batch to a ``<out_path>_carry`` sidecar
+    (one row per shard, kilobytes, atomically swapped); at the first
+    batch after a (re)start the cache re-hydrates from the sidecar, so a
+    quiet shard's accumulated state keeps contributing to the global
+    merge across restarts instead of dropping out until its next event.
+    The carry is written BEFORE the series append: a crash between the
+    two replays the batch, which re-derives the same carry
+    (idempotent), whereas the reverse order could emit a series row no
+    persisted carry backs. n_total still annotates every row, so any
+    residual coverage gap (e.g. a pre-carry-era sink) stays visible.
 
     Small files: every ``compact_every`` appends the accumulated series
-    (tiny — phis x batches rows) is collected and rewritten as one file,
+    (tiny — phis x batches rows) is rewritten in Spark as one file,
     bounding the file count of a long-running stream at
     ``compact_every + 1`` regardless of uptime."""
 
+    carry_path = out_path.rstrip("/") + "_carry"
+    carry_schema = (
+        "shard long, vs array<double>, gs array<long>, ds array<long>, shard_n long"
+    )
     last_seen: dict[int, tuple] = {}  # shard -> (vs, gs, ds, shard_n)
+    hydrated = [False]
     appends = [0]  # files appended since the last compaction
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if not hydrated[0]:
+            hydrated[0] = True
+            _swap_recover(spark, carry_path)
+            if table_exists(spark, carry_path):
+                for r in spark.read.parquet(carry_path).collect():
+                    last_seen[r.shard] = (
+                        list(r.vs), list(r.gs), list(r.ds), r.shard_n,
+                    )
         rows = batch.collect()  # O(shards) summary rows, never events
         if not rows:
             return  # empty micro-batch: nothing changed, emit nothing
         for r in rows:
             if r.shard not in last_seen or r.shard_n > last_seen[r.shard][3]:
                 last_seen[r.shard] = (r.vs, r.gs, r.ds, r.shard_n)
+        _atomic_overwrite(
+            spark.createDataFrame(
+                [(int(s), list(v[0]), list(v[1]), list(v[2]), int(v[3]))
+                 for s, v in last_seen.items()],
+                carry_schema,
+            ),
+            carry_path,
+        )
         merged = gk_merged_quantiles(list(last_seen.values()), eps=eps)
         n_total = sum(s[3] for s in last_seen.values())
         out = spark.createDataFrame(
@@ -1291,21 +1394,69 @@ def write_global_quantiles(
     return summaries.writeStream.outputMode("append").foreachBatch(_merge)
 
 
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Overwrite ``path`` with ``df`` via the write-temp-then-swap idiom
+    (see ``_append_or_compact``): a direct overwrite deletes the target
+    directory before writing, so a crash mid-write would lose the
+    previous contents; the swap keeps a complete copy on disk at every
+    instant, and ``_swap_recover`` heals the one exposed window."""
+    spark = df.sparkSession
+    tmp_new = path.rstrip("/") + "__compact_tmp"
+    tmp_old = path.rstrip("/") + "__compact_old"
+    _swap_recover(spark, path)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_new)
+    fs_delete(spark, tmp_old)
+    if table_exists(spark, path):
+        fs_rename(spark, path, tmp_old)
+    fs_rename(spark, tmp_new, path)
+    fs_delete(spark, tmp_old)
+
+
+def _swap_recover(spark: SparkSession, path: str) -> None:
+    """Heal the swap idiom's only exposed crash window: the live path was
+    renamed aside and the replacement (a complete copy) was not yet
+    installed — install the surviving temp."""
+    tmp_new = path.rstrip("/") + "__compact_tmp"
+    if not table_exists(spark, path) and table_exists(spark, tmp_new):
+        fs_rename(spark, tmp_new, path)
+
+
 def _append_or_compact(
     out: DataFrame, out_path: str, schema: str, appends: list, compact_every: int
 ) -> None:
     """Shared sink idiom of the global-sketch monitoring pipelines: append
     the batch's tiny row group, and every ``compact_every`` appends
-    collect-then-overwrite the whole series as one file — the series is
-    O(rows-per-batch x batches) monitoring rows, and materializing it
-    driver-side before the overwrite is what makes rewriting the path we
-    just read safe. Bounds a long-running stream's file count at
-    compact_every + 1."""
+    rewrite the whole series as one file, IN SPARK (read -> union ->
+    coalesce(1) -> write temp -> swap) — never a driver collect of the
+    accumulated series, whose size is O(stream lifetime). The swap keeps
+    a full copy on disk at every instant: write the compacted series to
+    a temp sibling, rename the live path aside, install the temp, drop
+    the old — a direct overwrite would delete the directory before
+    writing, so a crash mid-compaction would lose the entire series. A
+    crash inside the swap's only exposed window (live path renamed away,
+    temp not yet installed) is healed by the recovery step at the top of
+    the next call, which installs the surviving temp. Bounds a
+    long-running stream's file count at compact_every + 1. ``schema``
+    stays in the signature for the callers' self-documentation (the
+    read now carries the parquet schema itself)."""
     spark = out.sparkSession
+    tmp_new = out_path.rstrip("/") + "__compact_tmp"
+    tmp_old = out_path.rstrip("/") + "__compact_old"
+    _swap_recover(spark, out_path)
     if appends[0] >= compact_every:
-        prior = spark.read.parquet(out_path).collect()
-        full = spark.createDataFrame(prior, schema)
-        full.unionByName(out).coalesce(1).write.mode("overwrite").parquet(out_path)
+        # writing the temp reads out_path while writing a DIFFERENT
+        # directory, so no materialization barrier is needed
+        (
+            spark.read.parquet(out_path)
+            .unionByName(out)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp_new)
+        )
+        fs_delete(spark, tmp_old)
+        fs_rename(spark, out_path, tmp_old)
+        fs_rename(spark, tmp_new, out_path)
+        fs_delete(spark, tmp_old)
         appends[0] = 1
     else:
         out.coalesce(1).write.mode("append").parquet(out_path)
@@ -1318,24 +1469,43 @@ def write_global_distinct(
     """Operationalize the HLL merge as a LIVE pipeline, the cardinality
     twin of ``write_global_quantiles``: consume ``streaming_distinct_hll``
     rows in foreachBatch, carry each shard's latest registers across
-    micro-batches (quiet shards keep contributing; a restart resets the
-    carry until each shard re-reports, visible as an n_total dip), merge
+    micro-batches (quiet shards keep contributing; the carry persists to
+    a ``<out_path>_carry`` sidecar written before each series append and
+    re-hydrates at the first batch after a restart, so pre-restart state
+    survives — same semantics and crash ordering as
+    ``write_global_quantiles``), merge
     register-wise — ZERO added error, see ``hll_merged_distinct`` — and
     append one (batch_id, estimate, n_total) row per micro-batch to the
     parquet time series, compacting every ``compact_every`` appends.
     The last row is the live global distinct count; n_total records how
     many events the merged registers have absorbed."""
+    carry_path = out_path.rstrip("/") + "_carry"
+    carry_schema = "shard long, regs binary, shard_n long"
     last_seen: dict[int, tuple] = {}  # shard -> (regs bytes, shard_n)
+    hydrated = [False]
     appends = [0]
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if not hydrated[0]:
+            hydrated[0] = True
+            _swap_recover(spark, carry_path)
+            if table_exists(spark, carry_path):
+                for r in spark.read.parquet(carry_path).collect():
+                    last_seen[r.shard] = (bytes(r.regs), r.shard_n)
         rows = batch.collect()  # O(shards) register rows, never events
         if not rows:
             return
         for r in rows:
             if r.shard not in last_seen or r.shard_n > last_seen[r.shard][1]:
                 last_seen[r.shard] = (bytes(r.regs), r.shard_n)
+        _atomic_overwrite(
+            spark.createDataFrame(
+                [(int(s), v[0], int(v[1])) for s, v in last_seen.items()],
+                carry_schema,
+            ),
+            carry_path,
+        )
         est = hll_merged_distinct([v[0] for v in last_seen.values()])
         n_total = sum(v[1] for v in last_seen.values())
         out = spark.createDataFrame(

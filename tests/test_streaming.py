@@ -1633,6 +1633,103 @@ def test_write_global_quantiles_carries_quiet_shard_summaries(spark, tmp_path):
     assert all(0.0 <= r.estimate <= 100.0 for r in final.values())
 
 
+def test_write_global_quantiles_carry_survives_restart(spark, tmp_path):
+    """Round-9 verdict #2: the per-shard carry persists to a sidecar and
+    re-hydrates at stream start, so a QUIET shard's pre-restart state
+    contributes to the FIRST post-restart global row. File 1 feeds all
+    4 shards, the query is stopped, file 2 feeds only shard 0, and a
+    NEW query (same checkpoint) processes it: with driver-memory-only
+    carry the post-restart row would cover shard 0 alone (n_total=300);
+    with the persisted carry it must cover the whole stream."""
+    import time as _time
+
+    src = str(tmp_path / "rh_src")
+    out = str(tmp_path / "rh_out")
+    ck = str(tmp_path / "rh_ck")
+    rows1 = [
+        (i, (1_700_000_000_000_000_000 + i * 1_000_000_000), i % 16,
+         "click", float(i % 101), "{}")
+        for i in range(800)
+    ]
+    # user_id multiples of 16 (a fortiori of GK_SHARDS=4) -> shard 0 only
+    rows2 = [
+        (10_000 + i, (1_700_001_000_000_000_000 + i * 1_000_000_000),
+         16 * (i % 5), "click", float((7 * i) % 101), "{}")
+        for i in range(300)
+    ]
+
+    def run_once(rows):
+        spark.createDataFrame(rows, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+        ev = sp.read_events_stream(spark, src, max_files=1)
+        q = (
+            sp.write_global_quantiles(sp.streaming_quantiles_gk_summary(ev), out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)
+
+    run_once(rows1)
+    pre = spark.read.parquet(out).collect()
+    assert max(r.n_total for r in pre) == len(rows1)
+    run_once(rows2)  # a brand-new query object: fresh driver memory
+    series = spark.read.parquet(out).collect()
+    last_batch = max(r.batch_id for r in series)
+    final = {r.phi: r for r in series if r.batch_id == last_batch}
+    assert final[0.5].n_total == len(rows1) + len(rows2), (
+        "quiet shards' pre-restart state missing from the first "
+        "post-restart global row"
+    )
+    assert all(0.0 <= r.estimate <= 100.0 for r in final.values())
+
+
+def test_write_global_distinct_carry_survives_restart(spark, tmp_path):
+    """The HLL twin of the carry-restart test: file 2 touches only HLL
+    shard 0 (event_id multiples of 4) after a restart; the first
+    post-restart row must still absorb every pre-restart shard's
+    registers (n_total == whole stream, estimate ~= global distinct)."""
+    import time as _time
+
+    src = str(tmp_path / "rhd_src")
+    out = str(tmp_path / "rhd_out")
+    ck = str(tmp_path / "rhd_ck")
+    rows1 = [
+        (i, (1_700_000_000_000_000_000 + i * 1_000_000_000), i % 500,
+         "click", float(i % 101), "{}")
+        for i in range(2000)
+    ]
+    rows2 = [
+        (10_000 + 4 * i, (1_700_002_000_000_000_000 + i * 1_000_000_000),
+         500 + (i % 100), "click", float(i % 101), "{}")
+        for i in range(400)
+    ]
+
+    def run_once(rows):
+        spark.createDataFrame(rows, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+        ev = sp.read_events_stream(spark, src, max_files=1)
+        q = (
+            sp.write_global_distinct(sp.streaming_distinct_hll(ev), out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)
+
+    run_once(rows1)
+    run_once(rows2)
+    series = sorted(spark.read.parquet(out).collect(), key=lambda r: r.batch_id)
+    assert series[-1].n_total == len(rows1) + len(rows2), (
+        "pre-restart shards' registers missing from the post-restart merge"
+    )
+    true_global = 600  # user_id 0..499 then 500..599
+    tol = 3 * 1.04 / ((1 << sp.HLL_B) ** 0.5)
+    assert abs(series[-1].estimate - true_global) / true_global <= tol
+
+
 def test_write_global_quantiles_compaction_bounds_file_count(spark, sf_dir, tmp_path):
     """Round-8 verdict #7: a long-running stream must not accrete one
     parquet file per micro-batch forever — every ``compact_every``
@@ -1670,8 +1767,10 @@ def test_dedup_gate_band_sidecar_layout_and_fallback(spark, sf_dir, tmp_path):
     exists with hash-bucket directories and one row per accepted doc per
     band, (b) a bucket-filtered read carries a partition filter in its
     plan, (c) deleting the sidecar (pre-sidecar corpus layout) still
-    gates duplicates via the fallback band derivation AND regrows the
-    sidecar for newly accepted docs."""
+    gates duplicates AND triggers the one-time backfill: the sidecar is
+    reinstalled COMPLETE — one row per stored corpus doc per band — not
+    just regrown from newly accepted docs (round-9 ADVICE medium: a
+    batch-only sidecar would silently un-gate every pre-upgrade doc)."""
     import shutil
 
     from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import N_BANDS
@@ -1713,16 +1812,174 @@ def test_dedup_gate_band_sidecar_layout_and_fallback(spark, sf_dir, tmp_path):
 
     # pre-sidecar layout: drop the sidecar, replay the same docs under a
     # fresh checkpoint — every doc is now a corpus duplicate and must be
-    # rejected through the fallback (on-the-fly banding) path
+    # rejected through the backfilled probe
     shutil.rmtree(bands)
     run_gate("sc_ck2")
     acc2 = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
-    assert acc2 == acc1, "replayed duplicates slipped past the fallback probe"
-    # nothing newly accepted -> the regrown sidecar stays absent or empty
-    import glob as _glob
+    assert acc2 == acc1, "replayed duplicates slipped past the backfilled probe"
+    # the backfill reinstalled the COMPLETE sidecar (every stored corpus
+    # doc x every band), not just the batch's accepted rows (none here)
+    side2 = spark.read.parquet(bands)
+    assert side2.count() == len(acc1) * N_BANDS
+    assert {r.doc_id for r in side2.select("doc_id").distinct().collect()} == acc1
+    # and no swap leftovers remain
+    assert not os.path.exists(bands + "__backfill_tmp")
 
-    regrown = _glob.glob(os.path.join(bands, "band_bucket=*"))
-    assert not regrown
+
+def test_dedup_gate_replay_after_partial_crash_readmits_batch(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE high: the sidecar is written before the corpus
+    append, so a crash between the two replays the batch against a
+    sidecar already holding the batch's own (orphan) band rows. Those
+    orphans surface every replayed doc as a (d, d) candidate; verifying
+    against batch-side signatures would self-match at jaccard 1.0 and
+    silently drop — and permanently lose — the whole batch. The fix
+    verifies cross candidates against CORPUS-side signatures only, so
+    orphans produce no drop. This test constructs the exact post-crash
+    state (corpus from batch A + orphan sidecar rows for batch B, batch
+    B absent from the corpus) and asserts batch B is re-admitted."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import (
+        _band_frame,
+        _signatures,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        DEDUP_BAND_BUCKETS,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_a = d.filter(F.col("doc_id") % 5 == 0)
+    batch_b = d.filter(F.col("doc_id") % 5 == 2)
+    corpus = str(tmp_path / "cr_corpus")
+    bands = corpus + "_bands"
+
+    # batch A through the gate: corpus + sidecar in the normal layout
+    seed = str(tmp_path / "cr_seed")
+    batch_a.coalesce(1).write.parquet(seed)
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(seed), corpus
+        )
+        .option("checkpointLocation", str(tmp_path / "cr_ck0"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pre_ids = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+
+    # simulate the crash: batch B's band rows reach the sidecar (the
+    # first of the two writes), the corpus append never happens
+    (
+        _band_frame(_signatures(batch_b))
+        .withColumn(
+            "band_bucket",
+            F.pmod(F.xxhash64("b", "bkey"), F.lit(DEDUP_BAND_BUCKETS)),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("band_bucket")
+        .parquet(bands)
+    )
+
+    # the replay: batch B arrives again under a fresh checkpoint
+    src = str(tmp_path / "cr_src")
+    batch_b.coalesce(1).write.parquet(src)
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src), corpus
+        )
+        .option("checkpointLocation", str(tmp_path / "cr_ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    readmitted = got - pre_ids
+    assert readmitted, "replayed batch was swallowed by its own orphan sidecar rows"
+    # the replay admits exactly what a clean (no-orphan) run would have:
+    # batch B minus genuine near-dups of batch A / within batch B
+    clean_corpus = str(tmp_path / "cr_corpus_clean")
+    for ck, source in (("cr_ck2a", seed), ("cr_ck2b", src)):
+        qc = (
+            sp.write_dedup_gated(
+                spark.readStream.schema(d.schema).parquet(source), clean_corpus
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        qc.processAllAvailable()
+        qc.stop()
+    clean = {
+        r.doc_id for r in spark.read.parquet(clean_corpus).select("doc_id").collect()
+    }
+    assert got == clean, "replay admitted a different set than a clean run"
+
+
+def test_dedup_gate_backfill_regates_pre_upgrade_docs(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE medium, the exact hole: a legacy (sidecar-less)
+    corpus, then a batch of NEW docs (which under the buggy behavior
+    created a sidecar holding only its own band rows), then a batch
+    duplicating a PRE-UPGRADE corpus doc. The duplicate must still be
+    rejected — i.e. the sidecar the upgrade batch installed covers the
+    whole legacy corpus, not just the docs accepted since."""
+    import shutil
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    legacy = d.filter(F.col("doc_id") % 7 == 0)
+    fresh = d.filter(F.col("doc_id") % 7 == 3)
+    src = str(tmp_path / "bf_src")
+    # file 1: fresh docs (the upgrade batch); file 2: exact duplicates of
+    # the legacy corpus under NEW doc_ids (shifted far past the id range)
+    fresh.coalesce(1).write.parquet(src)
+    legacy.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    corpus = str(tmp_path / "bf_corpus")
+    bands = corpus + "_bands"
+
+    # seed the legacy corpus through the gate, then strip its sidecar to
+    # simulate the pre-sidecar layout
+    seed_src = str(tmp_path / "bf_seed")
+    legacy.coalesce(1).write.parquet(seed_src)
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(seed_src), corpus
+        )
+        .option("checkpointLocation", str(tmp_path / "bf_ck0"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    shutil.rmtree(bands)
+
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            corpus,
+        )
+        .option("checkpointLocation", str(tmp_path / "bf_ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    legacy_ids = {r.doc_id for r in legacy.select("doc_id").collect()}
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    # the legacy corpus is intact, the upgrade batch accepted (fresh docs
+    # may individually be organic near-dups of legacy docs, so only
+    # membership — not completeness — is asserted for them), and NO
+    # shifted-id exact duplicate of a legacy doc slipped in
+    assert legacy_ids <= got
+    assert got - legacy_ids, "upgrade batch accepted nothing"
+    assert (got - legacy_ids) <= fresh_ids
+    assert not {i for i in got if i >= 10_000_000}, (
+        "pre-upgrade corpus docs were not re-gated after the sidecar upgrade"
+    )
 
 
 def test_gk_insert_kernel_edge_batches():
