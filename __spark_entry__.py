@@ -74,11 +74,18 @@ _PRIORITY = [
     # Round-11 rotation plan (recorded per standing practice): after
     # this round the histogram is r8:46, r9:50, r10:49(+flagship).
     # Demand for r11 = flagship + the 46 remaining r8-aged rows = 47,
-    # leaving 3 free slots (spend on the alphabetically-first r9 rows).
-    # Fingerprint-moving edits to registered queries remain
-    # window-mandatory; new operator work should land as appended
-    # functions or streaming ops (streaming/pipeline.py is outside
-    # queries() fingerprints — verified empirically in round 9).
+    # leaving 3 free slots. SPEND THEM ON multimodal_decode_real/png/
+    # jpeg (r9): measured in round 10, ANY edit to functions/webp.py —
+    # even a pure append — moves exactly the four decode-query
+    # fingerprints (the codec module is hashed whole via the queries'
+    # closure-local imports), and multimodal_decode_webp is already
+    # r8-mandatory in r11; with the three r9 decode rows in the free
+    # slots, the deferred VP8L predictor/cross-color decode work
+    # (round-9 verdict #7) fits r11 with zero displacement. Other
+    # fingerprint-moving edits remain window-mandatory; other new work
+    # should land as appended operator functions or streaming ops
+    # (streaming/pipeline.py is outside queries() fingerprints —
+    # verified empirically in rounds 9 and 10).
 ]
 
 

@@ -115,6 +115,31 @@ def scan_has_partition_filter(df: DataFrame, col: str) -> bool:
     return False
 
 
+def scan_files_read(df: DataFrame) -> int:
+    """Execute ``df`` and return how many files its file scan(s) actually
+    selected after partition pruning — the runtime ``numFiles`` metric of
+    every scan leaf, summed. The I/O-level twin of
+    ``scan_has_partition_filter``: that helper pins the plan SHAPE (a
+    PartitionFilters entry), this one pins the measured effect (fewer
+    files touched than the table holds). Raises if the plan has no file
+    scan, so a refactor that silently drops the scan can't pass a
+    pruning assertion vacuously."""
+    df.collect()  # run the query so scan metrics are populated
+    ep = df._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.executedPlan()
+    leaves = ep.collectLeaves()
+    total, found = 0, False
+    for i in range(leaves.size()):
+        ms = leaves.apply(i).metrics()
+        if ms.contains("numFiles"):
+            total += int(ms.apply("numFiles").value())
+            found = True
+    if not found:
+        raise ValueError("plan has no file scan with a numFiles metric")
+    return total
+
+
 def plan_exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) operators in the physical plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -354,6 +354,122 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     return out
 
 
+KERNEL_RUNS = 3
+
+
+def _kernel_calibration_once() -> float:
+    """One timed pass of a fixed PURE-NUMPY micro-workload (sort +
+    searchsorted + cumsum on deterministic arrays, identical bytes every
+    session) — the kernel section's twin of ``calibration_once``: the
+    streaming-sketch kernels never enter the JVM, so the Spark
+    calibration can't normalize them; this measures the host's raw
+    numpy/CPU speed instead."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = ((np.arange(2_000_000, dtype=np.int64) * 2654435761) % 1000003).astype(
+        np.float64
+    )
+    xs = np.sort(x)
+    pos = np.searchsorted(xs, x[:200_000])
+    acc = float(np.cumsum(xs)[-1]) + int(pos.sum())
+    assert acc != 0.0
+    return time.perf_counter() - t0
+
+
+def bench_kernels() -> dict:
+    """Pure-Python rows/s for the streaming-sketch kernels, NO Spark in
+    the loop (round-9 verdict #3): at sf0.1 every stateful streaming op
+    is micro-batch-overhead-bound (~1 s/batch floor), so a kernel-level
+    win or regression — e.g. the round-9 GK bulk-insert rewrite's 3.5x —
+    is invisible in the streaming section. Each kernel consumes a
+    deterministic synthetic stream in micro-batch-sized chunks, state
+    re-initialized per pass; the median of KERNEL_RUNS passes is
+    reported, normalized round-over-round by tools/bench_compare.py
+    against ``calibration_sec`` (the numpy twin of the session
+    calibration)."""
+    import numpy as np
+    import pandas as pd
+
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        GK_EPS,
+        _gk_insert_batch,
+        _hll_estimate,
+        _hll_update,
+        _mg_merge,
+        _welford_batch,
+        HLL_B,
+    )
+
+    _kernel_calibration_once()  # warm numpy (first-call import/alloc cost)
+    cal = [_kernel_calibration_once() for _ in range(CAL_RUNS)]
+
+    # deterministic synthetic streams (fixed seed; the kernels are
+    # distribution-sensitive, so the same bytes must flow every session)
+    rng = np.random.default_rng(20261015)
+    gk_vals = rng.permutation(np.arange(1_000_000, dtype=np.float64))
+    mg_keys = ((rng.integers(0, 1 << 30, 1_000_000) ** 2) % 10_007).astype(np.int64)
+    wf_vals = 1e6 + rng.standard_normal(1_000_000) * 1e-3  # offset-dominated
+    hll_ids = rng.integers(0, 600_000, 2_000_000).astype(np.int64)
+
+    out: dict[str, dict] = {}
+
+    def record(name: str, rows: int, passes: list[float]) -> None:
+        med = statistics.median(passes)
+        out[name] = {
+            "rows": rows,
+            "sec": [round(min(passes), 4), round(med, 4), round(max(passes), 4)],
+            "rows_per_sec": round(rows / med) if med > 0 else None,
+        }
+
+    def timed(fn) -> list[float]:
+        fn()  # warmup pass (codepath-local caches, branch predictors)
+        ts = []
+        for _ in range(KERNEL_RUNS):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    def gk_pass():
+        tup: list[list] = []
+        n = 0
+        for chunk in np.array_split(gk_vals, 10):
+            n = _gk_insert_batch(tup, n, pd.DataFrame({"value": chunk}), GK_EPS)
+
+    record("gk_insert", gk_vals.size, timed(gk_pass))
+
+    def mg_pass():
+        mg: dict = {}
+        for chunk in np.array_split(mg_keys, 10):
+            ks, ws = np.unique(chunk, return_counts=True)
+            mg = _mg_merge(mg, zip(ks, ws), capacity=64)
+
+    record("mg_merge", mg_keys.size, timed(mg_pass))
+
+    def wf_pass():
+        state = (0, 0.0, 0.0)
+        for chunk in np.array_split(wf_vals, 10):
+            *_, state = _welford_batch(*state, chunk, z=4.0, min_n=30)
+
+    record("welford_batch", wf_vals.size, timed(wf_pass))
+
+    def hll_pass():
+        regs = np.zeros(1 << HLL_B, dtype=np.uint8)
+        for chunk in np.array_split(hll_ids, 10):
+            _hll_update(regs, chunk)
+            _hll_estimate(regs)
+
+    record("hll_update_estimate", hll_ids.size, timed(hll_pass))
+
+    return {
+        "calibration_sec": round(statistics.median(cal), 4),
+        "calibration_samples": [round(c, 4) for c in cal],
+        "runs_per_kernel": KERNEL_RUNS,
+        "kernels": out,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -409,6 +525,11 @@ def main() -> None:
     # measures different machinery; the bracket certifies the batch passes)
     streaming = bench_streaming(spark, sf_dir)
 
+    # kernel surface: pure numpy/Python, no Spark — carries its own
+    # numpy calibration (the Spark session calibration can't normalize
+    # non-JVM work)
+    kernels = bench_kernels()
+
     times = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
         n: [round(min(s), 3), times[n], round(max(s), 3)]
@@ -423,6 +544,7 @@ def main() -> None:
         "spread": spread,
         "calibration": calibration,
         "streaming": streaming,
+        "kernels": kernels,
         "sf": sf,
         "runs_per_query": MEASURE_RUNS,
         "aggregation": "median",

@@ -273,3 +273,77 @@ def test_fail_on_regression_ignores_speedups(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "faster q" in out
     assert "regression gate: clean" in out
+
+
+def test_kernel_section_compared_with_numpy_calibration(tmp_path, capsys):
+    """Round-9 verdict #3: the kernel section normalizes by the NUMPY
+    calibration (kernels never touch the JVM): under a 2x-slower host
+    (kernel cal 2x), a kernel whose raw rows/s halved is unchanged,
+    while a real 4x-raw throughput drop is flagged AND enters the gate
+    list under the kernel: prefix."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"calibration_sec": 0.1,
+                    "kernels": {"k_same": {"rows_per_sec": 1_000_000},
+                                "k_drop": {"rows_per_sec": 1_000_000}}}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"calibration_sec": 0.2,
+                    "kernels": {"k_same": {"rows_per_sec": 500_000},
+                                "k_drop": {"rows_per_sec": 250_000}}}})
+    flags = str(tmp_path / "flags.json")
+    sys.argv = ["bench_compare", old, new, "--json-flags", flags,
+                "--fail-on-regression"]
+    with pytest.raises(SystemExit) as ex:
+        bc.main()
+    assert "kernel:k_drop" in str(ex.value)
+    out = capsys.readouterr().out
+    assert "SLOWER [kernel] k_drop" in out
+    assert "k_same" not in out.replace("kernels: 2 common", "")
+    assert json.load(open(flags))["regressed"] == ["kernel:k_drop"]
+
+
+def test_kernel_speedup_does_not_trip_gate(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"calibration_sec": 0.1,
+                    "kernels": {"k": {"rows_per_sec": 1_000_000}}}})
+    fast = _write(tmp_path, "fast.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"calibration_sec": 0.1,
+                    "kernels": {"k": {"rows_per_sec": 4_000_000}}}})
+    sys.argv = ["bench_compare", old, fast, "--fail-on-regression"]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "faster [kernel] k" in out
+    assert "regression gate: clean" in out
+
+
+def test_cumulative_drift_line_exposes_compounding_creep(tmp_path, capsys):
+    """Round-9 verdict #6, the three-artifact creep scenario: each
+    round-over-round step is 1.3x (inside the 1.5x flag ratio, zero
+    flags), but r0->r2 compounds to 1.69x — the --drift-since line
+    anchored on the oldest artifact makes the accumulated number
+    visible where the pairwise comparison stays silent."""
+    r0 = _write(tmp_path, "r0.json", {
+        "queries": {"q1": 1.0, "q2": 2.0}, "calibration": {"median": 0.1}})
+    r1 = _write(tmp_path, "r1.json", {
+        "queries": {"q1": 1.3, "q2": 2.6}, "calibration": {"median": 0.1}})
+    r2 = _write(tmp_path, "r2.json", {
+        "queries": {"q1": 1.69, "q2": 3.38}, "calibration": {"median": 0.1}})
+    # pairwise r1->r2: no flags (1.3x < 1.5x), drift line vs r0 shows 1.69x
+    sys.argv = ["bench_compare", r1, r2, "--drift-since", r0,
+                "--fail-on-regression"]
+    bc.main()  # gate must stay clean — creep is visibility, not failure
+    out = capsys.readouterr().out
+    assert "flagged >1.5x: 0" in out
+    assert "cumulative drift vs" in out
+    assert "(1.69x" in out
+
+
+def test_drift_since_flag_validates_operand(tmp_path):
+    old = _write(tmp_path, "old.json", {"queries": {"q": 1.0}})
+    sys.argv = ["bench_compare", old, old, "--drift-since"]
+    with pytest.raises(SystemExit) as ex:
+        bc.main()
+    assert "--drift-since needs" in str(ex.value)

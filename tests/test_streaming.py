@@ -1730,6 +1730,52 @@ def test_write_global_distinct_carry_survives_restart(spark, tmp_path):
     assert abs(series[-1].estimate - true_global) / true_global <= tol
 
 
+def test_append_or_compact_swap_is_crash_recoverable(spark, tmp_path):
+    """Round-9 ADVICE low: compaction must never hold the series only in
+    driver memory while the on-disk copy is deleted. The rewrite keeps a
+    complete copy on disk at every instant (write temp -> rename aside
+    -> install -> drop), and the one exposed window — live path renamed
+    away, temp not yet installed — is healed at the next call. This test
+    (a) drives a compaction and asserts the series survives intact with
+    a bounded file count, (b) reconstructs the exposed crash window by
+    hand and asserts the next append heals it with zero data loss."""
+    import glob as _glob
+
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        _append_or_compact,
+        fs_rename,
+        table_exists,
+    )
+
+    out = str(tmp_path / "swap_series")
+    schema = "batch_id long, v double"
+    appends = [0]
+    for b in range(5):  # compact_every=3 -> one compaction inside
+        _append_or_compact(
+            spark.createDataFrame([(b, float(b))], schema), out,
+            schema, appends, compact_every=3,
+        )
+    rows = {(r.batch_id, r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(b, float(b)) for b in range(5)}
+    assert len(_glob.glob(os.path.join(out, "part-*"))) <= 4
+    assert not table_exists(spark, out + "__compact_tmp")
+    assert not table_exists(spark, out + "__compact_old")
+
+    # reconstruct the exposed window: the full series sits in the temp,
+    # the live path is gone (crash after `rename aside` + old deleted,
+    # before `install`)
+    fs_rename(spark, out, out + "__compact_tmp")
+    assert not table_exists(spark, out)
+    _append_or_compact(
+        spark.createDataFrame([(5, 5.0)], schema), out, schema, appends,
+        compact_every=3,
+    )
+    healed = {(r.batch_id, r.v) for r in spark.read.parquet(out).collect()}
+    assert healed == {(b, float(b)) for b in range(6)}, (
+        "recovery lost rows across the simulated crash window"
+    )
+
+
 def test_write_global_quantiles_compaction_bounds_file_count(spark, sf_dir, tmp_path):
     """Round-8 verdict #7: a long-running stream must not accrete one
     parquet file per micro-batch forever — every ``compact_every``
@@ -1809,6 +1855,28 @@ def test_dedup_gate_band_sidecar_layout_and_fallback(spark, sf_dir, tmp_path):
     # bucket-filtered read prunes partitions (the probe's shape)
     probe = side.filter(F.col("band_bucket").isin([0, 1, 2]))
     assert scan_has_partition_filter(probe, "band_bucket")
+    # ...and the pruning is MEASURED I/O, not just plan shape (round-9
+    # verdict #4): with every bucket occupied, a two-bucket probe must
+    # select strictly fewer files than the sidecar holds — the
+    # |touched|/|buckets| read the docstring promises
+    from akkastreamprocessnpmpackagedependencies_spark.sources.io import (
+        scan_files_read,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        DEDUP_BAND_BUCKETS,
+    )
+
+    occupied = {r[0] for r in side.select("band_bucket").distinct().collect()}
+    assert len(occupied) == DEDUP_BAND_BUCKETS, "fixture fills every bucket"
+    touched = sorted(occupied)[:2]
+    pruned_files = scan_files_read(
+        spark.read.parquet(bands).filter(F.col("band_bucket").isin(touched))
+    )
+    all_files = scan_files_read(spark.read.parquet(bands))
+    assert pruned_files < all_files, (
+        f"probe read {pruned_files}/{all_files} files; partition pruning "
+        "is not reducing I/O"
+    )
 
     # pre-sidecar layout: drop the sidecar, replay the same docs under a
     # fresh checkpoint — every doc is now a corpus duplicate and must be
@@ -2209,3 +2277,183 @@ def test_write_global_distinct_live_pipeline(spark, sf_dir, tmp_path):
     tol = 3 * 1.04 / ((1 << sp.HLL_B) ** 0.5)
     assert abs(series[-1].estimate - true_global) / true_global <= tol
     assert len(_glob.glob(os.path.join(out, "part-*"))) <= 3
+
+
+def test_cms_kernel_bounds_and_merge_identity():
+    """Spark-free CMS kernel: estimates NEVER undercount (every
+    occurrence increments every one of the key's cells), overcounts obey
+    the classic (e/width)*n bound for all but ~e^-depth of keys, and the
+    merge identity is EXACT: element-wise sum of two tables equals the
+    table of the concatenated stream (per-cell increments are additive),
+    so the cross-shard merge carries the single-sketch guarantee at the
+    global n with zero widening."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # zipf-ish skew: a few heavy keys over a long tail
+    keys = (rng.zipf(1.3, 200_000) % 50_000).astype(np.int64)
+    true = {int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))}
+    shape = (sp.CMS_DEPTH, 1 << sp.CMS_W_BITS)
+    tab = np.zeros(shape, dtype=np.int64)
+    sp._cms_update(tab, keys)
+    probe = np.array(sorted(true, key=true.get, reverse=True)[:200], dtype=np.int64)
+    est = sp._cms_query(tab, probe)
+    n = keys.size
+    bound = math.e / (1 << sp.CMS_W_BITS) * n
+    over = [int(e) - true[int(k)] for k, e in zip(probe, est)]
+    assert all(o >= 0 for o in over), "CMS undercounted"
+    within = sum(o <= bound for o in over) / len(over)
+    assert within >= 0.95, f"only {within:.0%} of keys within the e/w*n bound"
+    assert max(over) <= 3 * bound
+    # absent keys estimate at most the collision bound, never negative
+    absent = np.arange(60_000, 60_050, dtype=np.int64)
+    est_absent = sp._cms_query(tab, absent)
+    assert (est_absent >= 0).all() and (est_absent <= 3 * bound).all()
+    # merge identity (exact, not statistical)
+    a, b = keys[:120_000], keys[120_000:]
+    t1 = np.zeros(shape, np.int64); sp._cms_update(t1, a)
+    t2 = np.zeros(shape, np.int64); sp._cms_update(t2, b)
+    t12 = np.zeros(shape, np.int64); sp._cms_update(t12, keys)
+    assert np.array_equal(t1 + t2, t12)
+    merged = sp.cms_merged_counts([t1.tobytes(), t2.tobytes()], probe)
+    single = sp._cms_query(t12, probe)
+    assert merged == {int(k): int(v) for k, v in zip(probe, single)}
+    # table-size mismatch is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="table size"):
+        sp.cms_merged_counts([t1.tobytes(), t1.tobytes()[:128]], probe)
+    # empty batch is a no-op
+    t1b = t1.copy()
+    sp._cms_update(t1b, np.array([], dtype=np.int64))
+    assert np.array_equal(t1, t1b)
+
+
+def test_streaming_freq_cms_per_shard_and_global_sum(spark, sf_dir, tmp_path):
+    """The streaming CMS op: per-shard estimates bracket the exact
+    per-shard frequencies ([true, true + bound]), and the element-wise
+    SUM merge answers global per-key frequencies within the
+    single-sketch bound at the global n — the additive twin of the HLL
+    union test (shards are by event_id, so every shard holds a slice of
+    every user's events and only the MERGED answer is meaningful)."""
+    import math
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_freq_cms(ev), "cms_out", "update")
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    rows = spark.sql(
+        """SELECT * FROM cms_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM cms_out GROUP BY shard)"""
+    ).collect()
+    assert len(rows) == sp.CMS_SHARDS
+    events = load_events(spark, sf_dir).select("event_id", "user_id")
+    top = [
+        r.user_id
+        for r in events.groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(20).collect()
+    ]
+    # per-shard: never undercounts, overcount within the shard-n bound
+    import numpy as np
+
+    for r in rows:
+        shard_true = {
+            t.user_id: t.cnt
+            for t in events.filter(F.col("event_id") % sp.CMS_SHARDS == r.shard)
+            .groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        tab = np.frombuffer(bytes(r.tab), dtype=np.int64).reshape(
+            sp.CMS_DEPTH, 1 << sp.CMS_W_BITS
+        )
+        est = sp._cms_query(tab, np.array(top, dtype=np.int64))
+        bound = math.e / (1 << sp.CMS_W_BITS) * r.shard_n
+        for k, e in zip(top, est):
+            t = shard_true.get(k, 0)
+            assert t <= e <= t + max(3 * bound, 1), (r.shard, k, t, int(e))
+    # global: sum-merge within the bound at the GLOBAL n
+    true_global = {
+        t.user_id: t.cnt
+        for t in events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n_total = sum(r.shard_n for r in rows)
+    assert n_total == events.count()
+    merged = sp.cms_merged_counts([r.tab for r in rows], top)
+    g_bound = math.e / (1 << sp.CMS_W_BITS) * n_total
+    for k in top:
+        t = true_global[k]
+        assert t <= merged[k] <= t + max(3 * g_bound, 1), (k, t, merged[k])
+
+
+def test_cms_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """State recovery for the CMS op: like HLL, the final table depends
+    only on the MULTISET of events (per-cell addition commutes), so the
+    interrupted run's final table must equal the uninterrupted run's
+    BYTE FOR BYTE regardless of batch boundaries, with no event lost or
+    double-counted across the restart."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    staging = str(tmp_path / "cms_staged")
+    _write_time_sliced(load_events(spark, sf_dir), staging, 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*")), key=os.path.getmtime)
+    assert len(parts) == 4
+
+    def arrive(live, ps, t0):
+        os.makedirs(live, exist_ok=True)
+        for i, p in enumerate(ps):
+            dst = os.path.join(live, os.path.basename(p))
+            shutil.copy(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    def start(live, sink, ck):
+        ev = sp.read_events_stream(spark, live, max_files=1)
+
+        def _sink(batch, batch_id):
+            batch.write.mode("append").parquet(sink)
+
+        return (
+            sp.streaming_freq_cms(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    def final_rows(sink):
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in rows:
+            if r.shard not in latest or r.shard_n > latest[r.shard][1]:
+                latest[r.shard] = (bytes(r.tab), r.shard_n)
+        return latest
+
+    live_a = str(tmp_path / "cms_live_a")
+    sink_a = str(tmp_path / "cms_sink_a")
+    ck_a = str(tmp_path / "cms_ck_a")
+    arrive(live_a, parts[:2], time.time() - 60)
+    _drain(start(live_a, sink_a, ck_a))
+    arrive(live_a, parts[2:], time.time() - 30)
+    _drain(start(live_a, sink_a, ck_a))
+    a = final_rows(sink_a)
+
+    live_b = str(tmp_path / "cms_live_b")
+    sink_b = str(tmp_path / "cms_sink_b")
+    arrive(live_b, parts, time.time() - 60)
+    _drain(start(live_b, sink_b, str(tmp_path / "cms_ck_b")))
+    b = final_rows(sink_b)
+
+    assert set(a) == set(b) == set(range(sp.CMS_SHARDS))
+    total = load_events(spark, sf_dir).count()
+    assert sum(v[1] for v in a.values()) == total
+    for shard in a:
+        assert a[shard][0] == b[shard][0], f"shard {shard} tables diverged"
+        assert a[shard][1] == b[shard][1]

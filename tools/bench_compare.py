@@ -73,10 +73,11 @@ def _from_tail(tail: str) -> dict[str, float]:
 
 def load(
     path: str,
-) -> tuple[dict[str, float], dict[str, list[float]], float | None, dict]:
+) -> tuple[dict[str, float], dict[str, list[float]], float | None, dict, dict]:
     """Returns (median per query, spread per query, calibration median,
-    streaming section). Spread/calibration/streaming are empty for
-    pre-round-7/8 artifacts and truncated-tail salvage."""
+    streaming section, kernels section). Spread/calibration/streaming/
+    kernels are empty for pre-round-7/8/10 artifacts and truncated-tail
+    salvage."""
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
@@ -90,11 +91,17 @@ def load(
                     f"{len(qs)} queries from its tail",
                     file=sys.stderr,
                 )
-            return qs, {}, None, {}
+            return qs, {}, None, {}, {}
     cal = d.get("calibration")
     if isinstance(cal, dict):  # BENCH_FULL carries the whole record
         cal = cal.get("median")
-    return d.get("queries", {}), d.get("spread", {}), cal, d.get("streaming") or {}
+    return (
+        d.get("queries", {}),
+        d.get("spread", {}),
+        cal,
+        d.get("streaming") or {},
+        d.get("kernels") or {},
+    )
 
 
 def session_norm(
@@ -159,9 +166,16 @@ def main() -> None:
             )
         mode = argv[i + 1]
         del argv[i : i + 2]
+    drift_since = None
+    if "--drift-since" in argv:
+        i = argv.index("--drift-since")
+        if i + 1 >= len(argv):
+            sys.exit("error: --drift-since needs a bench artifact path")
+        drift_since = argv[i + 1]
+        del argv[i : i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
-    (old, old_sp, old_cal, old_str), (new, new_sp, new_cal, new_str) = (
+    (old, old_sp, old_cal, old_str, old_ker), (new, new_sp, new_cal, new_str, new_ker) = (
         load(argv[0]),
         load(argv[1]),
     )
@@ -223,6 +237,37 @@ def main() -> None:
             print(f"{tag:6s} [stream] {op:27s} {a:8.0f} -> {b:8.0f} rows/s")
     if s_both:
         print(f"streaming: {len(s_both)} common ops, flagged >{ratio}x: {s_flagged}")
+    # kernel surface (BENCH_FULL round 10+): pure-numpy rows/s per
+    # sketch kernel, normalized by the KERNEL calibration (the numpy
+    # twin of the session calibration — Spark's JVM calibration can't
+    # see non-JVM work). rows/s scales inversely with host slowness, so
+    # multiply the new rate by (new_kcal / old_kcal).
+    k_old, k_new = old_ker.get("kernels", {}), new_ker.get("kernels", {})
+    k_both = sorted(set(k_old) & set(k_new))
+    if k_both:
+        ko_cal = old_ker.get("calibration_sec")
+        kn_cal = new_ker.get("calibration_sec")
+        k_norm = (kn_cal / ko_cal) if ko_cal and kn_cal else 1.0
+        k_flagged = []
+        for op in k_both:
+            a = k_old[op].get("rows_per_sec") or 0
+            b = (k_new[op].get("rows_per_sec") or 0) * k_norm
+            if a and b and (a / b >= ratio or b / a >= ratio):
+                k_flagged.append(op)
+                tag = "SLOWER" if b < a else "faster"
+                print(f"{tag:6s} [kernel] {op:27s} {a:8.0f} -> {b:8.0f} rows/s")
+        print(
+            f"kernels: {len(k_both)} common, norm {k_norm:.3f} "
+            f"(numpy cal {ko_cal} -> {kn_cal}), flagged >{ratio}x: "
+            f"{len(k_flagged)}"
+        )
+        regressed_kernels = [
+            op for op in k_flagged
+            if (k_new[op].get("rows_per_sec") or 0) * k_norm
+            < (k_old[op].get("rows_per_sec") or 0)
+        ]
+    else:
+        regressed_kernels = []
     tot_o = sum(old[q] for q in both)
     tot_n = sum(new[q] / norm for q in both)
     rate = f"{tot_n / tot_o:.2f}x" if tot_o else "n/a"
@@ -231,7 +276,31 @@ def main() -> None:
         f"({rate}); flagged >{ratio}x: {len(flagged)}"
         + (f"; noise-suppressed: {len(suppressed)}" if suppressed else "")
     )
+    if drift_since:
+        # cumulative-drift line (round-9 verdict #6): sub-threshold creep
+        # (r8->r9 was 1.11x) compounds invisibly across rounds when each
+        # r->r+1 comparison stays inside the flag ratio; anchoring a
+        # second total against the OLDEST calibration-bearing artifact
+        # makes the accumulated drift a printed, gateable number.
+        b0, _, b0_cal, _, _ = load(drift_since)
+        d_norm, d_why = session_norm(b0, new, b0_cal, new_cal, mode)
+        d_both = sorted(set(b0) & set(new))
+        if d_both:
+            d_o = sum(b0[q] for q in d_both)
+            d_n = sum(new[q] / d_norm for q in d_both)
+            print(
+                f"cumulative drift vs {drift_since}: {len(d_both)} common "
+                f"queries {d_o:.2f}s -> {d_n:.2f}s normalized "
+                f"({d_n / d_o:.2f}x; {d_why})"
+            )
+        else:
+            print(f"cumulative drift vs {drift_since}: no common queries")
     regressed = [q for r, q, a, b in flagged if r > 1 and a > 0 and b > 0]
+    # kernel slowdowns enter the same gate under a "kernel:" prefix —
+    # they ride verify_all's two-run intersection adjudication like
+    # queries, so a reproduced kernel regression fails the gate while a
+    # one-off wobble is discarded as noise
+    regressed += [f"kernel:{op}" for op in regressed_kernels]
     if json_flags:
         # machine-readable verdict for verify_all's two-run intersection
         # adjudication (a single session's flags are noise-prone; only a

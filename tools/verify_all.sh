@@ -51,8 +51,12 @@ echo "== 3b/4 bench regression gate (vs last committed BENCH_FULL) =="
 # therefore only fails the gate when an independent second bench run
 # reproduces it. Skipped when HEAD has no BENCH_FULL.json.
 if [[ -s /tmp/bench_full_prev.json ]]; then
+  # --drift-since anchors a cumulative-drift line against the OLDEST
+  # calibration-bearing artifact (round-9 verdict #6): sub-1.5x creep
+  # per round compounds invisibly without it
   if ! python tools/bench_compare.py /tmp/bench_full_prev.json BENCH_FULL.json \
-        --fail-on-regression --json-flags /tmp/bench_flags1.json | tail -6; then
+        --drift-since BENCH_r08.json \
+        --fail-on-regression --json-flags /tmp/bench_flags1.json | tail -8; then
     echo "-- first run flagged; re-benching to confirm (noise discriminator) --"
     python bench.py 2>/dev/null | tail -1 > /dev/null
     python tools/bench_compare.py /tmp/bench_full_prev.json BENCH_FULL.json \
