@@ -1587,3 +1587,141 @@ def streaming_quantiles_gk(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------- count-min frequency
+
+CMS_W_BITS = 12  # 4096 columns per row
+CMS_DEPTH = 4  # independent rows; overcount tail shrinks ~e^-depth
+CMS_SHARDS = 4
+# fixed odd 64-bit row salts: XORed into the key before the splitmix64
+# finalizer so the rows are independent hash functions of the same key
+_CMS_ROW_SALTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0xD6E8FEB86659FD93,
+)
+
+
+def _cms_row_index(ids, row: int):
+    """Column index of every key in ``ids`` for CMS row ``row`` — the
+    splitmix64 finalizer (``_hll_hash64``) over the salt-perturbed key,
+    masked to the table width. Vectorized, shared by update and query so
+    the two can never disagree."""
+    import numpy as np
+
+    h = _hll_hash64(ids.astype(np.uint64) ^ np.uint64(_CMS_ROW_SALTS[row]))
+    return (h & np.uint64((1 << CMS_W_BITS) - 1)).astype(np.int64)
+
+
+def _cms_update(tab, ids) -> None:
+    """Fold a batch of int64 keys into the CMS table in place (one +1
+    per row per event; duplicate keys in the batch are grouped first so
+    each row does one ``np.add.at`` over unique keys). PLAIN count-min,
+    deliberately not the conservative-update variant: conservative
+    update tightens single-sketch estimates but breaks the merge
+    identity (table(A) + table(B) == table(A++B) element-wise, exact),
+    and mergeability is the property the cross-shard pipeline needs."""
+    import numpy as np
+
+    if ids.size == 0:
+        return
+    ks, cnt = np.unique(ids, return_counts=True)
+    for r in range(CMS_DEPTH):
+        np.add.at(tab[r], _cms_row_index(ks, r), cnt)
+
+
+def _cms_query(tab, ids):
+    """Point estimates for ``ids``: min over rows of each key's cell.
+    Never an undercount (every occurrence of the key incremented every
+    one of its cells); overcount of key k is the colliding mass in its
+    LEAST-loaded row, Pr[> e/w * n] <= e^-depth per key."""
+    import numpy as np
+
+    est = None
+    for r in range(CMS_DEPTH):
+        v = tab[r][_cms_row_index(ids, r)]
+        est = v if est is None else np.minimum(est, v)
+    return est
+
+
+_CMS_STATE_SCHEMA = "tab binary, n long"
+_CMS_OUT_SCHEMA = "shard long, shard_n long, tab binary"
+
+
+def streaming_freq_cms(events: DataFrame, shards: int = CMS_SHARDS) -> DataFrame:
+    """Streaming per-key FREQUENCY estimation via a count-min sketch in
+    group state — the fifth streaming sketch (exact counter /
+    Misra-Gries heavy hitters / GK quantiles / HLL cardinality / CMS
+    frequency). MG answers "which keys are heavy"; CMS answers "how
+    often has ANY given key occurred", continuously, in depth x width
+    int64 cells (128 KiB here) per shard instead of a counter per key.
+
+    Guarantees (both pinned in tests): an estimate NEVER undercounts,
+    and overcounts exceed (e/width) * n_shard with probability at most
+    ~e^-depth (the classic CMS bound; width 4096, depth 4). Sharding is
+    by ``event_id % shards`` — the throughput topology, same rationale
+    as ``streaming_distinct_hll`` — so each shard sketches an arbitrary
+    slice of the keyspace and the global answer is the element-wise SUM
+    of tables (``cms_merged_counts``), which is EXACTLY the sketch of
+    the concatenated stream: addition commutes with the per-cell
+    increments, so merging adds ZERO error beyond a single global
+    sketch. Each micro-batch emits the shard's table (the mergeable
+    form) + event count; the latest row per shard feeds the merge."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        shape = (CMS_DEPTH, 1 << CMS_W_BITS)
+        if state.exists:
+            tab_b, n = state.get
+            tab = np.frombuffer(bytes(tab_b), dtype=np.int64).reshape(shape).copy()
+            n = int(n)
+        else:
+            tab, n = np.zeros(shape, dtype=np.int64), 0
+        for pdf in pdfs:
+            ids = pdf["user_id"].to_numpy(dtype=np.int64)
+            n += ids.size
+            _cms_update(tab, ids)
+        state.update((tab.tobytes(), n))
+        yield pd.DataFrame(
+            {"shard": [key[0]], "shard_n": [n], "tab": [tab.tobytes()]}
+        )
+
+    return (
+        events.select((F.col("event_id") % shards).alias("shard"), "user_id")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update, _CMS_OUT_SCHEMA, _CMS_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cms_merged_counts(tabs: list, keys) -> dict[int, int]:
+    """GLOBAL per-key frequency estimates from per-shard CMS tables:
+    element-wise sum of the tables is exactly the table a single sketch
+    of the whole stream would hold (increments are additive per cell),
+    so the merged estimates carry the single-sketch guarantee at the
+    GLOBAL n — no summed-eps widening, same shape of result as the HLL
+    union merge. Pure function over the ``tab`` payloads
+    ``streaming_freq_cms`` emits; ``keys`` is an iterable of int64 keys
+    to estimate."""
+    import numpy as np
+
+    shape = (CMS_DEPTH, 1 << CMS_W_BITS)
+    merged = np.zeros(shape, dtype=np.int64)
+    for tb in tabs:
+        tab = np.frombuffer(bytes(tb), dtype=np.int64)
+        if tab.size != merged.size:
+            raise ValueError(
+                f"table size {tab.size} != depth*width = {merged.size}; "
+                "summaries from different CMS configurations do not merge"
+            )
+        merged += tab.reshape(shape)
+    ks = np.asarray(list(keys), dtype=np.int64)
+    est = _cms_query(merged, ks)
+    return {int(k): int(v) for k, v in zip(ks, est)}
