@@ -215,6 +215,7 @@ STREAMING_OPS = [
     ("streaming_quantiles_gk", "update"),
     ("streaming_quantiles_gk_summary", "append"),
     ("streaming_distinct_hll", "update"),
+    ("streaming_freq_cms", "update"),
     ("streaming_value_anomalies", "append"),
     ("sessionize_with_expiry", "append"),
     ("dedup_within_watermark", "append"),
@@ -392,7 +393,11 @@ def bench_kernels() -> dict:
     import pandas as pd
 
     from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        CMS_DEPTH,
+        CMS_W_BITS,
         GK_EPS,
+        _cms_query,
+        _cms_update,
         _gk_insert_batch,
         _hll_estimate,
         _hll_update,
@@ -461,6 +466,16 @@ def bench_kernels() -> dict:
             _hll_estimate(regs)
 
     record("hll_update_estimate", hll_ids.size, timed(hll_pass))
+
+    cms_probe = np.arange(0, 10_007, 13, dtype=np.int64)
+
+    def cms_pass():
+        tab = np.zeros((CMS_DEPTH, 1 << CMS_W_BITS), dtype=np.int64)
+        for chunk in np.array_split(mg_keys, 10):
+            _cms_update(tab, chunk)
+            _cms_query(tab, cms_probe)
+
+    record("cms_update_query", mg_keys.size, timed(cms_pass))
 
     return {
         "calibration_sec": round(statistics.median(cal), 4),
