@@ -1725,3 +1725,65 @@ def cms_merged_counts(tabs: list, keys) -> dict[int, int]:
     ks = np.asarray(list(keys), dtype=np.int64)
     est = _cms_query(merged, ks)
     return {int(k): int(v) for k, v in zip(ks, est)}
+
+
+def write_global_freq(
+    summaries: DataFrame, out_path: str, probe_keys, compact_every: int = 16
+):
+    """Operationalize the CMS merge as a LIVE pipeline — the frequency
+    member of the global-sketch trio (``write_global_quantiles`` /
+    ``write_global_distinct`` / this): consume ``streaming_freq_cms``
+    rows in foreachBatch, carry each shard's latest table across
+    micro-batches (persisted to an atomically-swapped ``<out>_carry``
+    sidecar written before each series append and re-hydrated at stream
+    start, so quiet shards keep contributing across restarts — same
+    semantics and crash ordering as the other two), merge element-wise —
+    the sum IS the single global sketch, zero added error, see
+    ``cms_merged_counts`` — and append one (batch_id, key, estimate,
+    n_total) row per probed key per micro-batch to the parquet time
+    series, compacting every ``compact_every`` appends. ``probe_keys``
+    is the fixed list of keys being monitored (the CMS answers point
+    queries, so a monitoring pipeline names its keys up front); the
+    latest batch's rows are the live per-key frequency estimates, each
+    within the (e/width)*n_total single-sketch bound of its true global
+    count."""
+    keys = [int(k) for k in probe_keys]
+    carry_path = out_path.rstrip("/") + "_carry"
+    carry_schema = "shard long, tab binary, shard_n long"
+    last_seen: dict[int, tuple] = {}  # shard -> (tab bytes, shard_n)
+    hydrated = [False]
+    appends = [0]
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not hydrated[0]:
+            hydrated[0] = True
+            _swap_recover(spark, carry_path)
+            if table_exists(spark, carry_path):
+                for r in spark.read.parquet(carry_path).collect():
+                    last_seen[r.shard] = (bytes(r.tab), r.shard_n)
+        rows = batch.collect()  # O(shards) table rows, never events
+        if not rows:
+            return
+        for r in rows:
+            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][1]:
+                last_seen[r.shard] = (bytes(r.tab), r.shard_n)
+        _atomic_overwrite(
+            spark.createDataFrame(
+                [(int(s), v[0], int(v[1])) for s, v in last_seen.items()],
+                carry_schema,
+            ),
+            carry_path,
+        )
+        est = cms_merged_counts([v[0] for v in last_seen.values()], keys)
+        n_total = sum(v[1] for v in last_seen.values())
+        out = spark.createDataFrame(
+            [(int(batch_id), int(k), int(est[k]), int(n_total)) for k in keys],
+            "batch_id long, key long, estimate long, n_total long",
+        )
+        _append_or_compact(
+            out, out_path, "batch_id long, key long, estimate long, n_total long",
+            appends, compact_every,
+        )
+
+    return summaries.writeStream.outputMode("update").foreachBatch(_merge)

@@ -2457,3 +2457,79 @@ def test_cms_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     for shard in a:
         assert a[shard][0] == b[shard][0], f"shard {shard} tables diverged"
         assert a[shard][1] == b[shard][1]
+
+
+def test_write_global_freq_live_pipeline_and_restart_carry(spark, sf_dir, tmp_path):
+    """The CMS live pipeline: per-batch global frequency rows for a
+    fixed probe set, n_total monotone and ending at the full stream
+    count, every estimate bracketing its true global frequency within
+    the single-sketch bound at the global n, file count bounded by
+    compaction — then a RESTART with a shard-0-only tail file proves the
+    persisted carry: the first post-restart row still covers every
+    pre-restart shard's table."""
+    import glob as _glob
+    import math
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    top = [
+        r.user_id
+        for r in load_events(spark, sf_dir).groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(10).collect()
+    ]
+    src = str(tmp_path / "gf_src")
+    out = str(tmp_path / "gf_out")
+    ck = str(tmp_path / "gf_ck")
+    _write_time_sliced(load_events(spark, sf_dir), src, 4)
+
+    def run():
+        ev = sp.read_events_stream(spark, src, max_files=1)
+        q = (
+            sp.write_global_freq(sp.streaming_freq_cms(ev), out, top,
+                                 compact_every=2)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)
+
+    run()
+    series = sorted(spark.read.parquet(out).collect(),
+                    key=lambda r: (r.batch_id, r.key))
+    n_by_batch = sorted({(r.batch_id, r.n_total) for r in series})
+    assert [b for b, _ in n_by_batch] == list(range(4))
+    assert [n for _, n in n_by_batch] == sorted(n for _, n in n_by_batch)
+    total = load_events(spark, sf_dir).count()
+    assert n_by_batch[-1][1] == total
+    true = {
+        r.user_id: r.cnt
+        for r in load_events(spark, sf_dir).groupBy("user_id")
+        .agg(F.count("*").alias("cnt")).collect()
+    }
+    bound = math.e / (1 << sp.CMS_W_BITS) * total
+    last = {r.key: r.estimate for r in series if r.batch_id == 3}
+    for k in top:
+        assert true[k] <= last[k] <= true[k] + max(3 * bound, 1)
+    assert len(_glob.glob(os.path.join(out, "part-*"))) <= 3
+
+    # restart: one more file touching ONLY CMS shard 0 (event_id % 4 == 0),
+    # brand-new query object -> fresh driver memory -> carry must hydrate
+    rows2 = [
+        (1_000_000 + 4 * i, (1_800_000_000_000_000_000 + i * 1_000_000_000),
+         int(top[0]), "click", 1.0, "{}")
+        for i in range(50)
+    ]
+    _time.sleep(1.1)
+    spark.createDataFrame(rows2, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    series2 = sorted(spark.read.parquet(out).collect(), key=lambda r: r.batch_id)
+    assert series2[-1].n_total == total + len(rows2), (
+        "pre-restart shards' tables missing from the post-restart merge"
+    )
+    last2 = {r.key: r.estimate for r in series2 if r.batch_id == series2[-1].batch_id}
+    g_bound = math.e / (1 << sp.CMS_W_BITS) * (total + len(rows2))
+    t0 = true[top[0]] + len(rows2)
+    assert t0 <= last2[top[0]] <= t0 + max(3 * g_bound, 1)
