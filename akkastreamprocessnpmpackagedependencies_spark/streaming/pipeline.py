@@ -1787,3 +1787,184 @@ def write_global_freq(
         )
 
     return summaries.writeStream.outputMode("update").foreachBatch(_merge)
+
+
+# ---------------------------------------------- reservoir sample
+
+RSV_CAPACITY = 128
+RSV_SHARDS = 4
+
+
+def _rsv_priority(event_ids, weights=None):
+    """Sampling priority of each event: a deterministic uniform in (0,1)
+    derived from the event id by the splitmix64 finalizer, raised to
+    1/weight for the weighted variant (Efraimidis-Spirakis A-ES keys).
+    DETERMINISTIC BY DESIGN — the priority is a pure function of the
+    event, not an RNG draw — which upgrades the classic probabilistic
+    reservoir into one with EXACT identities: replaying an event cannot
+    change the sample, and the top-k-by-priority of a union equals the
+    top-k of the concatenated stream, element for element (the merge and
+    replay tests assert set equality, not distribution similarity).
+    Uniformity comes from the hash avalanche; across event-id
+    populations the sample is uniform (weighted: P[i in sample]
+    proportional to w_i for k << n), asserted statistically in tests."""
+    import numpy as np
+
+    h = _hll_hash64(event_ids.astype(np.int64))
+    # (h + 1) / (2^64 + 2): strictly inside (0,1) so log() is finite
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551618.0
+    if weights is None:
+        return u
+    w = np.asarray(weights, dtype=np.float64)
+    if (w <= 0).any():
+        raise ValueError("reservoir weights must be strictly positive")
+    return u ** (1.0 / w)
+
+
+def _rsv_update(res: dict, event_ids, user_ids, values, k: int, weighted: bool):
+    """Fold a batch into the reservoir dict {event_id: (priority,
+    user_id, value)} in place, VECTORIZED: only the batch's top-k unique
+    events by priority can possibly enter a k-capacity reservoir (every
+    other batch event is outranked by k batch-mates already), so the
+    batch reduces to <=k candidates with numpy (unique + argsort) before
+    any per-item Python work — dict churn is O(k) per batch regardless
+    of batch size, and the result is IDENTICAL to folding every event.
+    Duplicate event ids collapse (same priority by construction;
+    weighted duplicates with CONFLICTING values resolve to the first
+    occurrence — an event id is a key, so that case is malformed input,
+    not a sampling path), so replay is a set-level no-op."""
+    import numpy as np
+
+    eids = np.asarray(event_ids, dtype=np.int64)
+    if eids.size == 0:
+        return
+    uids = np.asarray(user_ids, dtype=np.int64)
+    vals = (
+        np.asarray(values, dtype=np.float64)
+        if values is not None
+        else np.zeros(eids.size)
+    )
+    uq, idx = np.unique(eids, return_index=True)
+    pri = _rsv_priority(uq, vals[idx] if weighted else None)
+    if uq.size > k:
+        # top-k by (priority, event_id) — lexsort ascending, take the tail
+        keep = np.lexsort((uq, pri))[-k:]
+        uq, idx, pri = uq[keep], idx[keep], pri[keep]
+    for e, p, uid, v in zip(
+        uq.tolist(), pri.tolist(), uids[idx].tolist(), vals[idx].tolist()
+    ):
+        res[int(e)] = (float(p), int(uid), float(v))
+    if len(res) > k:
+        # trim to the k largest, ties broken deterministically by
+        # (priority, event_id) so the survivor set is unique across
+        # replays and shard merges
+        items = sorted(
+            res.items(), key=lambda kv: (kv[1][0], kv[0]), reverse=True
+        )[:k]
+        res.clear()
+        res.update(items)
+
+
+_RSV_STATE_SCHEMA = (
+    "event_ids array<long>, pris array<double>, user_ids array<long>, "
+    "vals array<double>, n long"
+)
+_RSV_OUT_SCHEMA = (
+    "shard long, event_id long, user_id long, value double, "
+    "priority double, shard_n long"
+)
+
+
+def streaming_reservoir_sample(
+    events: DataFrame, k: int = RSV_CAPACITY, shards: int = RSV_SHARDS,
+    weighted: bool = False,
+) -> DataFrame:
+    """Streaming UNIFORM (or weight-proportional) SAMPLE via a
+    deterministic reservoir in group state — the sixth streaming sketch
+    (counter / heavy hitters / quantiles / cardinality / frequency /
+    sample): "hold k representative events of everything seen", the
+    primitive a training-data pipeline uses for eval carve-outs, data
+    inspection, and monitoring panels that must not scan the stream.
+
+    Each event's sampling priority is a deterministic hash-derived
+    uniform (weighted: Efraimidis-Spirakis u^(1/w) keys over ``value``),
+    and the reservoir is simply the top-k by priority. That determinism
+    buys the strongest merge/replay story of the six sketches: the
+    global sample is the top-k of the union of per-shard reservoirs,
+    which EQUALS the top-k of the concatenated stream ELEMENT FOR
+    ELEMENT (any globally-top event is top in its own shard), replay
+    cannot perturb the sample (same event -> same priority -> set-level
+    no-op), and checkpoint recovery is exact regardless of batch splits.
+    Per batch each shard emits its reservoir rows tagged with shard_n;
+    the latest rows per shard feed ``reservoir_merged``. State is O(k)
+    per shard at any stream size."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        res: dict[int, tuple] = {}
+        n = 0
+        if state.exists:
+            eids, pris, uids, vals, n0 = state.get
+            n = int(n0)
+            res = {
+                int(e): (float(p), int(u), float(v))
+                for e, p, u, v in zip(eids, pris, uids, vals)
+            }
+        for pdf in pdfs:
+            eids = pdf["event_id"].to_numpy(dtype=np.int64)
+            uids = pdf["user_id"].to_numpy(dtype=np.int64)
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            n += eids.size
+            _rsv_update(res, eids, uids, vals, k, weighted)
+        items = sorted(res.items(), key=lambda kv: (kv[1][0], kv[0]), reverse=True)
+        state.update((
+            [e for e, _ in items],
+            [p for _, (p, _, _) in items],
+            [u for _, (_, u, _) in items],
+            [v for _, (_, _, v) in items],
+            n,
+        ))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "event_id": [e for e, _ in items],
+                "user_id": [u for _, (_, u, _) in items],
+                "value": [v for _, (_, _, v) in items],
+                "priority": [p for _, (p, _, _) in items],
+                "shard_n": [n] * len(items),
+            }
+        )
+
+    return (
+        events.select(
+            (F.col("event_id") % shards).alias("shard"),
+            "event_id", "user_id", "value",
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update, _RSV_OUT_SCHEMA, _RSV_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def reservoir_merged(rows: list, k: int = RSV_CAPACITY) -> list[tuple]:
+    """GLOBAL sample from per-shard reservoirs: top-k by (priority,
+    event_id) over the union — EXACTLY the reservoir a single sketch of
+    the whole stream would hold (every globally-sampled event is by
+    definition in its shard's top-k), so the merge adds zero
+    distributional error; it IS the global sample. rows are
+    (shard, event_id, user_id, value, priority, shard_n) records — take
+    the latest row group per shard before calling. Returns
+    [(event_id, user_id, value, priority)] sorted by descending
+    priority."""
+    seen: dict[int, tuple] = {}
+    for r in rows:
+        seen[int(r.event_id)] = (
+            float(r.priority), int(r.user_id), float(r.value)
+        )
+    items = sorted(seen.items(), key=lambda kv: (kv[1][0], kv[0]), reverse=True)
+    return [(e, u, v, p) for e, (p, u, v) in items[:k]]

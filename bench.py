@@ -216,6 +216,7 @@ STREAMING_OPS = [
     ("streaming_quantiles_gk_summary", "append"),
     ("streaming_distinct_hll", "update"),
     ("streaming_freq_cms", "update"),
+    ("streaming_reservoir_sample", "update"),
     ("streaming_value_anomalies", "append"),
     ("sessionize_with_expiry", "append"),
     ("dedup_within_watermark", "append"),
@@ -395,6 +396,8 @@ def bench_kernels() -> dict:
     from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
         CMS_DEPTH,
         CMS_W_BITS,
+        RSV_CAPACITY,
+        _rsv_update,
         GK_EPS,
         _cms_query,
         _cms_update,
@@ -476,6 +479,19 @@ def bench_kernels() -> dict:
             _cms_query(tab, cms_probe)
 
     record("cms_update_query", mg_keys.size, timed(cms_pass))
+
+    rsv_eids = rng.permutation(np.arange(1_000_000, dtype=np.int64)) * 3 + 1
+    rsv_uids = (rsv_eids % 977).astype(np.int64)
+    rsv_vals = np.ones(rsv_eids.size, dtype=np.float64)
+
+    def rsv_pass():
+        res = {}
+        for sl in range(10):
+            lo, hi = sl * 100_000, (sl + 1) * 100_000
+            _rsv_update(res, rsv_eids[lo:hi], rsv_uids[lo:hi],
+                        rsv_vals[lo:hi], RSV_CAPACITY, False)
+
+    record("reservoir_update", rsv_eids.size, timed(rsv_pass))
 
     return {
         "calibration_sec": round(statistics.median(cal), 4),

@@ -2533,3 +2533,94 @@ def test_write_global_freq_live_pipeline_and_restart_carry(spark, sf_dir, tmp_pa
     g_bound = math.e / (1 << sp.CMS_W_BITS) * (total + len(rows2))
     t0 = true[top[0]] + len(rows2)
     assert t0 <= last2[top[0]] <= t0 + max(3 * g_bound, 1)
+
+
+def test_reservoir_kernel_identities_and_uniformity():
+    """Spark-free reservoir kernel: the deterministic hash-priority
+    design gives EXACT identities — folding A then B equals folding
+    A++B, replaying a batch is a set-level no-op, and the merge of two
+    reservoirs' unions equals the single-stream reservoir element for
+    element — plus statistical sanity: the unweighted sample is spread
+    uniformly across the id range, and the weighted variant
+    oversamples heavy items in proportion."""
+    import numpy as np
+
+    k = 128
+    eids = np.arange(100_000, dtype=np.int64) * 7 + 3
+    uids = (eids % 977).astype(np.int64)
+    vals = np.ones(eids.size, dtype=np.float64)
+
+    def fold(batches, weighted=False):
+        res = {}
+        for sl in batches:
+            sp._rsv_update(res, eids[sl], uids[sl], vals[sl], k, weighted)
+        return res
+
+    whole = fold([slice(None)])
+    split = fold([slice(0, 30_000), slice(30_000, None)])
+    assert whole == split, "batch-split changed the reservoir"
+    replay = fold([slice(None), slice(0, 50_000)])
+    assert whole == replay, "replay changed the reservoir"
+    # merge identity: top-k of the union of two reservoirs == whole
+    ra = fold([slice(0, 30_000)])
+    rb_res = {}
+    sp._rsv_update(rb_res, eids[30_000:], uids[30_000:], vals[30_000:], k, False)
+    union = dict(ra)
+    union.update(rb_res)
+    top = dict(sorted(union.items(), key=lambda kv: (kv[1][0], kv[0]),
+                      reverse=True)[:k])
+    assert top == whole
+    # uniformity: each quarter of the id range holds a fair share
+    ids = np.array(sorted(whole), dtype=np.int64)
+    q = np.searchsorted(ids, [eids[25_000], eids[50_000], eids[75_000]])
+    counts = np.diff(np.concatenate([[0], q, [len(ids)]]))
+    assert (counts >= k // 4 - 20).all() and (counts <= k // 4 + 20).all(), counts
+    # weighted: items with weight 9 vs 1 dominate ~9:1
+    w = np.where(eids % 2 == 0, 9.0, 1.0)
+    rw = {}
+    sp._rsv_update(rw, eids, uids, w, 500, True)
+    heavy = sum(1 for e in rw if e % 2 == 0) / 500
+    assert 0.80 <= heavy <= 0.98, heavy
+    # non-positive weights are loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strictly positive"):
+        sp._rsv_priority(eids[:4], np.array([1.0, 0.0, 2.0, 3.0]))
+
+
+def test_streaming_reservoir_sample_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """The streaming reservoir op: per-shard reservoirs and the merged
+    global sample equal the BATCH-computed top-k by the same
+    deterministic priority, element for element — the exactness the
+    hash-priority design promises (no distributional hand-waving), which
+    also makes the op checkpoint-split-independent by construction."""
+    import numpy as np
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_reservoir_sample(ev), "rsv_out", "update")
+    _drain(q)
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    rows = spark.sql(
+        """SELECT * FROM rsv_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM rsv_out GROUP BY shard)"""
+    ).collect()
+    shards = {r.shard for r in rows}
+    assert shards == set(range(sp.RSV_SHARDS))
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    pdf = events.toPandas()
+    eids = pdf["event_id"].to_numpy(np.int64)
+    pri = sp._rsv_priority(eids)
+    order = sorted(zip(pri.tolist(), eids.tolist()), reverse=True)
+    # per-shard equality
+    for s in shards:
+        mine = [e for _, e in order if e % sp.RSV_SHARDS == s][: sp.RSV_CAPACITY]
+        got = {r.event_id for r in rows if r.shard == s}
+        assert got == set(mine[: len(got)])
+    # global merge == batch top-k over ALL events
+    merged = sp.reservoir_merged(rows)
+    want = [e for _, e in order[: sp.RSV_CAPACITY]]
+    assert [e for e, _, _, _ in merged] == want
+    # total event coverage recorded
+    assert sum({r.shard: r.shard_n for r in rows}.values()) == events.count()
