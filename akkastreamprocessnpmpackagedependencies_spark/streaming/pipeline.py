@@ -1312,6 +1312,61 @@ def mg_global_heavy_hitters(
     return out, total_n / (capacity + 1)
 
 
+def _global_merge_pipeline(
+    summaries: DataFrame, out_path: str, *, carry_schema: str,
+    out_schema: str, output_mode: str, compact_every: int,
+    row_state, hydrate_state, carry_row, emit,
+):
+    """The shared skeleton of the three live global-sketch pipelines
+    (``write_global_quantiles`` / ``write_global_distinct`` /
+    ``write_global_freq``) — extracted once there were three hand-kept
+    copies of the same carry/persist/compact choreography (the
+    ``_banded_pairs`` lesson: duplicated scaffolding diverges silently).
+    Per micro-batch: hydrate the per-shard carry from the
+    ``<out_path>_carry`` sidecar at the FIRST batch after (re)start;
+    keep each shard's latest state (max shard_n — states put shard_n
+    LAST); persist the carry via atomic swap BEFORE the series append (a
+    crash between the two replays the batch, which re-derives the same
+    carry — idempotent; the reverse order could emit a series row no
+    persisted carry backs); emit the merged rows; append-or-compact the
+    series. The sketch-specific pieces come in as four small functions:
+
+    - ``row_state(r)``: summary row -> carried state tuple
+    - ``hydrate_state(r)``: carry-sidecar row -> state tuple
+    - ``carry_row(shard, state)``: state -> carry-sidecar row tuple
+    - ``emit(batch_id, last_seen)``: merged output row tuples
+    """
+    carry_path = out_path.rstrip("/") + "_carry"
+    last_seen: dict[int, tuple] = {}
+    hydrated = [False]
+    appends = [0]  # files appended since the last compaction
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not hydrated[0]:
+            hydrated[0] = True
+            _swap_recover(spark, carry_path)
+            if table_exists(spark, carry_path):
+                for r in spark.read.parquet(carry_path).collect():
+                    last_seen[r.shard] = hydrate_state(r)
+        rows = batch.collect()  # O(shards) summary rows, never events
+        if not rows:
+            return  # empty micro-batch: nothing changed, emit nothing
+        for r in rows:
+            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][-1]:
+                last_seen[r.shard] = row_state(r)
+        _atomic_overwrite(
+            spark.createDataFrame(
+                [carry_row(s, v) for s, v in last_seen.items()], carry_schema
+            ),
+            carry_path,
+        )
+        out = spark.createDataFrame(emit(batch_id, last_seen), out_schema)
+        _append_or_compact(out, out_path, out_schema, appends, compact_every)
+
+    return summaries.writeStream.outputMode(output_mode).foreachBatch(_merge)
+
+
 def write_global_quantiles(
     summaries: DataFrame, out_path: str, eps: float = GK_EPS,
     compact_every: int = 16,
@@ -1346,52 +1401,30 @@ def write_global_quantiles(
     bounding the file count of a long-running stream at
     ``compact_every + 1`` regardless of uptime."""
 
-    carry_path = out_path.rstrip("/") + "_carry"
-    carry_schema = (
-        "shard long, vs array<double>, gs array<long>, ds array<long>, shard_n long"
-    )
-    last_seen: dict[int, tuple] = {}  # shard -> (vs, gs, ds, shard_n)
-    hydrated = [False]
-    appends = [0]  # files appended since the last compaction
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if not hydrated[0]:
-            hydrated[0] = True
-            _swap_recover(spark, carry_path)
-            if table_exists(spark, carry_path):
-                for r in spark.read.parquet(carry_path).collect():
-                    last_seen[r.shard] = (
-                        list(r.vs), list(r.gs), list(r.ds), r.shard_n,
-                    )
-        rows = batch.collect()  # O(shards) summary rows, never events
-        if not rows:
-            return  # empty micro-batch: nothing changed, emit nothing
-        for r in rows:
-            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][3]:
-                last_seen[r.shard] = (r.vs, r.gs, r.ds, r.shard_n)
-        _atomic_overwrite(
-            spark.createDataFrame(
-                [(int(s), list(v[0]), list(v[1]), list(v[2]), int(v[3]))
-                 for s, v in last_seen.items()],
-                carry_schema,
-            ),
-            carry_path,
-        )
+    def emit(batch_id: int, last_seen: dict) -> list[tuple]:
         merged = gk_merged_quantiles(list(last_seen.values()), eps=eps)
         n_total = sum(s[3] for s in last_seen.values())
-        out = spark.createDataFrame(
-            [(int(batch_id), float(phi), float(est), int(n_total))
-             for phi, est in merged.items()],
-            "batch_id long, phi double, estimate double, n_total long",
-        )
-        _append_or_compact(
-            out, out_path,
-            "batch_id long, phi double, estimate double, n_total long",
-            appends, compact_every,
-        )
+        return [
+            (int(batch_id), float(phi), float(est), int(n_total))
+            for phi, est in merged.items()
+        ]
 
-    return summaries.writeStream.outputMode("append").foreachBatch(_merge)
+    return _global_merge_pipeline(
+        summaries, out_path,
+        carry_schema=(
+            "shard long, vs array<double>, gs array<long>, "
+            "ds array<long>, shard_n long"
+        ),
+        out_schema="batch_id long, phi double, estimate double, n_total long",
+        output_mode="append",
+        compact_every=compact_every,
+        row_state=lambda r: (r.vs, r.gs, r.ds, r.shard_n),
+        hydrate_state=lambda r: (list(r.vs), list(r.gs), list(r.ds), r.shard_n),
+        carry_row=lambda s, v: (
+            int(s), list(v[0]), list(v[1]), list(v[2]), int(v[3])
+        ),
+        emit=emit,
+    )
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
@@ -1479,45 +1512,22 @@ def write_global_distinct(
     parquet time series, compacting every ``compact_every`` appends.
     The last row is the live global distinct count; n_total records how
     many events the merged registers have absorbed."""
-    carry_path = out_path.rstrip("/") + "_carry"
-    carry_schema = "shard long, regs binary, shard_n long"
-    last_seen: dict[int, tuple] = {}  # shard -> (regs bytes, shard_n)
-    hydrated = [False]
-    appends = [0]
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if not hydrated[0]:
-            hydrated[0] = True
-            _swap_recover(spark, carry_path)
-            if table_exists(spark, carry_path):
-                for r in spark.read.parquet(carry_path).collect():
-                    last_seen[r.shard] = (bytes(r.regs), r.shard_n)
-        rows = batch.collect()  # O(shards) register rows, never events
-        if not rows:
-            return
-        for r in rows:
-            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][1]:
-                last_seen[r.shard] = (bytes(r.regs), r.shard_n)
-        _atomic_overwrite(
-            spark.createDataFrame(
-                [(int(s), v[0], int(v[1])) for s, v in last_seen.items()],
-                carry_schema,
-            ),
-            carry_path,
-        )
+    def emit(batch_id: int, last_seen: dict) -> list[tuple]:
         est = hll_merged_distinct([v[0] for v in last_seen.values()])
         n_total = sum(v[1] for v in last_seen.values())
-        out = spark.createDataFrame(
-            [(int(batch_id), float(est), int(n_total))],
-            "batch_id long, estimate double, n_total long",
-        )
-        _append_or_compact(
-            out, out_path, "batch_id long, estimate double, n_total long",
-            appends, compact_every,
-        )
+        return [(int(batch_id), float(est), int(n_total))]
 
-    return summaries.writeStream.outputMode("update").foreachBatch(_merge)
+    return _global_merge_pipeline(
+        summaries, out_path,
+        carry_schema="shard long, regs binary, shard_n long",
+        out_schema="batch_id long, estimate double, n_total long",
+        output_mode="update",
+        compact_every=compact_every,
+        row_state=lambda r: (bytes(r.regs), r.shard_n),
+        hydrate_state=lambda r: (bytes(r.regs), r.shard_n),
+        carry_row=lambda s, v: (int(s), v[0], int(v[1])),
+        emit=emit,
+    )
 
 
 def streaming_quantiles_gk(
@@ -1748,45 +1758,25 @@ def write_global_freq(
     within the (e/width)*n_total single-sketch bound of its true global
     count."""
     keys = [int(k) for k in probe_keys]
-    carry_path = out_path.rstrip("/") + "_carry"
-    carry_schema = "shard long, tab binary, shard_n long"
-    last_seen: dict[int, tuple] = {}  # shard -> (tab bytes, shard_n)
-    hydrated = [False]
-    appends = [0]
 
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if not hydrated[0]:
-            hydrated[0] = True
-            _swap_recover(spark, carry_path)
-            if table_exists(spark, carry_path):
-                for r in spark.read.parquet(carry_path).collect():
-                    last_seen[r.shard] = (bytes(r.tab), r.shard_n)
-        rows = batch.collect()  # O(shards) table rows, never events
-        if not rows:
-            return
-        for r in rows:
-            if r.shard not in last_seen or r.shard_n > last_seen[r.shard][1]:
-                last_seen[r.shard] = (bytes(r.tab), r.shard_n)
-        _atomic_overwrite(
-            spark.createDataFrame(
-                [(int(s), v[0], int(v[1])) for s, v in last_seen.items()],
-                carry_schema,
-            ),
-            carry_path,
-        )
+    def emit(batch_id: int, last_seen: dict) -> list[tuple]:
         est = cms_merged_counts([v[0] for v in last_seen.values()], keys)
         n_total = sum(v[1] for v in last_seen.values())
-        out = spark.createDataFrame(
-            [(int(batch_id), int(k), int(est[k]), int(n_total)) for k in keys],
-            "batch_id long, key long, estimate long, n_total long",
-        )
-        _append_or_compact(
-            out, out_path, "batch_id long, key long, estimate long, n_total long",
-            appends, compact_every,
-        )
+        return [
+            (int(batch_id), int(k), int(est[k]), int(n_total)) for k in keys
+        ]
 
-    return summaries.writeStream.outputMode("update").foreachBatch(_merge)
+    return _global_merge_pipeline(
+        summaries, out_path,
+        carry_schema="shard long, tab binary, shard_n long",
+        out_schema="batch_id long, key long, estimate long, n_total long",
+        output_mode="update",
+        compact_every=compact_every,
+        row_state=lambda r: (bytes(r.tab), r.shard_n),
+        hydrate_state=lambda r: (bytes(r.tab), r.shard_n),
+        carry_row=lambda s, v: (int(s), v[0], int(v[1])),
+        emit=emit,
+    )
 
 
 # ---------------------------------------------- reservoir sample
