@@ -2624,3 +2624,76 @@ def test_streaming_reservoir_sample_matches_batch_exactly(spark, sf_dir, tmp_pat
     assert [e for e, _, _, _ in merged] == want
     # total event coverage recorded
     assert sum({r.shard: r.shard_n for r in rows}.values()) == events.count()
+
+
+from hypothesis import given, settings as _hyp_settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@given(
+    keys=_st.lists(_st.integers(min_value=-(2**40), max_value=2**40),
+                   min_size=1, max_size=400),
+    cut=_st.integers(min_value=0, max_value=400),
+)
+@_hyp_settings(max_examples=60, deadline=None)
+def test_cms_properties_random_streams_and_splits(keys, cut):
+    """Hypothesis property over the pure CMS kernel: for ANY key stream
+    and ANY batch split, (a) folding the parts and summing the tables
+    equals folding the whole — the exact merge identity the cross-shard
+    pipeline rests on; (b) every point estimate >= the true count
+    (never-undercount is deterministic, not distributional)."""
+    import numpy as np
+
+    ks = np.array(keys, dtype=np.int64)
+    cut = min(cut, ks.size)
+    shape = (sp.CMS_DEPTH, 1 << sp.CMS_W_BITS)
+    whole = np.zeros(shape, np.int64)
+    sp._cms_update(whole, ks)
+    t1 = np.zeros(shape, np.int64)
+    t2 = np.zeros(shape, np.int64)
+    sp._cms_update(t1, ks[:cut])
+    sp._cms_update(t2, ks[cut:])
+    assert np.array_equal(t1 + t2, whole)
+    uq, cnt = np.unique(ks, return_counts=True)
+    est = sp._cms_query(whole, uq)
+    assert (est >= cnt).all()
+
+
+@given(
+    eids=_st.lists(_st.integers(min_value=0, max_value=2**48),
+                   min_size=1, max_size=300),
+    k=_st.integers(min_value=1, max_value=64),
+    cut=_st.integers(min_value=0, max_value=300),
+)
+@_hyp_settings(max_examples=60, deadline=None)
+def test_reservoir_properties_random_streams_and_splits(eids, k, cut):
+    """Hypothesis property over the pure reservoir kernel: for ANY event
+    stream (duplicates included), ANY capacity, and ANY batch split —
+    fold(whole) == fold(parts) == fold(whole + replayed prefix), the
+    merged top-k of two independent reservoirs equals the single-stream
+    reservoir, every survivor's priority is in (0,1), and the reservoir
+    holds exactly min(k, #unique) events."""
+    import numpy as np
+
+    ids = np.array(eids, dtype=np.int64)
+    uids = (ids % 101).astype(np.int64)
+    vals = np.ones(ids.size, dtype=np.float64)
+    cut = min(cut, ids.size)
+
+    def fold(slices):
+        res = {}
+        for sl in slices:
+            sp._rsv_update(res, ids[sl], uids[sl], vals[sl], k, False)
+        return res
+
+    whole = fold([slice(None)])
+    assert whole == fold([slice(0, cut), slice(cut, None)])
+    assert whole == fold([slice(None), slice(0, cut)])
+    ra, rb = fold([slice(0, cut)]), fold([slice(cut, None)])
+    union = dict(ra)
+    union.update(rb)
+    top = dict(sorted(union.items(), key=lambda kv: (kv[1][0], kv[0]),
+                      reverse=True)[:k])
+    assert top == whole
+    assert len(whole) == min(k, len(np.unique(ids)))
+    assert all(0.0 < v[0] < 1.0 for v in whole.values())
