@@ -1355,10 +1355,10 @@ def _global_merge_pipeline(
         for r in rows:
             if r.shard not in last_seen or r.shard_n > last_seen[r.shard][-1]:
                 last_seen[r.shard] = row_state(r)
-        _atomic_overwrite(
-            spark.createDataFrame(
-                [carry_row(s, v) for s, v in last_seen.items()], carry_schema
-            ),
+        _atomic_overwrite_rows(
+            spark,
+            [carry_row(s, v) for s, v in last_seen.items()],
+            carry_schema,
             carry_path,
         )
         out = spark.createDataFrame(emit(batch_id, last_seen), out_schema)
@@ -1427,17 +1427,71 @@ def write_global_quantiles(
     )
 
 
-def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Overwrite ``path`` with ``df`` via the write-temp-then-swap idiom
-    (see ``_append_or_compact``): a direct overwrite deletes the target
-    directory before writing, so a crash mid-write would lose the
-    previous contents; the swap keeps a complete copy on disk at every
-    instant, and ``_swap_recover`` heals the one exposed window."""
-    spark = df.sparkSession
+def _ddl_to_arrow(schema: str):
+    """Arrow schema for the small DDL subset the carry sidecars use
+    (long / double / binary / array<long> / array<double>) — enough to
+    build their parquet driver-side without a Spark job."""
+    import pyarrow as pa
+
+    prim = {"long": pa.int64(), "double": pa.float64(), "binary": pa.binary()}
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(None, 1)
+        typ = typ.strip()
+        if typ.startswith("array<"):
+            fields.append((name, pa.list_(prim[typ[6:-1]])))
+        else:
+            fields.append((name, prim[typ]))
+    return pa.schema(fields)
+
+
+def _driver_write_parquet(
+    spark: SparkSession, rows: list, ddl_schema: str, path: str
+) -> None:
+    """Write a tiny driver-side row list as ONE parquet file through the
+    Hadoop FileSystem API — NO Spark job. The carry sidecar is O(shards)
+    kilobyte rows that already live on the driver; round 10's first cut
+    shipped them through ``createDataFrame().write`` and the fixed
+    job-launch overhead (~1-2 s) dominated every micro-batch (measured
+    as the write_global_quantiles 5,450 -> 3,552 rows/s informational
+    flag). pyarrow serializes the rows in-process and the bytes go out
+    over the same FileSystem abstraction every other path uses, so s3a/
+    hdfs/file: all still route correctly and ``spark.read.parquet``
+    reads the result like any other table."""
+    schema = _ddl_to_arrow(ddl_schema)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    table = pa.table(
+        {f.name: pa.array(list(c), type=f.type) for f, c in zip(schema, cols)}
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    data = sink.getvalue().to_pybytes()
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/part-00000.parquet")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+
+
+def _atomic_overwrite_rows(
+    spark: SparkSession, rows: list, ddl_schema: str, path: str
+) -> None:
+    """Overwrite ``path`` with driver-side ``rows`` via the
+    write-temp-then-swap idiom (see ``_append_or_compact``): a direct
+    overwrite deletes the target directory before writing, so a crash
+    mid-write would lose the previous contents; the swap keeps a
+    complete copy on disk at every instant, and ``_swap_recover`` heals
+    the one exposed window."""
     tmp_new = path.rstrip("/") + "__compact_tmp"
     tmp_old = path.rstrip("/") + "__compact_old"
     _swap_recover(spark, path)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp_new)
+    _driver_write_parquet(spark, rows, ddl_schema, tmp_new)
     fs_delete(spark, tmp_old)
     if table_exists(spark, path):
         fs_rename(spark, path, tmp_old)
