@@ -2012,3 +2012,73 @@ def reservoir_merged(rows: list, k: int = RSV_CAPACITY) -> list[tuple]:
         )
     items = sorted(seen.items(), key=lambda kv: (kv[1][0], kv[0]), reverse=True)
     return [(e, u, v, p) for e, (p, u, v) in items[:k]]
+
+
+# ------------------------------------------- exact dedup gate
+
+EXACT_DEDUP_BUCKETS = 64
+
+
+def write_exact_dedup_gated(
+    docs: DataFrame, corpus_path: str, normalized: bool = True
+):
+    """EXACT-duplicate streaming ingestion gate — the cheap front door a
+    training pipeline runs BEFORE the near-dup LSH gate
+    (``write_dedup_gated``): a doc whose text digest already exists in
+    the accepted corpus is dropped; within a batch the smallest doc_id
+    per digest wins. ``normalized=True`` digests the canonical form
+    (lowercase / punctuation-stripped / whitespace-collapsed — the
+    shared ``functions.text.norm_expr`` every batch dedup query uses),
+    catching case- and punctuation-variant duplicates; ``False`` gates
+    on byte-exact text only.
+
+    Layout: the accepted corpus is PARTITIONED BY a hash bucket OF THE
+    DIGEST, so the table doubles as its own digest index — each batch's
+    probe partition-prunes to the buckets its own digests hash into and
+    reads |touched|/|buckets| of a single-column projection, the same
+    economics as the LSH gate's band sidecar. Unlike that gate there is
+    NO sidecar and NO two-write ordering to crash between: the corpus
+    append is the ONLY write, so a batch replayed after a crash
+    anti-joins against its own already-appended rows and drops them —
+    idempotent by construction, and for an EXACT gate the self-match is
+    a correct drop, never data loss (contrast the near-dup gate, where
+    round 10 had to route the verify through corpus-side signatures to
+    get the same property)."""
+    from ..functions.text import norm_expr
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        basis = norm_expr(F.col("text")) if normalized else F.col("text")
+        b = (
+            batch.withColumn("digest", F.sha2(basis, 256))
+            .withColumn(
+                "dig_bucket",
+                F.pmod(F.xxhash64("digest"), F.lit(EXACT_DEDUP_BUCKETS)),
+            )
+        )
+        # within-batch: smallest doc_id per digest wins (deterministic)
+        keep = b.join(
+            b.groupBy("digest").agg(F.min("doc_id").alias("doc_id")),
+            ["digest", "doc_id"],
+        )
+        # Explicit existence check (Hadoop-FS), same rationale as the
+        # LSH gate: only the legitimate first-batch missing-path case
+        # may skip the probe; any read error must fail the batch.
+        if table_exists(spark, corpus_path):
+            buckets = [
+                r[0] for r in keep.select("dig_bucket").distinct().collect()
+            ]
+            seen = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("dig_bucket").isin(buckets))
+                .select("digest")
+            )
+            keep = keep.join(seen, "digest", "left_anti")
+        # coalesce(1): one file per touched bucket per batch — directory
+        # churn dominates at micro-batch granularity (at cluster scale:
+        # repartition("dig_bucket"))
+        keep.coalesce(1).write.mode("append").partitionBy(
+            "dig_bucket"
+        ).parquet(corpus_path)
+
+    return docs.writeStream.foreachBatch(_ingest)

@@ -351,6 +351,22 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             .start()
         )
         record("write_dedup_gated", q, t0)
+
+        # exact-dedup gate over the same sliced documents (digest gate,
+        # self-indexing digest-bucket-partitioned corpus)
+        ecorpus = os.path.join(work, "eg_corpus")
+        t0 = time.perf_counter()
+        q = (
+            sp.write_exact_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_src),
+                ecorpus,
+            )
+            .option("checkpointLocation", os.path.join(work, "eg_ck"))
+            .start()
+        )
+        record("write_exact_dedup_gated", q, t0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -2697,3 +2697,146 @@ def test_reservoir_properties_random_streams_and_splits(eids, k, cut):
     assert top == whole
     assert len(whole) == min(k, len(np.unique(ids)))
     assert all(0.0 < v[0] < 1.0 for v in whole.values())
+
+
+def test_exact_dedup_gate_rejects_dups_prunes_and_replays(spark, sf_dir, tmp_path):
+    """The exact gate end to end: (1) cross-batch duplicates — byte-exact
+    AND case/punctuation variants under normalized=True — are rejected
+    while novel docs land; (2) within a batch the smallest doc_id per
+    digest wins; (3) a full replay under a fresh checkpoint appends
+    nothing (the digest-partitioned corpus is its own idempotence
+    mechanism — no sidecar, no crash-ordering window); (4) the probe is
+    partition-pruned at both the plan and measured-I/O level."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+    from akkastreamprocessnpmpackagedependencies_spark.sources.io import (
+        scan_files_read,
+        scan_has_partition_filter,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 4 == 1)
+    src = str(tmp_path / "eg_src")
+    # file 1: base docs; file 2: SHOUTED variants of base (normalized
+    # dups, ids +1M), a byte-exact copy (+2M), and novel docs (%4==2)
+    base.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    (
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.upper("text"))
+        .unionByName(
+            base.limit(5).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        )
+        .unionByName(d.filter(F.col("doc_id") % 4 == 2))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    corpus = str(tmp_path / "eg_corpus")
+
+    def run(ck):
+        q = (
+            sp.write_exact_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                corpus,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("eg_ck1")
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    novel_ids = {
+        r.doc_id for r in d.filter(F.col("doc_id") % 4 == 2).select("doc_id").collect()
+    }
+    assert base_ids <= got
+    # no uppercase variant and no byte-exact copy slipped in
+    assert not {i for i in got if i >= 1_000_000}
+    # novel docs admitted except organic exact/normalized dups of base or
+    # of each other — every admitted novel id is genuinely novel:
+    admitted_novel = got - base_ids
+    assert admitted_novel and admitted_novel <= novel_ids
+    n_before = spark.read.parquet(corpus).count()
+    assert n_before == len(got)  # one row per admitted doc
+
+    # (3) replay everything under a fresh checkpoint: nothing new
+    run("eg_ck2")
+    assert spark.read.parquet(corpus).count() == n_before
+
+    # (4) pruned probe, plan + measured I/O
+    probe = spark.read.parquet(corpus).filter(F.col("dig_bucket").isin([0, 1]))
+    assert scan_has_partition_filter(probe, "dig_bucket")
+    pruned = scan_files_read(probe)
+    full = scan_files_read(spark.read.parquet(corpus))
+    assert pruned < full
+
+    # within-batch min-doc_id rule: feed one batch holding an internal dup
+    solo_src = str(tmp_path / "eg_solo")
+    one = d.filter(F.col("doc_id") % 4 == 3).limit(3)
+    one.unionByName(
+        one.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    ).coalesce(1).write.parquet(solo_src)
+    solo_corpus = str(tmp_path / "eg_solo_corpus")
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(solo_src), solo_corpus
+        )
+        .option("checkpointLocation", str(tmp_path / "eg_ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    solo_ids = {
+        r.doc_id for r in spark.read.parquet(solo_corpus).select("doc_id").collect()
+    }
+    assert solo_ids == {r.doc_id for r in one.collect()}, (
+        "within-batch dedup must keep the smallest doc_id variant"
+    )
+
+
+def test_exact_dedup_gate_raw_mode_admits_normalized_variants(spark, sf_dir, tmp_path):
+    """normalized=False gates on byte-exact text only: a case-variant of
+    an accepted doc must be ADMITTED (it is a different byte string),
+    while a byte-exact copy is still rejected."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
+    import time as _time
+
+    src = str(tmp_path / "rg_src")
+    d.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    (
+        d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.upper("text"))
+        .unionByName(d.limit(3).withColumn("doc_id", F.col("doc_id") + 2_000_000))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    corpus = str(tmp_path / "rg_corpus")
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            corpus,
+            normalized=False,
+        )
+        .option("checkpointLocation", str(tmp_path / "rg_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    upper_ids = {i for i in got if 1_000_000 <= i < 2_000_000}
+    # case variants whose uppercased text is genuinely new bytes: admitted
+    assert upper_ids, "raw mode wrongly rejected byte-distinct variants"
+    # byte-exact copies: rejected
+    assert not {i for i in got if i >= 2_000_000}
