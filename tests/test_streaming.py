@@ -2840,3 +2840,39 @@ def test_exact_dedup_gate_raw_mode_admits_normalized_variants(spark, sf_dir, tmp
     assert upper_ids, "raw mode wrongly rejected byte-distinct variants"
     # byte-exact copies: rejected
     assert not {i for i in got if i >= 2_000_000}
+
+
+def test_driver_parquet_write_roundtrip_and_empty(spark, tmp_path):
+    """The driver-side carry writer: every DDL type the carry schemas
+    use round-trips through a Spark read (long / double / binary /
+    array<long> / array<double>), an empty row list yields a readable
+    zero-row table with the right schema, and the atomic-swap variant
+    replaces prior contents without leftovers."""
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        _atomic_overwrite_rows,
+        _driver_write_parquet,
+        table_exists,
+    )
+
+    p = str(tmp_path / "dw")
+    sch = (
+        "shard long, x double, b binary, vs array<double>, gs array<long>"
+    )
+    rows = [(1, 2.5, b"\x00\xff", [1.0, 2.0], [3, 4])]
+    _driver_write_parquet(spark, rows, sch, p)
+    r = spark.read.parquet(p).collect()[0]
+    assert (r.shard, r.x, bytes(r.b), list(r.vs), list(r.gs)) == (
+        1, 2.5, b"\x00\xff", [1.0, 2.0], [3, 4],
+    )
+    p2 = str(tmp_path / "dw_empty")
+    _driver_write_parquet(spark, [], sch, p2)
+    empty = spark.read.parquet(p2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"shard", "x", "b", "vs", "gs"}
+    # atomic swap replaces and cleans up
+    _atomic_overwrite_rows(spark, rows, sch, p2)
+    _atomic_overwrite_rows(spark, [(2, 1.0, b"", [], [])], sch, p2)
+    got = spark.read.parquet(p2).collect()
+    assert len(got) == 1 and got[0].shard == 2
+    assert not table_exists(spark, p2 + "__compact_tmp")
+    assert not table_exists(spark, p2 + "__compact_old")
