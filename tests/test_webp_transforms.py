@@ -1,0 +1,177 @@
+"""Round-trip tests for the VP8L predictor and cross-color transforms
+(functions/webp_transforms.py — NOT yet wired into the codec; see its
+module docstring for the round-11 wiring plan). The identities here are
+exact and modular, so forward -> inverse == the source image for ANY
+image, block size, mode sub-image, and delta sub-image — hypothesis
+drives all four dimensions."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from akkastreamprocessnpmpackagedependencies_spark.functions import webp_transforms as wt
+
+
+def _rand_image(rng: random.Random, w: int, h: int) -> list[int]:
+    return [rng.randrange(0, 1 << 32) for _ in range(w * h)]
+
+
+def _mode_image(rng, w, h, size_bits, mode=None):
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    return [
+        0xFF000000 | ((mode if mode is not None else rng.randrange(14)) << 8)
+        for _ in range(bw * bh)
+    ]
+
+
+def _cte_image(rng, w, h, size_bits):
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    return [
+        0xFF000000
+        | (rng.randrange(256) << 16)
+        | (rng.randrange(256) << 8)
+        | rng.randrange(256)
+        for _ in range(bw * bh)
+    ]
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    w=st.integers(1, 17),
+    h=st.integers(1, 11),
+    size_bits=st.integers(2, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_predictor_roundtrip_random_modes(seed, w, h, size_bits):
+    rng = random.Random(seed)
+    img = _rand_image(rng, w, h)
+    modes = _mode_image(rng, w, h, size_bits)
+    res = wt.predictor_forward(img, w, h, modes, size_bits)
+    assert wt.predictor_inverse(res, w, h, modes, size_bits) == img
+
+
+def test_predictor_roundtrip_every_mode_constant():
+    """Each of the 14 modes as a constant mode image over an image large
+    enough that every edge case (corner, top row, left column, rightmost
+    column's TR wrap) participates."""
+    rng = random.Random(7)
+    w, h, size_bits = 13, 9, 2
+    img = _rand_image(rng, w, h)
+    for mode in range(14):
+        modes = _mode_image(rng, w, h, size_bits, mode=mode)
+        res = wt.predictor_forward(img, w, h, modes, size_bits)
+        assert wt.predictor_inverse(res, w, h, modes, size_bits) == img, mode
+
+
+def test_predictor_edge_semantics_pinned():
+    """The forced edge rules are observable in the residuals themselves:
+    (0,0) is the pixel minus opaque black; the rest of the top row
+    differences against the left neighbor; the left column against the
+    top neighbor — regardless of the block's mode."""
+    rng = random.Random(1)
+    w, h, size_bits = 5, 4, 2
+    img = _rand_image(rng, w, h)
+    modes = _mode_image(rng, w, h, size_bits, mode=12)  # any interior mode
+    res = wt.predictor_forward(img, w, h, modes, size_bits)
+    assert res[0] == wt._sub_px(img[0], 0xFF000000)
+    for x in range(1, w):
+        assert res[x] == wt._sub_px(img[x], img[x - 1])
+    for y in range(1, h):
+        assert res[y * w] == wt._sub_px(img[y * w], img[(y - 1) * w])
+
+
+def test_predictor_tr_wraps_to_current_row_start():
+    """Mode 3 (top-right) at the rightmost column must predict from the
+    FIRST pixel of the CURRENT row — the spec's contiguous-scan wrap —
+    not from any top-row neighbor."""
+    rng = random.Random(2)
+    w, h, size_bits = 4, 3, 3  # one block: mode applies everywhere interior
+    img = _rand_image(rng, w, h)
+    modes = _mode_image(rng, w, h, size_bits, mode=3)
+    res = wt.predictor_forward(img, w, h, modes, size_bits)
+    y = 1
+    i = y * w + (w - 1)
+    assert res[i] == wt._sub_px(img[i], img[y * w]), (
+        "rightmost-column TR must be the current row's first pixel"
+    )
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    w=st.integers(1, 17),
+    h=st.integers(1, 11),
+    size_bits=st.integers(2, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_cross_color_roundtrip_random_deltas(seed, w, h, size_bits):
+    rng = random.Random(seed)
+    img = _rand_image(rng, w, h)
+    ctes = _cte_image(rng, w, h, size_bits)
+    fwd = wt.cross_color_forward(img, w, h, ctes, size_bits)
+    assert wt.cross_color_inverse(fwd, w, h, ctes, size_bits) == img
+    # alpha and green are never touched by the transform
+    for p, q in zip(img, fwd):
+        assert (p & 0xFF00FF00) == (q & 0xFF00FF00)
+
+
+def test_cross_color_delta_int8_semantics_pinned():
+    """ColorTransformDelta multiplies SIGNED bytes and arithmetic-shifts:
+    0x80 (=-128) times 0xFF (=-1) is +128 -> +4 after >>5; 0x7F (=127)
+    times 0x80 (=-128) is -16256 -> -508 after the FLOORING shift."""
+    assert wt._ct_delta(0x80, 0xFF) == 4
+    assert wt._ct_delta(0x7F, 0x80) == -508
+    assert wt._ct_delta(0x00, 0x55) == 0
+    assert wt._ct_delta(0x20, 0x40) == (32 * 64) >> 5  # +64
+
+
+@given(seed=st.integers(0, 5_000))
+@settings(max_examples=25, deadline=None)
+def test_stacked_transforms_roundtrip(seed):
+    """Both transforms stacked the way a VP8L stream would apply them
+    (cross-color applied to the image, then the predictor over the
+    result; inverses in reverse order) reproduce the source exactly."""
+    rng = random.Random(seed)
+    w, h, size_bits = rng.randint(1, 12), rng.randint(1, 9), rng.randint(2, 4)
+    img = _rand_image(rng, w, h)
+    ctes = _cte_image(rng, w, h, size_bits)
+    modes = _mode_image(rng, w, h, size_bits)
+    stage1 = wt.cross_color_forward(img, w, h, ctes, size_bits)
+    stage2 = wt.predictor_forward(stage1, w, h, modes, size_bits)
+    back1 = wt.predictor_inverse(stage2, w, h, modes, size_bits)
+    back2 = wt.cross_color_inverse(back1, w, h, ctes, size_bits)
+    assert back2 == img
+
+
+def test_choose_predictor_modes_beats_fixed_worst_mode():
+    """The chooser is deterministic, emits valid green-channel modes, and
+    its total absolute residual is no worse than any single fixed mode
+    (it optimizes per block over exactly that cost)."""
+    rng = random.Random(3)
+    w, h, size_bits = 11, 7, 2
+    # a smooth gradient, where spatial predictors genuinely help
+    img = [
+        0xFF000000 | ((x * 16 & 0xFF) << 16) | ((y * 24 & 0xFF) << 8) | ((x + y) & 0xFF)
+        for y in range(h)
+        for x in range(w)
+    ]
+    modes = wt.choose_predictor_modes(img, w, h, size_bits)
+    assert modes == wt.choose_predictor_modes(img, w, h, size_bits)
+    assert all((m >> 8) & 0xFF < 14 for m in modes)
+
+    def cost(mode_img):
+        res = wt.predictor_forward(img, w, h, mode_img, size_bits)
+        return sum(
+            min(c, 256 - c) for p in res for c in wt._chans(p)
+        )
+
+    chosen = cost(modes)
+    for mode in range(14):
+        assert chosen <= cost(_mode_image(rng, w, h, size_bits, mode=mode)), mode
+    # round-trip still exact under the chosen modes
+    res = wt.predictor_forward(img, w, h, modes, size_bits)
+    assert wt.predictor_inverse(res, w, h, modes, size_bits) == img
