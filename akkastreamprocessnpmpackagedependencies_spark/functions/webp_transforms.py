@@ -137,17 +137,6 @@ def _neighbors(out: list[int], x: int, y: int, w: int) -> tuple[int, int, int, i
     return l, t, tl, tr
 
 
-def _effective_mode(mode: int, x: int, y: int) -> int:
-    """The spec's forced edge modes: pixel (0,0) predicts black, the rest
-    of the top row predicts from L, the leftmost column predicts from T;
-    the block's mode applies only in the interior."""
-    if y == 0:
-        return 0 if x == 0 else 1
-    if x == 0:
-        return 2
-    return mode
-
-
 def _sub_px(actual: int, pred: int) -> int:
     a1, r1, g1, b1 = _chans(actual)
     a2, r2, g2, b2 = _chans(pred)
@@ -178,8 +167,6 @@ def predictor_inverse(
     for y in range(h):
         for x in range(w):
             i = y * w + x
-            mode = (modes[_block_index(x, y, w, size_bits)] >> 8) & 0xFF
-            mode = _effective_mode(mode, x, y)
             if y == 0 and x == 0:
                 pred = _BLACK
             elif y == 0:
@@ -187,6 +174,7 @@ def predictor_inverse(
             elif x == 0:
                 pred = out[i - w]
             else:
+                mode = (modes[_block_index(x, y, w, size_bits)] >> 8) & 0xFF
                 pred = predict(mode, *_neighbors(out, x, y, w))
             out[i] = _add_px(pixels[i], pred)
     return out
@@ -204,8 +192,6 @@ def predictor_forward(
     for y in range(h):
         for x in range(w):
             i = y * w + x
-            mode = (modes[_block_index(x, y, w, size_bits)] >> 8) & 0xFF
-            mode = _effective_mode(mode, x, y)
             if y == 0 and x == 0:
                 pred = _BLACK
             elif y == 0:
@@ -213,6 +199,7 @@ def predictor_forward(
             elif x == 0:
                 pred = pixels[i - w]
             else:
+                mode = (modes[_block_index(x, y, w, size_bits)] >> 8) & 0xFF
                 pred = predict(mode, *_neighbors(pixels, x, y, w))
             out[i] = _sub_px(pixels[i], pred)
     return out
@@ -235,7 +222,6 @@ def choose_predictor_modes(
                 cost = 0
                 for y in range(by << size_bits, min((by + 1) << size_bits, h)):
                     for x in range(bx << size_bits, min((bx + 1) << size_bits, w)):
-                        m = _effective_mode(mode, x, y)
                         if y == 0 and x == 0:
                             pred = _BLACK
                         elif y == 0:
@@ -243,7 +229,7 @@ def choose_predictor_modes(
                         elif x == 0:
                             pred = pixels[(y - 1) * w + x]
                         else:
-                            pred = predict(m, *_neighbors(pixels, x, y, w))
+                            pred = predict(mode, *_neighbors(pixels, x, y, w))
                         for ca, cp in zip(
                             _chans(pixels[y * w + x]), _chans(pred)
                         ):

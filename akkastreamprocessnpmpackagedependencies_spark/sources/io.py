@@ -125,16 +125,30 @@ def scan_files_read(df: DataFrame) -> int:
     scan, so a refactor that silently drops the scan can't pass a
     pruning assertion vacuously."""
     df.collect()  # run the query so scan metrics are populated
-    ep = df._jdf.queryExecution().executedPlan()
-    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        ep = ep.executedPlan()
-    leaves = ep.collectLeaves()
     total, found = 0, False
-    for i in range(leaves.size()):
-        ms = leaves.apply(i).metrics()
+
+    def walk(node) -> None:
+        nonlocal total, found
+        cls = node.getClass().getSimpleName()
+        # AQE wrappers are LeafExecNodes whose real subtree hangs off a
+        # dedicated accessor, so a collectLeaves() walk would stop AT
+        # the wrapper and miss every scan inside it (review finding:
+        # any aggregated/joined frame under AQE raised spuriously)
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ms = node.metrics()
         if ms.contains("numFiles"):
             total += int(ms.apply("numFiles").value())
             found = True
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
     if not found:
         raise ValueError("plan has no file scan with a numFiles metric")
     return total

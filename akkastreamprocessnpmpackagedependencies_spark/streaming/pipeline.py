@@ -428,6 +428,39 @@ def write_hourly_partitions(events: DataFrame, out_path: str):
     return events.writeStream.foreachBatch(_write)
 
 
+def _verify_jaccard_asym(
+    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame,
+    set_col: str, threshold: float,
+) -> DataFrame:
+    """Exact jaccard over candidate (doc_a, doc_b) pairs with the two
+    sides probing DIFFERENT signature frames — the gate's crash-replay
+    fix needs doc_b restricted to corpus-side signatures. Semantically
+    the two-frame generalization of ``operators.dedup._verify_jaccard``;
+    it lives here rather than as a parameter on that helper because the
+    shared helper's source is baked into six registered queries'
+    evidence fingerprints (measured in round 10: the edit moves
+    ``corpus_pipeline_verdicts``, which has no verification-window slot
+    this round or next). ``tests/test_streaming.py`` pins the
+    equivalence ``_verify_jaccard_asym(c, s, s, ...) ==
+    _verify_jaccard(c, s, ...)`` so the two cannot diverge silently."""
+    inter = F.size(
+        F.array_intersect(F.col(f"sa.{set_col}"), F.col(f"sb.{set_col}"))
+    )
+    union = F.size(F.col(f"sa.{set_col}")) + F.size(F.col(f"sb.{set_col}")) - inter
+    return (
+        cand.join(
+            sig_a.select("doc_id", set_col).alias("sa"),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            sig_b.select("doc_id", set_col).alias("sb"),
+            F.col("doc_b") == F.col("sb.doc_id"),
+        )
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # sidecar partition fan-out for the dedup gate's band-key table: wide
 # enough that a batch's probe prunes most directories, small enough that
 # local tests don't drown in tiny files and per-batch directory churn;
@@ -541,7 +574,12 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
                         "band_bucket",
                         F.pmod(F.xxhash64("b", "bkey"), F.lit(DEDUP_BAND_BUCKETS)),
                     )
-                    .coalesce(1)
+                    # repartition, NOT the per-batch append's coalesce(1):
+                    # the backfill is |corpus|-sized, and funneling it
+                    # through one task would serialize a full-corpus
+                    # rewrite into the first post-upgrade micro-batch —
+                    # one writer task per bucket directory instead
+                    .repartition("band_bucket")
                     .write.mode("overwrite")
                     .partitionBy("band_bucket")
                     .parquet(tmp)
@@ -580,21 +618,9 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
             # landed before the crash, the replayed doc IS in the corpus,
             # self-matches at 1.0, and is correctly not appended twice.
             corpus_sigs = spark.read.parquet(corpus_path).select("doc_id", "sh")
-            inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-            union = (
-                F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-            )
-            cross_dups = (
-                cross.join(
-                    sig_new.select("doc_id", "sh").alias("sa"),
-                    F.col("doc_a") == F.col("sa.doc_id"),
-                )
-                .join(corpus_sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-                .select(
-                    "doc_a",
-                    (inter.cast("double") / union).alias("jaccard"),
-                )
-                .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            cross_dups = _verify_jaccard_asym(
+                cross, sig_new.select("doc_id", "sh"), corpus_sigs,
+                "sh", JACCARD_THRESHOLD,
             )
             drop = drop.unionByName(
                 cross_dups.select(F.col("doc_a").alias("doc_id"))
@@ -1470,13 +1496,26 @@ def _driver_write_parquet(
     pq.write_table(table, sink)
     data = sink.getvalue().to_pybytes()
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/part-00000.parquet")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    # write under a dot-prefixed name (parquet readers treat it as a
+    # hidden file) and rename into place, so a crash mid-write leaves a
+    # directory whose only file is invisible to readers — never a
+    # half-written part file a later read could trip over
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/.part-00000.parquet.inprogress"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/part-00000.parquet"
+    )
+    fs = tmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
     try:
         out.write(data)
     finally:
         out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"rename failed: {tmp} -> {final}")
 
 
 def _atomic_overwrite_rows(
@@ -1500,11 +1539,24 @@ def _atomic_overwrite_rows(
 
 
 def _swap_recover(spark: SparkSession, path: str) -> None:
-    """Heal the swap idiom's only exposed crash window: the live path was
-    renamed aside and the replacement (a complete copy) was not yet
-    installed — install the surviving temp."""
+    """Heal the swap idiom's exposed crash window: the live path was
+    renamed aside and the replacement was not yet installed — install
+    the surviving temp. The temp is VALIDATED by actually reading it
+    before promotion (review finding, round 10): a crash can also land
+    MID-WRITE of the temp itself — e.g. the driver dies inside the very
+    first carry persist, before any live path exists — and promoting a
+    truncated parquet would wedge every subsequent hydration on a
+    corrupt sidecar. An unreadable temp is deleted instead: for a
+    first-write crash nothing existed to lose (the stream re-derives
+    the carry from incoming batches), and for a mid-swap crash the temp
+    is by construction a COMPLETE copy and passes the read."""
     tmp_new = path.rstrip("/") + "__compact_tmp"
     if not table_exists(spark, path) and table_exists(spark, tmp_new):
+        try:
+            spark.read.parquet(tmp_new).limit(1).collect()
+        except Exception:
+            fs_delete(spark, tmp_new)
+            return
         fs_rename(spark, tmp_new, path)
 
 
@@ -2049,18 +2101,28 @@ def write_exact_dedup_gated(
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         basis = norm_expr(F.col("text")) if normalized else F.col("text")
+        # NULL text digests as the empty string (review finding, round
+        # 10): sha2 propagates NULL and equi-joins never match NULL
+        # keys, so without the coalesce a NULL-text doc silently
+        # vanished — neither admitted nor deduped. Folding NULL into ''
+        # makes the gate total: NULL/empty docs dedup against each
+        # other deterministically and the first one is admitted.
         b = (
-            batch.withColumn("digest", F.sha2(basis, 256))
+            batch.withColumn("digest", F.sha2(F.coalesce(basis, F.lit("")), 256))
             .withColumn(
                 "dig_bucket",
                 F.pmod(F.xxhash64("digest"), F.lit(EXACT_DEDUP_BUCKETS)),
             )
+            .localCheckpoint()  # digest ONCE; feeds the within-batch
+            # join, the bucket collect, and the append below (review
+            # finding: without this the sha2 + normalization regex
+            # re-ran per action, same rationale as write_dedup_gated)
         )
         # within-batch: smallest doc_id per digest wins (deterministic)
         keep = b.join(
             b.groupBy("digest").agg(F.min("doc_id").alias("doc_id")),
             ["digest", "doc_id"],
-        )
+        ).localCheckpoint()  # decide ONCE; feeds the probe and the append
         # Explicit existence check (Hadoop-FS), same rationale as the
         # LSH gate: only the legitimate first-batch missing-path case
         # may skip the probe; any read error must fail the batch.

@@ -2876,3 +2876,86 @@ def test_driver_parquet_write_roundtrip_and_empty(spark, tmp_path):
     assert len(got) == 1 and got[0].shard == 2
     assert not table_exists(spark, p2 + "__compact_tmp")
     assert not table_exists(spark, p2 + "__compact_old")
+
+
+def test_verify_jaccard_asym_equals_shared_helper_on_same_frame(spark, sf_dir):
+    """The gate's asymmetric verify is the two-frame generalization of
+    operators.dedup._verify_jaccard; the shared helper's source is baked
+    into six queries' evidence fingerprints, so the generalization lives
+    in the (fingerprint-free) streaming module instead of as a
+    parameter. This equivalence pin is what keeps the two from diverging
+    silently: with both sides given the SAME signature frame, the
+    asymmetric form must reproduce the shared helper's verdicts row for
+    row on real candidate pairs."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_frame,
+        _signatures,
+        _verify_jaccard,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        _verify_jaccard_asym,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    sig = _signatures(d).localCheckpoint()
+    bands = _band_frame(sig)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _verify_jaccard(cand, sig, "sh", JACCARD_THRESHOLD).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _verify_jaccard_asym(
+            cand, sig, sig, "sh", JACCARD_THRESHOLD
+        ).collect()
+    }
+    assert want, "fixture has near-dups; the comparison must be non-vacuous"
+    assert got == want
+
+
+def test_swap_recover_discards_corrupt_temp_instead_of_promoting(spark, tmp_path):
+    """Review finding (round 10): a crash MID-WRITE of the very first
+    carry persist leaves a truncated temp and no live path; promoting it
+    would wedge every subsequent hydration on a corrupt sidecar. The
+    recovery step must validate by reading and DELETE an unreadable
+    temp (nothing existed to lose), while a complete temp is still
+    promoted."""
+    import os
+
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        _atomic_overwrite_rows,
+        _swap_recover,
+        table_exists,
+    )
+
+    live = str(tmp_path / "carry")
+    tmp = live + "__compact_tmp"
+    # corrupt temp: a directory holding a truncated non-parquet part file
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x01trunc")  # magic but no footer
+    _swap_recover(spark, live)
+    assert not table_exists(spark, live), "corrupt temp was promoted"
+    assert not table_exists(spark, tmp), "corrupt temp was left behind"
+    # ...and the pipeline writes cleanly afterwards
+    _atomic_overwrite_rows(
+        spark, [(1, 2)], "shard long, shard_n long", live
+    )
+    assert spark.read.parquet(live).collect()[0].shard == 1
+    # a COMPLETE temp (the genuine mid-swap window) is still promoted
+    import shutil
+
+    shutil.move(live, tmp)
+    _swap_recover(spark, live)
+    assert table_exists(spark, live) and not table_exists(spark, tmp)
+    assert spark.read.parquet(live).collect()[0].shard_n == 2
