@@ -303,6 +303,43 @@ def purchases_with_recent_signup(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "signup_ts")
 
 
+def purchases_with_optional_signup(
+    purchases: DataFrame, signups: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the outer twin of
+    ``purchases_with_recent_signup``: every purchase appears, with
+    signup columns null when no signup matched within the trailing
+    ``horizon``. The null-padded row for an unmatched purchase can only
+    be emitted once the GLOBAL watermark (the minimum across both
+    sides) passes the last event time at which a match was still
+    possible — for this join condition the purchase's own timestamp —
+    because until then a matching signup may still arrive. Consequence,
+    pinned by the test: on a bounded replay the tail of the stream
+    (purchases within the signup side's watermark delay of the final
+    event) stays buffered in state and is NOT emitted; a live stream
+    flushes it as later events advance the watermark. That deferred
+    emission is the honest cost of outer semantics over unbounded
+    inputs, and the bounded time range is still what keeps the join
+    state finite."""
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = signups.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    return p.join(
+        s,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "signup_ts"
+    )
+
+
 def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static dimension enrichment: each micro-batch left-joins the
     unbounded event stream to a bounded dimension snapshot. The static

@@ -2959,3 +2959,90 @@ def test_swap_recover_discards_corrupt_temp_instead_of_promoting(spark, tmp_path
     _swap_recover(spark, live)
     assert table_exists(spark, live) and not table_exists(spark, tmp)
     assert spark.read.parquet(live).collect()[0].shard_n == 2
+
+
+def test_stream_stream_left_outer_join_semantics(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join, emission semantics pinned exactly:
+    (a) every MATCHED pair the batch join produces is emitted; (b) an
+    UNMATCHED purchase is emitted null-padded iff the final global
+    watermark passed its last possible match time (its own timestamp) —
+    purchases newer than that stay buffered on a bounded replay; (c) no
+    row is emitted both matched and null-padded."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    joined = sp.purchases_with_optional_signup(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+    )
+    q = sp.run_to_memory(
+        joined, "ss_louter_out", "append", checkpoint=str(tmp_path / "lo_ck")
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM ss_louter_out").collect()
+    got_matched = sorted(
+        (r.purchase_id, r.user_id, r.purchase_ts, r.signup_ts)
+        for r in rows
+        if r.signup_ts is not None
+    )
+    got_null = {r.purchase_id for r in rows if r.signup_ts is None}
+
+    e = load_events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    matched = p.join(
+        s,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    want_matched = sorted(
+        (r.purchase_id, r.p_user, r.purchase_ts, r.signup_ts)
+        for r in matched.collect()
+    )
+    assert want_matched and got_matched == want_matched
+
+    # Watermark timing: state eviction in batch N uses the watermark
+    # computed from batches < N, so rows only provably expire against
+    # the watermark derived from the SECOND-TO-LAST file's max event
+    # time; between that and the true final watermark is an
+    # indeterminate zone (depends on whether a trailing watermark-only
+    # batch ran). The test therefore pins three determinate regions:
+    # ts < lo_cutoff MUST emit null-padded, ts >= hi_cutoff MUST stay
+    # buffered, and nothing may emit both shapes.
+    import datetime as _dt
+
+    from pyspark.sql.window import Window as _W
+
+    sliced = e.select(
+        F.ntile(4).over(_W.orderBy("ts")).alias("slice"), "ts"
+    )
+    max3 = sliced.filter(F.col("slice") <= 3).agg(F.max("ts")).collect()[0][0]
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    lo_cutoff = max3 - _dt.timedelta(hours=2)
+    hi_cutoff = max_ts - _dt.timedelta(hours=2)
+    unmatched_ts = {
+        r.purchase_id: r.purchase_ts
+        for r in p.join(matched.select("purchase_id"), "purchase_id", "left_anti")
+        .select("purchase_id", "purchase_ts")
+        .collect()
+    }
+    unmatched = set(unmatched_ts)
+    must_emit = {i for i, t in unmatched_ts.items() if t < lo_cutoff}
+    must_hold = {i for i, t in unmatched_ts.items() if t >= hi_cutoff}
+    assert must_emit, "fixture must have watermark-expired unmatched rows"
+    assert must_hold, "fixture must have tail rows still inside the delay"
+    assert got_null <= unmatched, "null row emitted for a matched purchase"
+    assert must_emit <= got_null, (
+        f"expired rows never emitted: {sorted(must_emit - got_null)[:5]}"
+    )
+    assert not (must_hold & got_null), (
+        f"buffered rows emitted early: {sorted(must_hold & got_null)[:5]}"
+    )
+    assert not (got_null & {m[0] for m in want_matched})
