@@ -2751,11 +2751,29 @@ def test_exact_dedup_gate_rejects_dups_prunes_and_replays(spark, sf_dir, tmp_pat
 
     run("eg_ck1")
     got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    # the base slice may itself contain ORGANIC normalized duplicates
+    # (it does at sf0.1: docs 669/1641 normalize identically), so the
+    # expected admissions from batch 1 are the min-doc_id keeper of each
+    # normalized-digest group — computed with the gate's own rule
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import norm_expr
+
+    base_keepers = {
+        r.keeper
+        for r in base.withColumn(
+            "h", F.sha2(F.coalesce(norm_expr(F.col("text")), F.lit("")), 256)
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+        .collect()
+    }
     base_ids = {r.doc_id for r in base.select("doc_id").collect()}
     novel_ids = {
         r.doc_id for r in d.filter(F.col("doc_id") % 4 == 2).select("doc_id").collect()
     }
-    assert base_ids <= got
+    assert base_keepers <= got
+    assert (got & base_ids) == base_keepers, (
+        "batch 1 must admit exactly one keeper per normalized-digest group"
+    )
     # no uppercase variant and no byte-exact copy slipped in
     assert not {i for i in got if i >= 1_000_000}
     # novel docs admitted except organic exact/normalized dups of base or
