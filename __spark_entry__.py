@@ -40,49 +40,48 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 10 slot arithmetic, executing the rotation plan recorded at
-    # the end of round 9 (corrected against tools/evidence.json: the
-    # actual age histogram entering round 10 is r7:46, r8:49, r9:50 —
-    # the recorded plan's "49 r7-aged rows" over-counted by 3): 50 slots
-    # = 1 flagship + ALL 46 r7-aged rows (no registry row may age past
-    # r8) + the 3 alphabetically-first r8-aged rows spent from the free
-    # slots to smooth the r11 rotation. Demand checked green by
-    # `tools/driver_check.py --window-budget 10` before and after.
-    # the 46 r7-aged rows, alphabetical
-    *["approx_sketches_exact", "asof_cogroup_pandas",
-      "asof_purchase_signup", "bm25_topk_docs", "case_bucketing",
-      "chargram_jaccard_pairs", "contamination_ngram_hits",
-      "cosine_topk_bruteforce", "cosine_topk_ivf", "cube_qty",
-      "dataset_shuffle_order", "dataset_split_assign",
-      "dedup_exact_hash", "dedup_incremental", "deterministic_sample",
-      "dominant_part_suppliers", "dq_expectations",
-      "duplicate_ngram_overlap", "embedding_covariance",
-      "embedding_pca_project", "equi_depth_deciles",
-      "events_funnel_conversion", "events_mad_outliers",
-      "events_retention_cohorts", "fuzzy_dedup_keep_one",
-      "key_skew_profile", "kmeans_assignments", "kmeans_clusters",
-      "length_weighted_sample", "min_cost_supplier",
-      "minhash_lsh_neardup", "nation_pair_trade", "neardup_clusters",
-      "part_supplier_variety", "part_value_concentration",
-      "pricing_summary", "rollup_qty", "scd2_user_tiers",
-      "session_concurrency_hourly", "set_intersect",
-      "shipping_delay_priority", "simhash_candidate_pairs",
-      "snapshot_diff", "source_mixing_weights", "token_rarity_scores",
-      "zorder_bucket_profile"],
-    # the 3 alphabetically-first r8-aged rows (free-slot spend)
-    "array_funcs", "bigram_lm_probs", "chunk_documents",
-    # Round-11 rotation plan (recorded per standing practice): after
-    # this round the histogram is r8:46, r9:50, r10:49(+flagship).
-    # Demand for r11 = flagship + the 46 remaining r8-aged rows = 47,
-    # leaving 3 free slots. SPEND THEM ON multimodal_decode_real/png/
-    # jpeg (r9): measured in round 10, ANY edit to functions/webp.py —
-    # even a pure append — moves exactly the four decode-query
-    # fingerprints (the codec module is hashed whole via the queries'
-    # closure-local imports), and multimodal_decode_webp is already
-    # r8-mandatory in r11; with the three r9 decode rows in the free
-    # slots, the deferred VP8L predictor/cross-color decode work
-    # (round-9 verdict #7) fits r11 with zero displacement. Other
-    # fingerprint-moving edits remain window-mandatory; other new work
+    # round 11 slot arithmetic, executing the rotation plan recorded at
+    # the end of round 10 (verified against tools/evidence.json this
+    # round: age histogram entering round 11 is exactly r8:46, r9:49,
+    # r10:50 — the recorded plan and evidence agree for once): 50 slots
+    # = 1 flagship + ALL 46 r8-aged rows (no registry row may age past
+    # r9) + multimodal_decode_real/png/jpeg (r9-aged) in the 3 free
+    # slots, so the VP8L predictor/cross-color wiring can edit
+    # functions/webp.py with all four decode-query fingerprints
+    # in-window. Demand checked green by `tools/driver_check.py
+    # --window-budget 11` before and after every edit.
+    # the 46 r8-aged rows, alphabetical
+    *["corpus_budget_select", "corpus_pipeline_verdicts",
+      "cosine_topk_lsh", "date_funcs", "dedup_exact_summary",
+      "dedup_normalized_hash", "doc_fingerprints",
+      "embedding_centroids", "events_hourly_gapfill",
+      "events_sessionize", "events_sliding_1h_30m",
+      "events_tumbling_1h", "grouped_median_pandas",
+      "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
+      "map_funcs", "math_funcs", "minhash_signatures",
+      "multimodal_decode_audio", "multimodal_decode_features",
+      "multimodal_decode_webp", "multimodal_frame_sample",
+      "multimodal_metadata", "multimodal_resize_plan",
+      "npm_dependency_pagerank", "npm_transitive_deps",
+      "order_priority_by_quarter", "pca_project_fixed_basis",
+      "pii_redact", "pii_scan", "price_histogram",
+      "price_outliers_iqr", "semdedup_keep_one",
+      "session_overlap_pairs", "set_except", "set_union",
+      "simhash_fingerprints", "sql_api_revenue_by_nation",
+      "stratified_sample", "string_funcs", "text_normalize",
+      "text_quality_scores", "token_counts", "udtf_sentences",
+      "vocab_top_terms"],
+    # the 3 free slots: the remaining decode queries (r9-aged), spent
+    # here because the functions/webp.py edit moves all four decode
+    # fingerprints at once (measured in round 10)
+    "multimodal_decode_real", "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    # Round-12 rotation plan (recorded per standing practice): after
+    # this round the histogram is r9:46, r10:49(+flagship), r11:50.
+    # Demand for r12 = flagship + the 46 remaining r9-aged rows = 47,
+    # leaving 3 free slots; spend them on the 3 alphabetically-first
+    # r10-aged rows (per evidence.json after this round's update).
+    # Fingerprint-moving edits remain window-mandatory; other new work
     # should land as appended operator functions or streaming ops
     # (streaming/pipeline.py is outside queries() fingerprints —
     # verified empirically in rounds 9 and 10).

@@ -7,27 +7,41 @@ LSB-first bit reader, canonical prefix codes (both VP8L code forms:
 2-symbol "simple" codes and full codes whose code lengths are themselves
 prefix-coded with the 16/17/18 repeat symbols), meta-prefix entropy
 images, an LRU-less color cache (multiplicative hash), and LZ77
-backward references over the ARGB pixel stream — plus the spatial
-transforms whose inverses the spec defines exactly: subtract-green and
-color-indexing (including the <=16-color sub-byte pixel bundling).
+backward references over the ARGB pixel stream — plus ALL FOUR spatial
+transforms: subtract-green, color-indexing (including the <=16-color
+sub-byte pixel bundling), and — since round 11 — the PREDICTOR (14
+modes over the reconstructed neighborhood, forced edge modes, the
+rightmost-column top-right wrap) and CROSS-COLOR (signed-byte
+green->red / green->blue / red->blue deltas with arithmetic-shift
+rounding) transforms, whose per-block sub-images ride the same entropy
+coding. The transform arithmetic lives in ``webp_transforms.py``
+(hypothesis-round-trip-tested in isolation before it was wired here);
+this module owns the bitstream framing on both sides.
+
+MAINTENANCE INVARIANT: the four registered decode queries hash THIS
+module whole (closure-local import), but NOT ``webp_transforms.py`` —
+the evidence fingerprint does not follow module-level imports
+transitively. Any behavioral edit to webp_transforms.py MUST be
+accompanied by bumping the revision tag on the next line so the decode
+fingerprints move and the staleness gate sees the change.
+webp_transforms rev: 2 (round 11: choosers + forward/cross-color paths
+vectorized, byte-equivalent to the retained scalar references)
 
 Scope (honest limits, validated loudly — the PNG/JPEG pattern):
 
 - VP8 LOSSY payloads ("VP8 " chunk) raise ValueError: a DCT video
   intraframe codec is out of scope for a data-pipeline container.
-- The PREDICTOR and CROSS-COLOR transforms and the 2D distance
-  plane-code map (distance symbols 1..120) raise ValueError naming the
-  feature: their exact tables/rounding rules could not be re-verified
-  against the specification from inside this offline container, and this
-  repo ships no decode path it cannot prove. Real-world encoders do use
-  them, so PIL remains the documented production path for arbitrary
-  WebP; everything THIS module's encoder can emit — and therefore every
-  payload the registered query decodes — round-trips bit-exactly.
+- The 2D distance plane-code map (distance symbols 1..120) still raises
+  ValueError naming the feature; this module's encoder only emits
+  direct distances, so every payload the registered query decodes
+  round-trips bit-exactly. PIL remains the documented production path
+  for arbitrary wild WebP (e.g. lossy VP8).
 
 The encoder exists to make the decoder falsifiable without PIL: it can
 emit the same raster through materially different code paths (pure
 literals; LZ77 run copies with direct distances; color-cache hits;
-subtract-green; palette/color-indexing with bundling), and the tests
+subtract-green; palette/color-indexing with bundling; per-block
+predictor residuals; cross-color-decorrelated planes), and the tests
 assert all paths reproduce the source bytes exactly. A shared-author
 round trip cannot prove spec conformance the way an independent decoder
 could, but cross-PATH identity means a bug must exist identically in
@@ -43,6 +57,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from . import webp_transforms as _wt
 
 # ---------------------------------------------------------------- bits
 
@@ -424,21 +440,27 @@ def decode_webp(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 xbits = 0
             transforms.append((3, palette, xbits, xsize))
             xsize = (xsize + (1 << xbits) - 1) >> xbits
-        elif ttype == 0:
-            raise ValueError(
-                "VP8L: predictor transform unsupported — its mode table is "
-                "unverifiable offline; re-encode without it or use PIL"
-            )
-        else:
-            raise ValueError(
-                "VP8L: cross-color transform unsupported — its rounding is "
-                "unverifiable offline; re-encode without it or use PIL"
-            )
+        else:  # 0 = predictor, 1 = cross-color: same header + sub-image
+            size_bits = br.read(3) + 2
+            sub_w = (xsize + (1 << size_bits) - 1) >> size_bits
+            sub_h = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, sub_w, sub_h)
+            # xsize at parse time IS the pixel-buffer width when this
+            # transform's inverse runs: inverses apply in reverse stream
+            # order, so any later width-changing transform (color
+            # indexing) has already been undone by then
+            transforms.append((ttype, size_bits, sub, xsize))
 
     pixels = _decode_pixels(br, xsize, h, level0=True)
 
     for t in reversed(transforms):
-        if t[0] == 2:  # add green back
+        if t[0] == 0:  # predictor: add back per-block-mode predictions
+            _, size_bits, modes, tw = t
+            pixels = _wt.predictor_inverse(pixels, tw, h, modes, size_bits)
+        elif t[0] == 1:  # cross-color: restore r/b from green-scaled deltas
+            _, size_bits, ctes, tw = t
+            pixels = _wt.cross_color_inverse(pixels, tw, h, ctes, size_bits)
+        elif t[0] == 2:  # add green back
             for i, p in enumerate(pixels):
                 g = (p >> 8) & 0xFF
                 r = (((p >> 16) & 0xFF) + g) & 0xFF
@@ -652,16 +674,31 @@ def encode_webp(
     cache_bits: int = 0,
     subtract_green: bool = False,
     palette: bool = False,
+    predictor: bool = False,
+    cross_color: bool = False,
+    transform_bits: int = 4,
 ) -> bytes:
     """Encode raw pixel bytes (HxWxC, C in {3,4}) as a lossless WebP.
 
     The mode flags select materially different bitstream shapes (the
     cross-path test surface): greedy LZ77 run copies with direct
     distances 1 and width, a color cache, the subtract-green transform,
-    or a palette (color-indexing transform, with sub-byte bundling when
-    the palette has <=16 colors). All decode back bit-identically."""
+    a palette (color-indexing transform, with sub-byte bundling when
+    the palette has <=16 colors), per-block PREDICTOR residuals, or
+    CROSS-COLOR decorrelation (both with mode/delta sub-images of block
+    size 2**transform_bits, chosen per block by the deterministic
+    minimum-residual searches in webp_transforms.py). All decode back
+    bit-identically. Transform stream order follows the forward
+    application order subtract-green -> predictor -> cross-color (the
+    decoder inverts in reverse); palette does not combine with the
+    spatial transforms (indices are not a metric space to predict
+    over)."""
     if channels not in (3, 4):
         raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    if palette and (predictor or cross_color):
+        raise ValueError("palette mode does not compose with predictor/cross-color")
+    if not 2 <= transform_bits <= 9:
+        raise ValueError("transform_bits out of the 3-bit header range 2..9")
     if not 1 <= width <= 1 << 14 or not 1 <= height <= 1 << 14:
         raise ValueError("dimensions out of VP8L range")
     n = width * height
@@ -740,6 +777,26 @@ def encode_webp(
             | ((((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF))
             for p in argb
         ]
+    if predictor:
+        bw.write(1, 1)  # transform present
+        bw.write(0, 2)  # predictor
+        bw.write(transform_bits - 2, 3)
+        modes = _wt.choose_predictor_modes(argb, xsize, height, transform_bits)
+        sub_w = (xsize + (1 << transform_bits) - 1) >> transform_bits
+        _encode_pixel_stream(
+            bw, modes, cache_bits=0, use_lz77=False, width=sub_w, level0=False
+        )
+        argb = _wt.predictor_forward(argb, xsize, height, modes, transform_bits)
+    if cross_color:
+        bw.write(1, 1)  # transform present
+        bw.write(1, 2)  # cross-color
+        bw.write(transform_bits - 2, 3)
+        ctes = _wt.choose_cross_color_deltas(argb, xsize, height, transform_bits)
+        sub_w = (xsize + (1 << transform_bits) - 1) >> transform_bits
+        _encode_pixel_stream(
+            bw, ctes, cache_bits=0, use_lz77=False, width=sub_w, level0=False
+        )
+        argb = _wt.cross_color_forward(argb, xsize, height, ctes, transform_bits)
     bw.write(0, 1)  # no more transforms
 
     _encode_pixel_stream(bw, argb, cache_bits=cache_bits, use_lz77=use_lz77, width=xsize)

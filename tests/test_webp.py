@@ -33,6 +33,12 @@ MODES = [
     dict(use_lz77=False, cache_bits=4),
     dict(use_lz77=True, cache_bits=3, subtract_green=True),
     dict(use_lz77=False, cache_bits=0, subtract_green=True),
+    # round 11: the spatial transforms (block size 4 so sub-images go
+    # multi-block from 5px up; every neighborhood/edge rule in play)
+    dict(use_lz77=True, cache_bits=0, predictor=True, transform_bits=2),
+    dict(use_lz77=False, cache_bits=0, cross_color=True, transform_bits=2),
+    dict(use_lz77=True, cache_bits=4, subtract_green=True, predictor=True,
+         cross_color=True, transform_bits=3),
 ]
 
 
@@ -193,10 +199,23 @@ def test_rejects_bad_signature_and_truncation():
         decode_webp(good[: len(good) - 3] if len(good) > 23 else good[:21])
 
 
-def test_rejects_unsupported_transforms_by_name():
-    """Hand-built headers announcing predictor / cross-color transforms
-    must fail with the feature named (the honest-seam contract)."""
-    for ttype, name in [(0, "predictor"), (1, "cross-color")]:
+def _wrap_vp8l(bw: _BitWriter) -> bytes:
+    payload = b"\x2f" + bw.bytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 12 + 8 + len(payload))
+        + b"WEBPVP8L"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+def test_transform_headers_parse_and_truncation_stays_loud():
+    """Round 11 closed the predictor/cross-color seam: headers announcing
+    transform types 0/1 now PARSE (the sub-image read begins) instead of
+    raising by name — so a stream truncated right after the header must
+    fail as a truncation, never a silent misread."""
+    for ttype in (0, 1):
         bw = _BitWriter()
         bw.write(3, 14)  # width-1
         bw.write(3, 14)  # height-1
@@ -204,16 +223,35 @@ def test_rejects_unsupported_transforms_by_name():
         bw.write(0, 3)  # version
         bw.write(1, 1)  # transform present
         bw.write(ttype, 2)
-        payload = b"\x2f" + bw.bytes()
-        data = (
-            b"RIFF"
-            + struct.pack("<I", 12 + 8 + len(payload))
-            + b"WEBPVP8L"
-            + struct.pack("<I", len(payload))
-            + payload
-        )
-        with pytest.raises(ValueError, match=name):
-            decode_webp(data)
+        bw.write(2, 3)  # size_bits-2: the sub-image must follow
+        with pytest.raises(ValueError, match="truncated"):
+            decode_webp(_wrap_vp8l(bw))
+
+
+def test_duplicate_spatial_transform_rejected():
+    """Two predictor headers in one stream stay rejected as duplicate —
+    the first parses completely (header + hand-built 1x1 mode
+    sub-image), so the guard fires on the SECOND header, proving the new
+    parse path re-enters the transform loop correctly."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions.webp import (
+        _encode_pixel_stream,
+    )
+
+    bw = _BitWriter()
+    bw.write(3, 14)  # 4x4 image
+    bw.write(3, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor
+    bw.write(0, 3)  # size_bits = 2 -> 1x1 sub-image for a 4x4 image
+    _encode_pixel_stream(
+        bw, [0xFF000200], cache_bits=0, use_lz77=False, width=1, level0=False
+    )
+    bw.write(1, 1)  # another transform...
+    bw.write(0, 2)  # ...predictor again
+    with pytest.raises(ValueError, match="duplicate"):
+        decode_webp(_wrap_vp8l(bw))
 
 
 def test_rejects_distance_plane_codes_by_name():
@@ -276,6 +314,44 @@ def test_encoder_input_validation():
         encode_webp(0, 2, b"", 3)
     with pytest.raises(ValueError, match="palette"):
         encode_webp(2, 1, bytes(range(6)), 3, palette=True, subtract_green=True)
+    with pytest.raises(ValueError, match="palette"):
+        encode_webp(2, 1, bytes(range(6)), 3, palette=True, predictor=True)
+    with pytest.raises(ValueError, match="palette"):
+        encode_webp(2, 1, bytes(range(6)), 3, palette=True, cross_color=True)
+    with pytest.raises(ValueError, match="transform_bits"):
+        encode_webp(2, 1, bytes(range(6)), 3, predictor=True, transform_bits=1)
+    with pytest.raises(ValueError, match="transform_bits"):
+        encode_webp(2, 1, bytes(range(6)), 3, cross_color=True, transform_bits=10)
+
+
+def test_predictor_compresses_gradients_and_transforms_do_real_work():
+    """The mode chooser must be live, not decorative: on a smooth
+    gradient (where every real encoder leans on prediction) the
+    predictor stream is dramatically smaller than the literal-entropy
+    stream, and on channel-correlated pixels cross-color does not lose
+    to plain — while both still round-trip bit-exactly. Guards against a
+    regression where the transforms silently degrade to identity
+    (mode/delta 0 everywhere) yet round-trips keep passing."""
+    h, w = 48, 48
+    grad = (
+        (np.arange(h)[:, None, None] * 2 + np.arange(w)[None, :, None] * 3)
+        % 256
+        * np.ones((1, 1, 3))
+    ).astype(np.uint8)
+    raw = grad.tobytes()
+    plain = encode_webp(w, h, raw, 3, use_lz77=True)
+    pred = encode_webp(w, h, raw, 3, use_lz77=True, predictor=True)
+    assert len(pred) < len(plain) / 4, (len(pred), len(plain))
+    assert decode_webp(pred)[3].tobytes() == raw
+    rng = _rng()
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    corr = np.stack(
+        [((g // 2) + 10) & 0xFF, g, ((g // 2) + 50) & 0xFF], axis=-1
+    ).astype(np.uint8)
+    cc = encode_webp(w, h, corr.tobytes(), 3, cross_color=True)
+    base = encode_webp(w, h, corr.tobytes(), 3)
+    assert len(cc) <= len(base)
+    assert decode_webp(cc)[3].tobytes() == corr.tobytes()
 
 
 # ------------------------------------------------------------- properties

@@ -175,3 +175,37 @@ def test_choose_predictor_modes_beats_fixed_worst_mode():
     # round-trip still exact under the chosen modes
     res = wt.predictor_forward(img, w, h, modes, size_bits)
     assert wt.predictor_inverse(res, w, h, modes, size_bits) == img
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), w=st.integers(1, 24), h=st.integers(1, 20),
+       size_bits=st.integers(2, 4))
+def test_vectorized_paths_equal_scalar_references(seed, w, h, size_bits):
+    """Round 11 vectorized the dependency-free transform paths (both
+    choosers, predictor_forward, cross_color forward AND inverse — the
+    predictor inverse alone is genuinely sequential). Each vectorized
+    function must be BYTE-EQUIVALENT to its retained scalar reference on
+    arbitrary images/blocks — two unrelated code shapes would have to
+    share a bug to agree while wrong (the codec family's standing
+    falsification pattern)."""
+    rng = random.Random(seed)
+    img = [rng.getrandbits(32) for _ in range(w * h)]
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    assert wt.choose_predictor_modes(img, w, h, size_bits) == (
+        wt._choose_predictor_modes_scalar(img, w, h, size_bits)
+    )
+    assert wt.choose_cross_color_deltas(img, w, h, size_bits) == (
+        wt._choose_cross_color_deltas_scalar(img, w, h, size_bits)
+    )
+    modes = [0xFF000000 | (rng.randrange(14) << 8) for _ in range(bw * bh)]
+    assert wt.predictor_forward(img, w, h, modes, size_bits) == (
+        wt._predictor_forward_scalar(img, w, h, modes, size_bits)
+    )
+    ctes = [rng.getrandbits(32) for _ in range(bw * bh)]
+    assert wt.cross_color_forward(img, w, h, ctes, size_bits) == (
+        wt._cross_color_forward_scalar(img, w, h, ctes, size_bits)
+    )
+    assert wt.cross_color_inverse(img, w, h, ctes, size_bits) == (
+        wt._cross_color_inverse_scalar(img, w, h, ctes, size_bits)
+    )
