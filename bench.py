@@ -217,6 +217,7 @@ STREAMING_OPS = [
     ("streaming_distinct_hll", "update"),
     ("streaming_freq_cms", "update"),
     ("streaming_reservoir_sample", "update"),
+    ("streaming_seen_bloom", "update"),
     ("streaming_value_anomalies", "append"),
     ("sessionize_with_expiry", "append"),
     ("dedup_within_watermark", "append"),
@@ -410,9 +411,12 @@ def bench_kernels() -> dict:
     import pandas as pd
 
     from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        BLOOM_BITS,
         CMS_DEPTH,
         CMS_W_BITS,
         RSV_CAPACITY,
+        _bloom_query,
+        _bloom_update,
         _rsv_update,
         GK_EPS,
         _cms_query,
@@ -495,6 +499,14 @@ def bench_kernels() -> dict:
             _cms_query(tab, cms_probe)
 
     record("cms_update_query", mg_keys.size, timed(cms_pass))
+
+    def bloom_pass():
+        bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+        for chunk in np.array_split(mg_keys, 10):
+            _bloom_update(bits, chunk)
+            _bloom_query(bits, cms_probe)
+
+    record("bloom_update_query", mg_keys.size, timed(bloom_pass))
 
     rsv_eids = rng.permutation(np.arange(1_000_000, dtype=np.int64)) * 3 + 1
     rsv_uids = (rsv_eids % 977).astype(np.int64)

@@ -303,6 +303,27 @@ def test_kernel_section_compared_with_numpy_calibration(tmp_path, capsys):
     assert json.load(open(flags))["regressed"] == ["kernel:k_drop"]
 
 
+def test_kernel_missing_calibration_warns_loudly(tmp_path, capsys):
+    """Round-10 ADVICE: when either artifact lacks
+    kernels.calibration_sec the comparison used to fall back to raw
+    rows/s with no signal beyond a 'None' fragment — across
+    differently-loaded hosts that can flag a phantom regression or mask
+    a real one. Now the fallback prints an explicit WARNING naming the
+    artifact so the flags read as advisory."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"kernels": {"k": {"rows_per_sec": 1_000_000}}}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"calibration_sec": 0.2,
+                    "kernels": {"k": {"rows_per_sec": 1_000_000}}}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "WARNING [kernel] calibration_sec missing from old" in out
+    assert "RAW rows/s" in out
+
+
 def test_kernel_speedup_does_not_trip_gate(tmp_path, capsys):
     old = _write(tmp_path, "old.json", {
         "queries": {"q": 1.0},

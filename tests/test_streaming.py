@@ -911,7 +911,11 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
         df = sp.stateful_user_counts_tws(ev)
     except ImportError as ex:
         assert "google.protobuf" in str(ex)
-        pytest.skip("protobuf not in this container; operator guarded")
+        pytest.skip(
+            "protobuf not in this container; operator guarded "
+            "(re-probed round 11, 2026-08-15: `import google.protobuf` "
+            "still raises ModuleNotFoundError)"
+        )
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -1806,6 +1810,53 @@ def test_write_global_quantiles_compaction_bounds_file_count(spark, sf_dir, tmp_
     assert n_total[0.5] == load_events(spark, sf_dir).count()
 
 
+def test_compaction_bound_holds_across_restarts(spark, tmp_path):
+    """Round-10 ADVICE low: the compaction counter used to reset to 0 at
+    every (re)start, so a stream restarted every few batches NEVER
+    reached compact_every and the file count grew without bound. The
+    counter now seeds from the series' current data-file count at the
+    first batch, so the worst restart cadence — a fresh query per
+    micro-batch, 6 times — still compacts on schedule and the file
+    count stays within the documented bound while the batch history
+    survives every rewrite."""
+    import glob as _glob
+    import time as _time
+
+    src = str(tmp_path / "rc_src")
+    out = str(tmp_path / "rc_out")
+    ck = str(tmp_path / "rc_ck")
+    for gen in range(6):
+        rows = [
+            (1000 * gen + i,
+             (1_700_000_000_000_000_000 + (1000 * gen + i) * 1_000_000_000),
+             i % 16, "click", float(i % 101), "{}")
+            for i in range(50)
+        ]
+        spark.createDataFrame(rows, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+        ev = sp.read_events_stream(spark, src, max_files=1)
+        q = (
+            sp.write_global_quantiles(
+                sp.streaming_quantiles_gk_summary(ev), out, compact_every=2
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)  # fresh query object each generation: appends resets
+    n_files = len(_glob.glob(os.path.join(out, "part-*")))
+    assert n_files <= 3, (
+        f"{n_files} part files after 6 restart generations; the "
+        "compaction counter is not seeding from the on-disk file count"
+    )
+    series = spark.read.parquet(out).collect()
+    assert {r.batch_id for r in series} == set(range(6))  # history intact
+    last_batch = max(r.batch_id for r in series)
+    n_total = {r.phi: r.n_total for r in series if r.batch_id == last_batch}
+    assert n_total[0.5] == 300  # every generation's events, post-restart
+
+
 def test_dedup_gate_band_sidecar_layout_and_fallback(spark, sf_dir, tmp_path):
     """Round-8 verdict #5: the accepted corpus' band keys persist in a
     sidecar PARTITIONED BY band_bucket, so a batch probe partition-prunes
@@ -2588,6 +2639,28 @@ def test_reservoir_kernel_identities_and_uniformity():
         sp._rsv_priority(eids[:4], np.array([1.0, 0.0, 2.0, 3.0]))
 
 
+def test_reservoir_weighted_replay_conflicting_value_first_wins():
+    """A replayed event_id arriving in a LATER batch with a different
+    weighted value must not perturb the reservoir: the resident entry
+    (first occurrence) wins, so the sample set and the stored
+    (priority, user, value) triples are byte-identical to the clean
+    run — the replay-invariance the docstring promises, across batches,
+    not just within one."""
+    import numpy as np
+
+    k = 64
+    eids = np.arange(2_000, dtype=np.int64)
+    uids = eids % 31
+    vals = np.full(eids.size, 5.0)
+    clean: dict = {}
+    sp._rsv_update(clean, eids, uids, vals, k, True)
+    perturbed = dict(clean)
+    # replay every id with a conflicting (much heavier) value — would
+    # re-key every priority under latest-wins
+    sp._rsv_update(perturbed, eids, uids, vals * 100.0, k, True)
+    assert perturbed == clean, "conflicting-value replay perturbed the sample"
+
+
 def test_streaming_reservoir_sample_matches_batch_exactly(spark, sf_dir, tmp_path):
     """The streaming reservoir op: per-shard reservoirs and the merged
     global sample equal the BATCH-computed top-k by the same
@@ -3064,3 +3137,238 @@ def test_stream_stream_left_outer_join_semantics(spark, sf_dir, tmp_path):
         f"buffered rows emitted early: {sorted(must_hold & got_null)[:5]}"
     )
     assert not (got_null & {m[0] for m in want_matched})
+
+
+def test_left_outer_join_terminal_flush_reaches_batch_parity(spark, sf_dir, tmp_path):
+    """Round-10 verdict #5: the terminal-flush pattern. A bounded replay
+    through the outer join normally holds the watermark-tail in state
+    (pinned above); appending end-of-stream SENTINEL events whose time
+    lies beyond every purchase's match-possible bound advances the
+    global watermark past the whole stream, and the UNMODIFIED operator
+    then emits EXACTLY the batch left join, row for row — the sentinels
+    themselves provably never emit (distinct reserved users, own ts
+    above the final watermark; a query-side sentinel filter would be
+    pushed below the watermark node and defeat the flush, see
+    append_watermark_sentinels). Two sentinel files are appended (1h
+    apart) so the flush is deterministic: eviction in batch N uses the
+    watermark computed from batches < N, so the second sentinel batch
+    flushes state advanced by the first without relying on a trailing
+    no-data micro-batch."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    src = str(tmp_path / "tf_src")
+    _write_time_sliced(e, src, 4)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    base_ns = int(max_ts.timestamp() * 1_000_000) * 1000
+    # beyond max_ts + 2h (the larger watermark delay) + 1h horizon
+    for k in (4, 5):
+        _time.sleep(1.1)  # distinct mtimes: sentinels must be the last batches
+        sp.append_watermark_sentinels(spark, src, base_ns + k * 3_600_000_000_000)
+    ev = sp.read_events_stream(spark, src, max_files=1)
+    joined = sp.purchases_with_optional_signup(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+    )
+    q = sp.run_to_memory(
+        joined, "ss_flush_out", "append", checkpoint=str(tmp_path / "tf_ck")
+    )
+    _drain(q)
+    got = sorted(
+        (r.purchase_id, r.user_id, r.purchase_ts, r.signup_ts)
+        for r in spark.sql("SELECT * FROM ss_flush_out").collect()
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    want = sorted(
+        (r.purchase_id, r.p_user, r.purchase_ts, r.signup_ts)
+        for r in p.join(
+            s,
+            (F.col("p_user") == F.col("s_user"))
+            & (F.col("signup_ts") <= F.col("purchase_ts"))
+            & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).collect()
+    )
+    assert want and got == want, (
+        f"terminal flush != batch left join: got {len(got)} rows, "
+        f"want {len(want)}"
+    )
+    assert all(r[1] >= 0 for r in got), "a sentinel row leaked into the output"
+
+
+def test_bloom_kernel_identities_and_fpr():
+    """Spark-free Bloom kernel: NO false negatives (every inserted key
+    queries True), the element-wise OR of two filters is BYTE-IDENTICAL
+    to the filter of the concatenated stream, replay is a bit-level
+    no-op, and the observed false-positive rate on disjoint absent keys
+    tracks the classic (1 - e^{-kn/m})^k curve."""
+    import math
+
+    import numpy as np
+
+    nb = sp.BLOOM_BITS >> 3
+    ids = np.arange(200_000, dtype=np.int64) * 13 + 7
+    a = np.zeros(nb, np.uint8)
+    b = np.zeros(nb, np.uint8)
+    whole = np.zeros(nb, np.uint8)
+    sp._bloom_update(a, ids[:120_000])
+    sp._bloom_update(b, ids[120_000:])
+    sp._bloom_update(whole, ids)
+    assert bytes(a | b) == bytes(whole), "OR-merge != single filter"
+    replay = whole.copy()
+    sp._bloom_update(replay, ids[:50_000])
+    assert bytes(replay) == bytes(whole), "replay changed the filter"
+    assert sp._bloom_query(whole, ids).all(), "false negative"
+    absent = np.arange(100_000, dtype=np.int64) * 13 + 8  # disjoint residues
+    fpr = float(sp._bloom_query(whole, absent).mean())
+    bound = (1 - math.exp(-sp.BLOOM_K * ids.size / sp.BLOOM_BITS)) ** sp.BLOOM_K
+    assert fpr <= 3 * bound + 1e-4, (fpr, bound)
+    # mismatched configurations refuse to merge
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="do not merge"):
+        sp.bloom_merged_bits([bytes(8)])
+
+
+def test_streaming_seen_bloom_matches_batch_and_merges_exactly(spark, sf_dir, tmp_path):
+    """The streaming Bloom op: each shard's final bit array equals the
+    batch-computed filter of its event slice BYTE FOR BYTE (state folds
+    are order/batch-split independent — bit-setting commutes), the OR
+    merge equals the single filter of the whole stream, and membership
+    over the merge has no false negatives for any user in the data."""
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    ev = _events_stream(spark, sf_dir, tmp_path)
+    q = sp.run_to_memory(sp.streaming_seen_bloom(ev), "bloom_out", "update")
+    _drain(q)
+    rows = spark.sql(
+        """SELECT * FROM bloom_out
+           WHERE (shard, shard_n) IN
+                 (SELECT shard, max(shard_n) FROM bloom_out GROUP BY shard)"""
+    ).collect()
+    assert len(rows) == sp.BLOOM_SHARDS
+    events = load_events(spark, sf_dir).select("event_id", "user_id")
+    nb = sp.BLOOM_BITS >> 3
+    whole = np.zeros(nb, np.uint8)
+    for r in rows:
+        shard_ids = np.array(
+            [
+                t.user_id
+                for t in events.filter(
+                    F.col("event_id") % sp.BLOOM_SHARDS == r.shard
+                ).collect()
+            ],
+            dtype=np.int64,
+        )
+        assert r.shard_n == shard_ids.size
+        want = np.zeros(nb, np.uint8)
+        sp._bloom_update(want, shard_ids)
+        assert bytes(r.bits) == bytes(want), f"shard {r.shard} filter differs"
+        sp._bloom_update(whole, shard_ids)
+    merged = sp.bloom_merged_bits([r.bits for r in rows])
+    assert bytes(merged) == bytes(whole), "shard OR != single global filter"
+    users = np.array(
+        [t.user_id for t in events.select("user_id").distinct().collect()],
+        dtype=np.int64,
+    )
+    assert sp._bloom_query(merged, users).all(), "false negative on the merge"
+    ans = sp.bloom_might_contain(
+        [r.bits for r in rows], [int(users[0]), int(users.max()) + 999_983]
+    )
+    assert ans[int(users[0])] is True
+
+
+def test_write_global_bloom_live_pipeline_and_restart_carry(spark, sf_dir, tmp_path):
+    """The Bloom live pipeline on the shared skeleton: per-batch
+    membership rows for a fixed probe set (present users True from
+    their first batch onward — never regressing to False, the
+    no-false-negative guarantee live; absent probes False throughout at
+    this fill), n_total ending at the stream count, fill_ratio
+    monotone, file count bounded by compaction — then a restart with a
+    shard-0-only tail file proves the persisted carry covers every
+    pre-restart shard."""
+    import glob as _glob
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    users = sorted(
+        r.user_id
+        for r in load_events(spark, sf_dir).select("user_id").distinct().collect()
+    )
+    absent = [max(users) + 1_000_003, max(users) + 2_000_003]
+    probes = [users[0], users[len(users) // 2], users[-1], *absent]
+    src = str(tmp_path / "gb_src")
+    out = str(tmp_path / "gb_out")
+    ck = str(tmp_path / "gb_ck")
+    _write_time_sliced(load_events(spark, sf_dir), src, 4)
+
+    def run():
+        ev = sp.read_events_stream(spark, src, max_files=1)
+        q = (
+            sp.write_global_bloom(sp.streaming_seen_bloom(ev), out, probes,
+                                  compact_every=2)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)
+
+    run()
+    series = sorted(spark.read.parquet(out).collect(),
+                    key=lambda r: (r.batch_id, r.key))
+    assert {r.batch_id for r in series} == set(range(4))
+    total = load_events(spark, sf_dir).count()
+    assert max(r.n_total for r in series) == total
+    last = {r.key: r for r in series if r.batch_id == 3}
+    for u in probes[:3]:
+        assert last[u].seen is True, f"present user {u} reads False"
+    for a in absent:
+        assert last[a].seen is False, (
+            f"absent probe {a} reads True at fill {last[a].fill_ratio:.4f}"
+        )
+    fills = [f for _, f in sorted({(r.batch_id, r.fill_ratio) for r in series})]
+    assert all(x <= y + 1e-12 for x, y in zip(fills, fills[1:]))
+    assert 0.0 < last[probes[0]].fill_ratio < 0.5
+    # seen never regresses once True (bit-setting is monotone)
+    by_key: dict = {}
+    for r in series:
+        by_key.setdefault(r.key, []).append((r.batch_id, r.seen))
+    for u in probes[:3]:
+        flags = [s for _, s in sorted(by_key[u])]
+        first_true = flags.index(True)
+        assert all(flags[first_true:]), f"user {u} regressed to unseen"
+    assert len(_glob.glob(os.path.join(out, "part-*"))) <= 3
+    # restart: a tail file touching ONLY bloom shard 0 (event_id % 4 == 0)
+    rows2 = [
+        (2_000_000 + 4 * i, (1_800_000_000_000_000_000 + i * 1_000_000_000),
+         int(absent[0]), "click", 1.0, "{}")
+        for i in range(40)
+    ]
+    _time.sleep(1.1)
+    spark.createDataFrame(rows2, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    series2 = sorted(spark.read.parquet(out).collect(), key=lambda r: r.batch_id)
+    last_batch = series2[-1].batch_id
+    last2 = {r.key: r for r in series2 if r.batch_id == last_batch}
+    assert last2[absent[0]].n_total == total + len(rows2), (
+        "pre-restart shards' filters missing from the post-restart merge"
+    )
+    # the previously-absent probe flipped True via the restart batch,
+    # while the pre-restart users survive the carry as True
+    assert last2[absent[0]].seen is True
+    for u in probes[:3]:
+        assert last2[u].seen is True, "carry lost a pre-restart shard's bits"
+    assert last2[absent[1]].seen is False

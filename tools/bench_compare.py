@@ -247,7 +247,18 @@ def main() -> None:
     if k_both:
         ko_cal = old_ker.get("calibration_sec")
         kn_cal = new_ker.get("calibration_sec")
-        k_norm = (kn_cal / ko_cal) if ko_cal and kn_cal else 1.0
+        if ko_cal and kn_cal:
+            k_norm = kn_cal / ko_cal
+        else:
+            # comparing raw rows/s across differently-loaded hosts can
+            # flag phantom regressions or mask real ones — say so loudly
+            # instead of silently normalizing by 1.0
+            k_norm = 1.0
+            print(
+                "WARNING [kernel] calibration_sec missing from "
+                f"{'old' if not ko_cal else 'new'} artifact — comparing "
+                "RAW rows/s (uncalibrated; treat flags as advisory)"
+            )
         k_flagged = []
         for op in k_both:
             a = k_old[op].get("rows_per_sec") or 0
