@@ -2202,8 +2202,47 @@ def reservoir_merged(rows: list, k: int = RSV_CAPACITY) -> list[tuple]:
 EXACT_DEDUP_BUCKETS = 64
 
 
+def _bloom_or_of_keys(keys_df: DataFrame, nbits: int):
+    """Distributed Bloom build over a one-column DataFrame of int64
+    keys: each partition folds its keys into a partial filter
+    (mapInPandas, one binary row per non-empty partition), the driver
+    ORs the partials — the OR-merge identity makes this exactly the
+    filter of the whole column, and the driver never sees keys, only
+    O(partitions) fixed-size blobs. The 100 TB shape: a billion-row
+    backfill moves nbits/8 bytes per partition, nothing else."""
+    nbytes = nbits >> 3
+
+    def _partials(batches):
+        # local imports: mapInPandas closures ship by value and must not
+        # capture module globals
+        import numpy as np
+        import pandas as pd
+
+        from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+            _bloom_update,
+        )
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            if ids.size:
+                any_rows = True
+                _bloom_update(bits, ids)
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    import numpy as np
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for r in keys_df.mapInPandas(_partials, schema="bits binary").collect():
+        merged |= np.frombuffer(bytes(r.bits), dtype=np.uint8)
+    return merged
+
+
 def write_exact_dedup_gated(
-    docs: DataFrame, corpus_path: str, normalized: bool = True
+    docs: DataFrame, corpus_path: str, normalized: bool = True,
+    bloom_prefilter: bool = False, bloom_bits: int | None = None,
 ):
     """EXACT-duplicate streaming ingestion gate — the cheap front door a
     training pipeline runs BEFORE the near-dup LSH gate
@@ -2226,8 +2265,43 @@ def write_exact_dedup_gated(
     idempotent by construction, and for an EXACT gate the self-match is
     a correct drop, never data loss (contrast the near-dup gate, where
     round 10 had to route the verify through corpus-side signatures to
-    get the same property)."""
+    get the same property).
+
+    ``bloom_prefilter=True`` (round 11) puts the seventh streaming
+    sketch in front of the probe: a Bloom filter over the ADMITTED
+    corpus' digest keys rides a ``<corpus>_bloom`` sidecar; per batch,
+    membership is evaluated executor-side against the broadcast bits
+    (128 KiB), rows the filter has definitely never seen bypass the
+    corpus anti-join entirely, and a batch with NO suspects never
+    touches the corpus at all — at 100 TB, where most ingested docs are
+    new, the probe read drops from every-batch to
+    false-positive-rate-of-the-filter. Correctness is one-sided by
+    construction: a false positive only routes a row through the exact
+    probe it would have run anyway, and a false NEGATIVE cannot happen
+    because the sidecar persists BEFORE every corpus append (crash
+    between the two leaves the bloom a strict superset of the corpus —
+    replayed rows read "maybe seen", probe exactly, and are admitted;
+    the reverse order could skip the probe for an already-admitted
+    digest and let a duplicate in). Enabling the flag over a
+    pre-existing corpus triggers a one-time distributed backfill
+    (partial filters per partition, OR-merged — see
+    ``_bloom_or_of_keys``); a crash mid-backfill leaves the sidecar
+    absent, so the next start redoes it. Saturation degrades gracefully:
+    a full filter reads everything as suspect, which is exactly the
+    plain gate. Measured (BENCH_exact_gate_volume.json): against a
+    corpus 100x the batch (500k rows, 5k/batch, all-new stream) the
+    prefilter is 1.61x end-to-end INCLUDING its one-time backfill;
+    against a corpus comparable to one batch it is cost-neutral (its
+    own two extra jobs/batch cancel the small probe it skips) — so
+    enable it when the corpus dwarfs the batch, which is every
+    long-lived ingestion deployment."""
     from ..functions.text import norm_expr
+
+    if bloom_bits is None:
+        bloom_bits = BLOOM_BITS  # resolved at call time: the constant is
+        # defined below this function in the module (bloom section)
+    bloom_sidecar = corpus_path.rstrip("/") + "_bloom"
+    bloom_state: dict[str, object] = {"bits": None}
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -2254,19 +2328,105 @@ def write_exact_dedup_gated(
             b.groupBy("digest").agg(F.min("doc_id").alias("doc_id")),
             ["digest", "doc_id"],
         ).localCheckpoint()  # decide ONCE; feeds the probe and the append
+        corpus_exists = table_exists(spark, corpus_path)
+        if bloom_prefilter:
+            import numpy as np
+
+            if bloom_state["bits"] is None:  # first batch: hydrate
+                _swap_recover(spark, bloom_sidecar)
+                if table_exists(spark, bloom_sidecar):
+                    row = spark.read.parquet(bloom_sidecar).collect()[0]
+                    bits = np.frombuffer(bytes(row.bits), dtype=np.uint8)
+                    if bits.size != bloom_bits >> 3:
+                        raise ValueError(
+                            f"bloom sidecar holds {bits.size * 8} bits, "
+                            f"expected {bloom_bits}; delete the sidecar to "
+                            "rebuild at the new size"
+                        )
+                    bloom_state["bits"] = bits.copy()
+                elif corpus_exists:
+                    # one-time legacy backfill: the corpus predates the
+                    # sidecar, so every existing digest must enter the
+                    # filter before any batch may trust a negative
+                    bloom_state["bits"] = _bloom_or_of_keys(
+                        spark.read.parquet(corpus_path).select(
+                            F.xxhash64("digest").alias("dig_key")
+                        ),
+                        bloom_bits,
+                    )
+                else:
+                    bloom_state["bits"] = np.zeros(
+                        bloom_bits >> 3, dtype=np.uint8
+                    )
+            bits = bloom_state["bits"]
+            bc = spark.sparkContext.broadcast(bytes(bits))
+            nbits = bloom_bits
+
+            def _maybe_seen(batches):
+                import numpy as np
+                import pandas as pd
+
+                from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+                    _bloom_query,
+                )
+
+                filt = np.frombuffer(bc.value, dtype=np.uint8)
+                assert filt.size == nbits >> 3
+                for pdf in batches:
+                    keys = pdf["dig_key"].to_numpy(dtype=np.int64)
+                    out = pdf[["digest", "doc_id"]].copy()
+                    out["maybe_seen"] = _bloom_query(filt, keys)
+                    yield out
+
+            flags = (
+                keep.withColumn("dig_key", F.xxhash64("digest"))
+                .select("digest", "doc_id", "dig_key")
+                .mapInPandas(
+                    _maybe_seen,
+                    schema="digest string, doc_id long, maybe_seen boolean",
+                )
+                .filter(F.col("maybe_seen"))
+                .select("digest", "doc_id")
+                .localCheckpoint()  # evaluate the broadcast probe ONCE
+            )
+            n_suspect = flags.count()
+            bc.unpersist(blocking=False)  # flags materialized above
         # Explicit existence check (Hadoop-FS), same rationale as the
         # LSH gate: only the legitimate first-batch missing-path case
-        # may skip the probe; any read error must fail the batch.
-        if table_exists(spark, corpus_path):
+        # may skip the probe; any read error must fail the batch. With
+        # the prefilter, a batch with zero suspects skips the corpus
+        # read outright — the bloom negative is definitive.
+        if corpus_exists and not (bloom_prefilter and n_suspect == 0):
+            probe = keep.join(flags, ["digest", "doc_id"]) if bloom_prefilter else keep
             buckets = [
-                r[0] for r in keep.select("dig_bucket").distinct().collect()
+                r[0] for r in probe.select("dig_bucket").distinct().collect()
             ]
             seen = (
                 spark.read.parquet(corpus_path)
                 .filter(F.col("dig_bucket").isin(buckets))
                 .select("digest")
             )
-            keep = keep.join(seen, "digest", "left_anti")
+            if bloom_prefilter:
+                dup = probe.join(seen, "digest").select("digest", "doc_id")
+                keep = keep.join(dup, ["digest", "doc_id"], "left_anti")
+            else:
+                keep = keep.join(seen, "digest", "left_anti")
+        if bloom_prefilter:
+            # fold the batch's admitted keys in and persist BEFORE the
+            # append — the bloom-superset-of-corpus crash invariant
+            keep = keep.localCheckpoint()  # freeze: feeds keys AND append
+            key_rows = keep.select(
+                F.xxhash64("digest").alias("dig_key")
+            )
+            batch_bits = _bloom_or_of_keys(key_rows, bloom_bits)
+            bits = bloom_state["bits"]
+            bits |= batch_bits
+            _atomic_overwrite_rows(
+                spark,
+                [(bits.tobytes(), int(batch_id))],
+                "bits binary, last_batch long",
+                bloom_sidecar,
+            )
         # coalesce(1): one file per touched bucket per batch — directory
         # churn dominates at micro-batch granularity (at cluster scale:
         # repartition("dig_bucket"))
@@ -2294,7 +2454,19 @@ _BLOOM_SALTS = (
 )
 
 
-def _bloom_positions(ids, j: int):
+def _bloom_nbits(bits) -> int:
+    """Filter width in bits, derived from the ARRAY — update and query
+    can then never disagree with the array they operate on, and a
+    sidecar persisted at one size can never be probed at another
+    (the mask comes from the blob, not a constant). Must be a power of
+    two for the mask to be a mask."""
+    n = int(bits.size) << 3
+    if n == 0 or n & (n - 1):
+        raise ValueError(f"bloom filter width {n} bits is not a power of two")
+    return n
+
+
+def _bloom_positions(ids, j: int, nbits: int):
     """Bit position of every key in ``ids`` for hash function ``j`` —
     the splitmix64 finalizer over the salt-perturbed key, masked to the
     filter width. Vectorized, shared by update and query so the two can
@@ -2302,20 +2474,21 @@ def _bloom_positions(ids, j: int):
     import numpy as np
 
     h = _hll_hash64(ids.astype(np.uint64) ^ np.uint64(_BLOOM_SALTS[j]))
-    return (h & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+    return (h & np.uint64(nbits - 1)).astype(np.int64)
 
 
 def _bloom_update(bits, ids) -> None:
     """Fold a batch of int64 keys into the packed bit array (uint8,
-    BLOOM_BITS/8 bytes) in place — one vectorized bitwise_or.at per hash
+    width/8 bytes) in place — one vectorized bitwise_or.at per hash
     function. Setting bits is idempotent and commutative, which is what
     gives the sketch its exact merge and replay identities."""
     import numpy as np
 
     if ids.size == 0:
         return
+    nbits = _bloom_nbits(bits)
     for j in range(BLOOM_K):
-        pos = _bloom_positions(ids, j)
+        pos = _bloom_positions(ids, j, nbits)
         np.bitwise_or.at(
             bits, pos >> 3, np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
         )
@@ -2327,9 +2500,10 @@ def _bloom_query(bits, ids):
     error a dedup/membership gate can build on."""
     import numpy as np
 
+    nbits = _bloom_nbits(bits)
     out = np.ones(ids.size, dtype=bool)
     for j in range(BLOOM_K):
-        pos = _bloom_positions(ids, j)
+        pos = _bloom_positions(ids, j, nbits)
         out &= (
             bits[pos >> 3] & np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
         ) != 0

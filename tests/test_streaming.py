@@ -3372,3 +3372,267 @@ def test_write_global_bloom_live_pipeline_and_restart_carry(spark, sf_dir, tmp_p
     for u in probes[:3]:
         assert last2[u].seen is True, "carry lost a pre-restart shard's bits"
     assert last2[absent[1]].seen is False
+
+
+def test_exact_dedup_gate_bloom_prefilter_equivalence_and_probe_skip(
+    spark, sf_dir, tmp_path
+):
+    """bloom_prefilter=True must change the gate's ECONOMICS, never its
+    answers: (1) on a stream with cross-batch normalized duplicates and
+    novel docs, the admitted corpus is IDENTICAL to the plain gate's;
+    (2) a full replay admits nothing new (replayed rows read maybe-seen
+    and fall back to the exact probe); (3) the persisted sidecar is a
+    superset of the corpus (every admitted digest key queries True);
+    (4) the scale claim, pinned mechanically: a batch of all-new docs
+    NEVER reads the corpus — proven by corrupting every corpus part
+    file in place and streaming an all-new batch, which must succeed."""
+    import glob as _glob
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 4 == 1)
+    src = str(tmp_path / "bg_src")
+    base.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    (
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.upper("text"))
+        .unionByName(d.filter(F.col("doc_id") % 4 == 2))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+
+    def run(corpus, ck, **kw):
+        q = (
+            sp.write_exact_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                corpus,
+                **kw,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    plain = str(tmp_path / "bg_plain")
+    bloomed = str(tmp_path / "bg_bloom")
+    run(plain, "bg_ck_p")
+    run(bloomed, "bg_ck_b", bloom_prefilter=True)
+    want = {r.doc_id for r in spark.read.parquet(plain).select("doc_id").collect()}
+    got = {r.doc_id for r in spark.read.parquet(bloomed).select("doc_id").collect()}
+    assert got == want, "prefilter changed the admitted set"
+
+    # (2) full replay, fresh checkpoint: nothing new
+    run(bloomed, "bg_ck_b2", bloom_prefilter=True)
+    assert {
+        r.doc_id for r in spark.read.parquet(bloomed).select("doc_id").collect()
+    } == want
+
+    # (3) sidecar superset invariant
+    import numpy as np
+
+    side = spark.read.parquet(bloomed + "_bloom").collect()[0]
+    bits = np.frombuffer(bytes(side.bits), dtype=np.uint8)
+    keys = np.array(
+        [
+            r.k
+            for r in spark.read.parquet(bloomed)
+            .select(F.xxhash64("digest").alias("k"))
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    assert sp._bloom_query(bits, keys).all(), (
+        "an admitted digest is missing from the persisted bloom"
+    )
+
+    # (4) all-new batch never reads the corpus: corrupt every corpus
+    # part file, then stream 100 brand-new docs — only a probe-free
+    # path can survive this
+    for f in _glob.glob(os.path.join(bloomed, "**", "part-*"), recursive=True):
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+    _time.sleep(1.1)
+    rows = [(9_000_000 + i, f"definitely new text {i} " + "x" * (i % 7))
+            for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # control: the PLAIN path must break on the corrupted corpus (it
+    # reads it every batch) — the failed batch stays uncommitted, so
+    # the shared checkpoint replays it for the prefilter arm below
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="FOREACH_BATCH|Parquet|parquet"):
+        run(bloomed, "bg_ck_b")
+    # the prefilter path sails through: all-new rows are bloom-negative
+    # and the corpus is never opened
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            bloomed,
+            bloom_prefilter=True,
+        )
+        .option("checkpointLocation", str(tmp_path / "bg_ck_b"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import pyarrow.parquet as pq
+
+    new_rows = 0
+    for f in _glob.glob(os.path.join(bloomed, "**", "part-*"), recursive=True):
+        try:
+            new_rows += pq.read_table(f).num_rows
+        except Exception:
+            pass  # the corrupted originals
+    assert new_rows == 100, (
+        f"all-new batch admitted {new_rows}/100 rows through the "
+        "probe-free path"
+    )
+
+
+def test_exact_dedup_gate_bloom_crash_window_is_safe(spark, sf_dir, tmp_path):
+    """The crash ordering: the sidecar persists BEFORE the corpus
+    append, so the exposed window leaves the bloom a strict SUPERSET of
+    the corpus. Reconstructed directly: a sidecar containing the keys
+    of docs that never reached the corpus must not block those docs —
+    they read maybe-seen, fall back to the exact probe, miss, and are
+    ADMITTED (a false positive costs a probe, never data)."""
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch1 = d.filter(F.col("doc_id") % 10 == 1)
+    batch2 = d.filter(F.col("doc_id") % 10 == 2)
+    src = str(tmp_path / "cw_src")
+    corpus = str(tmp_path / "cw_corpus")
+    batch1.coalesce(1).write.parquet(src)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src),
+            corpus, bloom_prefilter=True,
+        )
+        .option("checkpointLocation", str(tmp_path / "cw_ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(corpus).count()
+    # reconstruct the crash: fold batch2's FUTURE digest keys into the
+    # sidecar as if the sidecar write landed but the append did not
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import norm_expr
+    from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+        _atomic_overwrite_rows,
+    )
+
+    side = spark.read.parquet(corpus + "_bloom").collect()[0]
+    bits = np.frombuffer(bytes(side.bits), dtype=np.uint8).copy()
+    future = np.array(
+        [
+            r.k
+            for r in batch2.select(
+                F.xxhash64(
+                    F.sha2(F.coalesce(norm_expr(F.col("text")), F.lit("")), 256)
+                ).alias("k")
+            ).collect()
+        ],
+        dtype=np.int64,
+    )
+    sp._bloom_update(bits, future)
+    _atomic_overwrite_rows(
+        spark, [(bits.tobytes(), 99)], "bits binary, last_batch long",
+        corpus + "_bloom",
+    )
+    # now the "replay": batch2 arrives; every row is bloom-positive but
+    # absent from the corpus — all its keepers must be admitted
+    import time as _time
+
+    _time.sleep(1.1)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src),
+            corpus, bloom_prefilter=True,
+        )
+        .option("checkpointLocation", str(tmp_path / "cw_ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got2 = spark.read.parquet(corpus).count()
+    keepers2 = (
+        batch2.withColumn(
+            "h", F.sha2(F.coalesce(norm_expr(F.col("text")), F.lit("")), 256)
+        )
+        .groupBy("h").agg(F.min("doc_id"))
+        .join(
+            spark.read.parquet(corpus).select("digest").withColumnRenamed(
+                "digest", "h"
+            ),
+            "h", "left_semi",
+        )
+        .count()
+    )
+    # ck2 replays batch1 too (fresh checkpoint) — batch1 rows dedup
+    # against the corpus; batch2 keepers that aren't organic dups of
+    # batch1 must all land
+    assert got2 > n1, "bloom false positives blocked genuinely new docs"
+    assert keepers2 > 0
+
+
+def test_exact_dedup_gate_bloom_backfills_legacy_corpus(spark, sf_dir, tmp_path):
+    """Enabling bloom_prefilter over a corpus that PREDATES the sidecar
+    must backfill the filter from the corpus before trusting any
+    negative — without it, every legacy digest reads definitely-new,
+    skips the probe, and duplicates flood in. Run the plain gate, then
+    re-stream the SAME docs through the bloom-prefiltered gate: zero
+    admissions, and the sidecar now exists."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") % 10 == 3)
+    src = str(tmp_path / "lb_src")
+    corpus = str(tmp_path / "lb_corpus")
+    docs.coalesce(1).write.parquet(src)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src), corpus
+        )
+        .option("checkpointLocation", str(tmp_path / "lb_ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(corpus).count()
+    assert not sp.table_exists(spark, corpus + "_bloom")
+    # same docs again (ids shifted so they are not self-rows), bloom on
+    _time.sleep(1.1)
+    docs.withColumn("doc_id", F.col("doc_id") + 3_000_000).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src),
+            corpus, bloom_prefilter=True,
+        )
+        .option("checkpointLocation", str(tmp_path / "lb_ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(corpus).count() == n1, (
+        "legacy corpus digests leaked past an un-backfilled bloom"
+    )
+    assert sp.table_exists(spark, corpus + "_bloom")

@@ -85,15 +85,92 @@ def main() -> None:
                 d.filter(F.col("doc_id") % n_files == part).coalesce(
                     1
                 ).write.mode("append").parquet(src)
-            corpus = os.path.join(work, f"corpus_{n_files}")
-            ck = os.path.join(work, f"ck_{n_files}")
+            row = {"batches": n_files, "rows_per_batch": round(n_rows / n_files)}
+            # two arms per volume: the plain gate (probes the corpus
+            # every batch past the first) and the bloom-prefiltered gate
+            # (all-new rows are bloom-negative, so batches 2..n skip the
+            # corpus read outright — the dominant ingestion shape)
+            for arm, kw in (("plain", {}), ("bloom", {"bloom_prefilter": True})):
+                corpus = os.path.join(work, f"corpus_{n_files}_{arm}")
+                ck = os.path.join(work, f"ck_{n_files}_{arm}")
+                t0 = time.perf_counter()
+                q = (
+                    sp.write_exact_dedup_gated(
+                        spark.readStream.schema(d.schema)
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(src),
+                        corpus, **kw,
+                    )
+                    .option("checkpointLocation", ck)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                wall = time.perf_counter() - t0
+                row[f"{arm}_wall_sec"] = round(wall, 3)
+                row[f"{arm}_rows_per_sec"] = round(n_rows / wall, 1)
+            result["volumes"].append(row)
+        small = result["volumes"][0]["plain_rows_per_sec"]
+        big = result["volumes"][-1]["plain_rows_per_sec"]
+        result["big_over_small_throughput"] = round(big / small, 2)
+        result["bloom_over_plain_at_smallest"] = round(
+            result["volumes"][0]["bloom_rows_per_sec"]
+            / result["volumes"][0]["plain_rows_per_sec"], 2,
+        )
+
+        # Phase 2 — the shape the prefilter exists for: a corpus that
+        # DWARFS the batch. Seed 500k rows (10 further distinct copies),
+        # then stream 10 all-new 5k-doc batches through both arms: the
+        # plain gate probes the big corpus every batch; the bloom arm
+        # backfills once and never opens it again.
+        from akkastreamprocessnpmpackagedependencies_spark.functions.text import (
+            norm_expr,
+        )
+        from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+            EXACT_DEDUP_BUCKETS,
+        )
+
+        base5k = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        seed_parts = [
+            base5k.select(
+                (F.col("doc_id") + 10_000_000 + 100_000 * k).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" #s{k}")).alias("text"),
+            )
+            for k in range(100)
+        ]
+        seed = seed_parts[0]
+        for p in seed_parts[1:]:
+            seed = seed.unionByName(p)
+        seed = (
+            seed.withColumn(
+                "digest",
+                F.sha2(F.coalesce(norm_expr(F.col("text")), F.lit("")), 256),
+            )
+            .withColumn(
+                "dig_bucket",
+                F.pmod(F.xxhash64("digest"), F.lit(EXACT_DEDUP_BUCKETS)),
+            )
+            .localCheckpoint()
+        )
+        n_seed = seed.count()
+        new_src = os.path.join(work, "seeded_src")
+        for k in range(10):
+            base5k.select(
+                (F.col("doc_id") + 50_000_000 + 100_000 * k).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" #n{k}")).alias("text"),
+            ).coalesce(1).write.mode("append").parquet(new_src)
+        seeded = {"corpus_rows": n_seed, "batches": 10, "rows_per_batch": 5000}
+        for arm, kw in (("plain", {}), ("bloom", {"bloom_prefilter": True})):
+            corpus = os.path.join(work, f"seeded_corpus_{arm}")
+            seed.write.partitionBy("dig_bucket").parquet(corpus)
+            ck = os.path.join(work, f"seeded_ck_{arm}")
             t0 = time.perf_counter()
             q = (
                 sp.write_exact_dedup_gated(
-                    spark.readStream.schema(d.schema)
+                    spark.readStream.schema(base5k.schema)
                     .option("maxFilesPerTrigger", 1)
-                    .parquet(src),
-                    corpus,
+                    .parquet(new_src),
+                    corpus, **kw,
                 )
                 .option("checkpointLocation", ck)
                 .start()
@@ -101,17 +178,12 @@ def main() -> None:
             q.processAllAvailable()
             q.stop()
             wall = time.perf_counter() - t0
-            result["volumes"].append(
-                {
-                    "batches": n_files,
-                    "rows_per_batch": round(n_rows / n_files),
-                    "wall_sec": round(wall, 3),
-                    "rows_per_sec": round(n_rows / wall, 1),
-                }
-            )
-        small = result["volumes"][0]["rows_per_sec"]
-        big = result["volumes"][-1]["rows_per_sec"]
-        result["big_over_small_throughput"] = round(big / small, 2)
+            seeded[f"{arm}_wall_sec"] = round(wall, 3)
+            seeded[f"{arm}_rows_per_sec"] = round(50_000 / wall, 1)
+        seeded["bloom_over_plain"] = round(
+            seeded["bloom_rows_per_sec"] / seeded["plain_rows_per_sec"], 2
+        )
+        result["seeded_corpus"] = seeded
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)
             f.write("\n")
