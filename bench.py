@@ -368,6 +368,27 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             .start()
         )
         record("write_exact_dedup_gated", q, t0)
+
+        # the bloom-prefiltered variant of the same gate (round 11): at
+        # this corpus size it should track the plain number (the filter
+        # is cost-neutral until the corpus dwarfs the batch — the
+        # two-sided economics live in BENCH_exact_gate_volume.json);
+        # benching it per round catches overhead creep in the prefilter
+        # machinery itself
+        bcorpus = os.path.join(work, "egb_corpus")
+        t0 = time.perf_counter()
+        q = (
+            sp.write_exact_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_src),
+                bcorpus,
+                bloom_prefilter=True,
+            )
+            .option("checkpointLocation", os.path.join(work, "egb_ck"))
+            .start()
+        )
+        record("write_exact_dedup_gated_bloom", q, t0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

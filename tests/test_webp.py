@@ -155,6 +155,21 @@ def test_rgba_alpha_roundtrip_and_channel_count():
     W, H, C, arr = decode_webp(encode_webp(9, 5, px.tobytes(), 4))
     assert C == 3
     assert arr.tobytes() == px[..., :3].tobytes()
+    # ...including through every encode mode (a round-11 deep-fuzz run
+    # initially misread this documented collapse as a transform bug;
+    # pin it across the whole mode matrix so the convention is visibly
+    # mode-independent)
+    for kwargs in MODES:
+        W, H, C, arr = decode_webp(encode_webp(9, 5, px.tobytes(), 4, **kwargs))
+        assert C == 3 and arr.tobytes() == px[..., :3].tobytes(), kwargs
+    # varied alpha keeps all four channels through the spatial transforms
+    px[..., 3] = rng.integers(0, 255, size=(5, 9), dtype=np.uint8)
+    data = encode_webp(
+        9, 5, px.tobytes(), 4,
+        subtract_green=True, predictor=True, cross_color=True, transform_bits=2,
+    )
+    W, H, C, arr = decode_webp(data)
+    assert C == 4 and arr.tobytes() == px.tobytes()
 
 
 def test_single_color_image_degenerate_codes():
