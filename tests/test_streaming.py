@@ -3636,3 +3636,44 @@ def test_exact_dedup_gate_bloom_backfills_legacy_corpus(spark, sf_dir, tmp_path)
         "legacy corpus digests leaked past an un-backfilled bloom"
     )
     assert sp.table_exists(spark, corpus + "_bloom")
+
+
+def test_bloom_or_of_keys_matches_single_update_any_partitioning(spark):
+    """The distributed Bloom build (per-partition partials, driver OR)
+    must equal one _bloom_update over the same keys REGARDLESS of
+    partitioning — the identity the prefilter backfill and per-batch
+    fold both lean on. Checked byte-for-byte at 1, 3, and 16 partitions,
+    including empty partitions."""
+    import numpy as np
+
+    keys = [int(x) for x in (np.arange(5_000, dtype=np.int64) * 2654435761 % (1 << 62))]
+    want = np.zeros(sp.BLOOM_BITS >> 3, dtype=np.uint8)
+    sp._bloom_update(want, np.asarray(keys, dtype=np.int64))
+    for parts in (1, 3, 16):
+        df = spark.createDataFrame(
+            [(k,) for k in keys], "dig_key long"
+        ).repartition(parts)
+        got = sp._bloom_or_of_keys(df, sp.BLOOM_BITS)
+        assert bytes(got) == bytes(want), f"partitioning {parts} changed the filter"
+    # empty input -> empty filter (and no mapInPandas rows at all)
+    empty = sp._bloom_or_of_keys(
+        spark.createDataFrame([], "dig_key long"), sp.BLOOM_BITS
+    )
+    assert not empty.any()
+
+
+def test_fs_count_data_files_ignores_hidden_and_absent(spark, tmp_path):
+    """The compaction-counter seed counts only real data files: dot/
+    underscore-prefixed entries (_SUCCESS, .crc) and subdirectories do
+    not count, and an absent path is 0, not an error."""
+    import os as _os
+
+    d = tmp_path / "fcd"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"x")
+    (d / "part-00001.parquet").write_bytes(b"y")
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-00000.crc").write_bytes(b"c")
+    _os.makedirs(d / "subdir")
+    assert sp.fs_count_data_files(spark, str(d)) == 2
+    assert sp.fs_count_data_files(spark, str(tmp_path / "nope")) == 0
