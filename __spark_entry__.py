@@ -40,47 +40,48 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 11 slot arithmetic, executing the rotation plan recorded at
-    # the end of round 10 (verified against tools/evidence.json this
-    # round: age histogram entering round 11 is exactly r8:46, r9:49,
-    # r10:50 — the recorded plan and evidence agree for once): 50 slots
-    # = 1 flagship + ALL 46 r8-aged rows (no registry row may age past
-    # r9) + multimodal_decode_real/png/jpeg (r9-aged) in the 3 free
-    # slots, so the VP8L predictor/cross-color wiring can edit
-    # functions/webp.py with all four decode-query fingerprints
-    # in-window. Demand checked green by `tools/driver_check.py
-    # --window-budget 11` before and after every edit.
-    # the 46 r8-aged rows, alphabetical
-    *["corpus_budget_select", "corpus_pipeline_verdicts",
-      "cosine_topk_lsh", "date_funcs", "dedup_exact_summary",
-      "dedup_normalized_hash", "doc_fingerprints",
-      "embedding_centroids", "events_hourly_gapfill",
-      "events_sessionize", "events_sliding_1h_30m",
-      "events_tumbling_1h", "grouped_median_pandas",
-      "json_corrupt_tolerant", "json_funcs", "lang_id_heuristic",
-      "map_funcs", "math_funcs", "minhash_signatures",
-      "multimodal_decode_audio", "multimodal_decode_features",
-      "multimodal_decode_webp", "multimodal_frame_sample",
-      "multimodal_metadata", "multimodal_resize_plan",
-      "npm_dependency_pagerank", "npm_transitive_deps",
-      "order_priority_by_quarter", "pca_project_fixed_basis",
-      "pii_redact", "pii_scan", "price_histogram",
-      "price_outliers_iqr", "semdedup_keep_one",
-      "session_overlap_pairs", "set_except", "set_union",
-      "simhash_fingerprints", "sql_api_revenue_by_nation",
-      "stratified_sample", "string_funcs", "text_normalize",
-      "text_quality_scores", "token_counts", "udtf_sentences",
-      "vocab_top_terms"],
-    # the 3 free slots: the remaining decode queries (r9-aged), spent
-    # here because the functions/webp.py edit moves all four decode
-    # fingerprints at once (measured in round 10)
-    "multimodal_decode_real", "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    # Round-12 rotation plan (recorded per standing practice): after
-    # this round the histogram is r9:46, r10:49(+flagship), r11:50.
-    # Demand for r12 = flagship + the 46 remaining r9-aged rows = 47,
+    # round 12 slot arithmetic, executing the rotation plan recorded at
+    # the end of round 11 (verified against tools/evidence.json this
+    # round: age histogram entering round 12 is exactly r9:46, r10:49,
+    # r11:50 — plan and evidence agree): 50 slots = 1 flagship + ALL 46
+    # r9-aged rows (no registry row may age past r10) + the 3
+    # alphabetically-first r10-aged rows in the free slots. Demand
+    # checked green by `tools/driver_check.py --window-budget 12`
+    # before and after every edit.
+    # the 46 r9-aged rows, alphabetical
+    *["ann_recall_eval", "approx_sketches", "bracket_revenue",
+      "customer_churn_full_outer", "customer_order_counts",
+      "customers_without_big_orders", "distinct_aggs",
+      "doc_perplexity_bigram", "embedding_neardup_pairs",
+      "embedding_pq_codes", "embedding_quantize_int8",
+      "events_error_context_5m", "events_value_rolling_1h",
+      "forecast_revenue", "grouping_sets_qty", "idle_rich_customers",
+      "large_volume_customers", "late_shipment_suppliers",
+      "local_supplier_revenue", "nation_market_share",
+      "npm_reverse_dependency_counts", "order_gap_days",
+      "pack_sequences", "pivot_linestatus", "pq_adc_topk",
+      "priority_with_returns", "product_profit_by_nation_year",
+      "promo_revenue_ratio", "quality_filter_composite",
+      "repetition_signals", "returned_item_customers",
+      "running_quantity_by_supplier", "skew_salted_join",
+      "small_qty_part_revenue", "split_leakage_audit",
+      "stats_moments", "supplier_volume_by_nation",
+      "tfidf_top_terms_per_doc", "top_bigram_share",
+      "top_orders_global", "top_orders_per_customer",
+      "top_revenue_suppliers", "top_unshipped_orders",
+      "topk_per_customer_agg", "unpivot_part_metrics",
+      "window_rank_variants"],
+    # the 3 free slots: alphabetically-first r10-aged rows
+    "approx_sketches_exact", "array_funcs", "asof_cogroup_pandas",
+    # Round-13 rotation plan (recorded per standing practice): after
+    # this round the histogram is r10:46, r11:49(+flagship), r12:50.
+    # Demand for r13 = flagship + the 46 remaining r10-aged rows = 47,
     # leaving 3 free slots; spend them on the 3 alphabetically-first
-    # r10-aged rows (per evidence.json after this round's update).
+    # r11-aged rows (per evidence.json after this round's update) —
+    # UNLESS the VP8L plane-code wiring lands in r13, in which case
+    # spend them on multimodal_decode_real/png/jpeg so all four decode
+    # fingerprints move in-window together (the webp helpers are staged
+    # this round in webp_transforms.py without touching webp.py).
     # Fingerprint-moving edits remain window-mandatory; other new work
     # should land as appended operator functions or streaming ops
     # (streaming/pipeline.py is outside queries() fingerprints —
