@@ -209,3 +209,143 @@ def test_vectorized_paths_equal_scalar_references(seed, w, h, size_bits):
     assert wt.cross_color_inverse(img, w, h, ctes, size_bits) == (
         wt._cross_color_inverse_scalar(img, w, h, ctes, size_bits)
     )
+
+
+def test_predict_region_rejects_malformed_modes_like_scalar():
+    """Round-11 ADVICE: the vectorized _predict_region used to treat any
+    mode >= 13 as ClampAddSubtractHalf (fall-through tail) while scalar
+    predict() raises — a malformed mode sub-image silently diverged
+    from the reference on exactly the inputs the equivalence tests
+    never generate. Both paths must now fail loudly and identically."""
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        wt.predict(14, 0, 0, 0, 0)
+    L = np.zeros((4, 2, 2), dtype=np.int32)
+    pick = np.zeros((2, 2), dtype=bool)
+    for bad in (14, 15, 255):
+        with pytest.raises(ValueError, match="out of range"):
+            wt._predict_region(bad, L, L, L, L, pick)
+    # a forward pass over a sub-image carrying a malformed mode must
+    # surface the error, not encode garbage
+    modes = [0xFF000000 | (14 << 8)]
+    with pytest.raises(ValueError, match="out of range"):
+        wt.predictor_forward([0xFF010203] * 4, 2, 2, modes, 1)
+
+
+# ------------------------------------------- LZ77 distance plane codes
+
+
+def test_plane_code_offsets_match_spec_construction():
+    """The generated table IS the spec's: 120 entries; the first ten
+    match RFC 9649's packed-nibble constants 0x18 0x07 0x17 0x19 0x28
+    0x06 0x27 0x29 0x16 0x1a (dy = hi nibble, dx = 8 - lo nibble);
+    every entry respects the nibble-packing bounds (dy 0..7, dx -7..8)
+    and points at an already-decoded pixel; no duplicates; squared
+    distances are non-decreasing."""
+    offs = wt.plane_code_offsets()
+    assert len(offs) == 120
+    assert len(set(offs)) == 120
+    packed = [(dy << 4) | (8 - dx) for dx, dy in offs]
+    assert packed[:10] == [0x18, 0x07, 0x17, 0x19, 0x28,
+                           0x06, 0x27, 0x29, 0x16, 0x1A]
+    # spot-check deeper anchors (distance-25 run and the 0x58 entry —
+    # code 35 is (0,5), followed by (3,4) (-3,4) (4,3) (-4,3) (5,0))
+    assert packed[34:40] == [0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03]
+    d2 = [dx * dx + dy * dy for dx, dy in offs]
+    assert d2 == sorted(d2)
+    for dx, dy in offs:
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
+        assert dy > 0 or dx > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    xsize=st.integers(min_value=1, max_value=4096),
+    dist=st.integers(min_value=1, max_value=100_000),
+)
+def test_plane_code_distance_roundtrip(xsize, dist):
+    """Encoder->decoder identity at any width: whatever code the
+    encoder picks (2D neighborhood or linear fallback), the decoder's
+    projection onto the SAME width recovers the exact distance."""
+    code = wt.distance_to_plane_code(xsize, dist)
+    assert 1 <= code
+    assert wt.plane_code_to_distance(xsize, code) == dist
+
+
+def test_plane_code_decode_semantics_pinned():
+    """Decoder fixed points: code 1 is (0,1) = one row up (dist =
+    xsize); code 2 is (1,0) = the previous pixel; codes > 120 are
+    linear; a neighborhood offset that lands before the image start
+    clamps to 1 (the spec's dist >= 1 rule); code 0 rejects."""
+    import pytest
+
+    assert wt.plane_code_to_distance(100, 1) == 100
+    assert wt.plane_code_to_distance(7, 1) == 7
+    assert wt.plane_code_to_distance(100, 2) == 1
+    assert wt.plane_code_to_distance(100, 121) == 1
+    assert wt.plane_code_to_distance(100, 120 + 777) == 777
+    # code 4 is (-1,1): at xsize=1 the offset is 1*1-1 = 0 -> clamp
+    assert wt.plane_code_to_distance(1, 4) == 1
+    with pytest.raises(ValueError):
+        wt.plane_code_to_distance(100, 0)
+    with pytest.raises(ValueError):
+        wt.distance_to_plane_code(100, 0)
+
+
+def test_plane_code_encoder_prefers_neighborhood_and_is_minimal():
+    """At width 100, distance 100 is exactly one-row-up -> code 1 (not
+    the linear 220); distance 99 is (-1,1) -> code 4; aliases resolve
+    to the SMALLEST code (at xsize=5, dist 5 is both (0,1) and (5,0);
+    (0,1) is code 1)."""
+    assert wt.distance_to_plane_code(100, 100) == 1
+    assert wt.distance_to_plane_code(100, 1) == 2
+    assert wt.distance_to_plane_code(100, 99) == 4
+    assert wt.distance_to_plane_code(5, 5) == 1
+    # far distances fall back to linear
+    assert wt.distance_to_plane_code(100, 10_000) == 10_120
+
+
+def test_webp_transforms_rev_tag_tracks_module_content():
+    """Round-11 ADVICE, automated: the decode-query evidence
+    fingerprints hash webp.py whole but NOT this module, so the
+    staleness gate only notices a webp_transforms.py behavior change
+    through the hand-bumped 'webp_transforms rev' tag in webp.py's
+    docstring. This test makes forgetting impossible: ANY edit to
+    webp_transforms.py changes its content hash and fails here, forcing
+    a conscious decision —
+
+    * behavioral change to code webp.py CALLS (decode/encode paths,
+      choosers): bump the rev tag in webp.py (this moves the four
+      decode-query fingerprints; schedule the edit for a round where
+      they are in-window, per __spark_entry__._PRIORITY) AND update
+      BOTH pins below;
+    * additive/staged or unreachable-from-webp.py change (new helpers,
+      guards on inputs the codec cannot produce): update only the
+      CONTENT_SHA pin and say why in the commit.
+
+    Round-12 pin covers: the mode>13 guard in _predict_region
+    (unreachable from webp.py — choosers emit 0..13, the decode side
+    uses scalar predict which already raised) and the staged LZ77
+    plane-code helpers (not yet called by webp.py) — no rev bump."""
+    import hashlib
+    import os
+
+    mod_path = wt.__file__
+    got = hashlib.sha256(open(mod_path, "rb").read()).hexdigest()
+    CONTENT_SHA = "d093124689f88edd18b2b5c5fc80bda7fc181cf2e71f60017f83c73ec4fd22a4"
+    REV = 2
+    webp_path = os.path.join(os.path.dirname(mod_path), "webp.py")
+    webp_doc = open(webp_path, encoding="utf-8").read()
+    assert f"webp_transforms rev: {REV}" in webp_doc, (
+        f"webp.py's rev tag moved without updating this test's REV pin "
+        f"(expected rev {REV}) — keep the tag, the pin, and the decode "
+        "window plan in sync"
+    )
+    assert got == CONTENT_SHA, (
+        "webp_transforms.py changed (sha256 now "
+        f"{got}) — decide per this test's docstring whether the edit "
+        "needs a 'webp_transforms rev' bump in webp.py (fingerprint-"
+        "moving) or only a CONTENT_SHA pin update, then update the pins"
+    )
