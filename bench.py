@@ -49,6 +49,66 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MEASURE_RUNS = 3
 CAL_RUNS = 5
 
+# HEADLINE queries whose runtime is dominated by Python workers
+# (mapInPandas / applyInPandas / pandas_udf / UDTF) rather than JVM
+# execution. tools/bench_compare.py normalizes these by the PYWORKER
+# calibration below instead of the JVM session calibration — round-11's
+# phantom uniform ~1.2x came from the JVM-only calibration running
+# 0.83x faster in a session where python-worker time did not move, so
+# the single divisor over-corrected every python-heavy query (round-12
+# verdict #2). Derived by scanning each query's source for python-worker
+# entry points; re-derive when adding HEADLINE members.
+PYWORKER_QUERIES = frozenset({
+    "asof_cogroup_pandas",
+    "embedding_pca_project",
+    "grouped_median_pandas",
+    "multimodal_decode_audio",
+    "multimodal_decode_features",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "multimodal_decode_real",
+    "multimodal_decode_webp",
+    "multimodal_frame_sample",
+    "pca_project_fixed_basis",
+    "udtf_sentences",
+})
+
+
+def calibration_pyworker_once(spark) -> float:
+    """One timed pass of the PYTHON-WORKER calibration twin: a fixed
+    Arrow-batched mapInPandas workload (splitmix-style integer mixing
+    over 2M ids, identical bytes every session) whose runtime measures
+    the python-worker machinery — worker pool dispatch, Arrow transfer,
+    numpy throughput — that the JVM session calibration cannot see.
+    tools/bench_compare.py divides PYWORKER_QUERIES timings by the
+    old/new ratio of THIS number, so a session where only the JVM side
+    sped up (round 11: JVM cal 0.83x, python flat) stops phantom-
+    flagging every decode/pandas query."""
+
+    def _mix(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            x = pdf["id"].to_numpy(dtype=np.uint64).copy()
+            for _ in range(16):
+                x ^= x >> np.uint64(33)
+                x *= np.uint64(0xFF51AFD7ED558CCD)
+                x ^= x >> np.uint64(29)
+            yield pd.DataFrame(
+                {"h": [int(x.sum() & np.uint64(0x7FFFFFFFFFFFFFFF))]}
+            )
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, 1, 32)
+        .mapInPandas(_mix, "h long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
 
 def calibration_once(spark) -> float:
     """One timed pass of the fixed calibration micro-workload: a
@@ -369,11 +429,14 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         record("write_exact_dedup_gated", q, t0)
 
-        # the bloom-prefiltered variant of the same gate (round 11): at
-        # this corpus size it should track the plain number (the filter
-        # is cost-neutral until the corpus dwarfs the batch — the
-        # two-sided economics live in BENCH_exact_gate_volume.json);
-        # benching it per round catches overhead creep in the prefilter
+        # the bloom-prefiltered variant of the same gate (round 11; the
+        # round-11 "cost-neutral at this corpus size" claim was WRONG —
+        # adjudicated by interleaved A/B in round 12,
+        # BENCH_AB_bloom_gate.json): at this batch-sized corpus the
+        # adaptive skip keeps the arm within ~1.2x of plain (the
+        # residual is the crash-invariant-mandatory fold+persist); the
+        # two-sided economics live in BENCH_exact_gate_volume.json.
+        # Benching it per round catches overhead creep in the prefilter
         # machinery itself
         bcorpus = os.path.join(work, "egb_corpus")
         t0 = time.perf_counter()
@@ -577,6 +640,8 @@ def main() -> None:
     # so a mid-session slowdown shows up as start/end disagreement)
     calibration_once(spark)  # its own warmup
     cal_start = [calibration_once(spark) for _ in range(CAL_RUNS)]
+    calibration_pyworker_once(spark)  # its own warmup (worker pool)
+    pycal_start = [calibration_pyworker_once(spark) for _ in range(CAL_RUNS)]
 
     # measured passes: each full pass visits the suite in a different
     # seeded-shuffled order, so session interference (GC, pool respawn,
@@ -592,6 +657,7 @@ def main() -> None:
             samples[name].append(run_once(name))
 
     cal_end = [calibration_once(spark) for _ in range(CAL_RUNS)]
+    pycal_end = [calibration_pyworker_once(spark) for _ in range(CAL_RUNS)]
     calibration = {
         "workload": "range(4e6,32p) modkey groupBy agg orderBy -> noop",
         "runs": CAL_RUNS,
@@ -599,6 +665,16 @@ def main() -> None:
         "end_median": round(statistics.median(cal_end), 4),
         "median": round(statistics.median(cal_start + cal_end), 4),
         "samples": [round(x, 4) for x in cal_start + cal_end],
+        # the python-worker twin (round-12 verdict #2): same bracket,
+        # different machinery — normalizes PYWORKER_QUERIES
+        "pyworker": {
+            "workload": "range(2e6,32p) mapInPandas splitmix x16 -> noop",
+            "runs": CAL_RUNS,
+            "start_median": round(statistics.median(pycal_start), 4),
+            "end_median": round(statistics.median(pycal_end), 4),
+            "median": round(statistics.median(pycal_start + pycal_end), 4),
+            "samples": [round(x, 4) for x in pycal_start + pycal_end],
+        },
     }
 
     # streaming surface: outside the calibration bracket by design (it
@@ -623,6 +699,7 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "calibration": calibration,
+        "pyworker_queries": sorted(PYWORKER_QUERIES & set(times)),
         "streaming": streaming,
         "kernels": kernels,
         "sf": sf,
@@ -652,7 +729,10 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    line, n_kept = compact_line(times, total, sf, cal=calibration["median"])
+    line, n_kept = compact_line(
+        times, total, sf, cal=calibration["median"],
+        cal_py=calibration["pyworker"]["median"],
+    )
     print(
         f"bench: stdout line {len(line)}B carries flagship + {n_kept - 1} "
         f"slowest of {len(times)} queries; full map in {full_path}",
@@ -672,6 +752,7 @@ def compact_line(
     sf: float,
     budget: int = LINE_BUDGET,
     cal: float | None = None,
+    cal_py: float | None = None,
 ) -> tuple[str, int]:
     """The ONE stdout JSON line, guaranteed to fit the driver's capture.
 
@@ -701,6 +782,8 @@ def compact_line(
         }
         if cal is not None:
             compact["calibration"] = cal
+        if cal_py is not None:
+            compact["calibration_pyworker"] = cal_py
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget or len(keep) <= 1:
             return line, len(keep)

@@ -368,3 +368,125 @@ def test_drift_since_flag_validates_operand(tmp_path):
     with pytest.raises(SystemExit) as ex:
         bc.main()
     assert "--drift-since needs" in str(ex.value)
+
+
+def test_pyworker_calibration_normalizes_python_only_shift(tmp_path, capsys):
+    """Round-12 verdict #2 (the round-11 phantom uniform ~1.2x): a
+    session where the JVM calibration sped up 2x while python-worker
+    time did not move must NOT flag an untouched python-heavy query.
+    The tagged query divides by the PYWORKER calibration ratio (1.0 ->
+    clean); the untouched JVM query, which sped up with the session,
+    divides by the JVM ratio (also clean)."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"jvmq": 1.0, "pyq": 1.0},
+        "spread": {"jvmq": [0.9, 1.0, 1.1], "pyq": [0.9, 1.0, 1.1]},
+        "calibration": {"median": 0.10, "pyworker": {"median": 1.0}},
+        "pyworker_queries": ["pyq"]})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"jvmq": 0.5, "pyq": 1.0},
+        "spread": {"jvmq": [0.45, 0.5, 0.55], "pyq": [0.9, 1.0, 1.1]},
+        "calibration": {"median": 0.05, "pyworker": {"median": 1.0}},
+        "pyworker_queries": ["pyq"]})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "dividing new timings by 0.500" in out
+    assert "pyworker normalization: dividing 1 tagged queries by 1.000" in out
+    assert "flagged >1.5x: 0" in out
+
+
+def test_pyworker_calibration_still_catches_real_python_regression(
+    tmp_path, capsys
+):
+    """The twin must not mask real work: a tagged query 3x slower while
+    the pyworker calibration moved only 1.0x stays flagged."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"pyq": 1.0},
+        "spread": {"pyq": [0.9, 1.0, 1.1]},
+        "calibration": {"median": 0.10, "pyworker": {"median": 1.0}},
+        "pyworker_queries": ["pyq"]})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"pyq": 3.0},
+        "spread": {"pyq": [2.9, 3.0, 3.1]},
+        "calibration": {"median": 0.10, "pyworker": {"median": 1.0}},
+        "pyworker_queries": ["pyq"]})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "SLOWER pyq" in out and "flagged >1.5x: 1" in out
+
+
+def test_pyworker_calibration_missing_names_side_and_falls_back(
+    tmp_path, capsys
+):
+    """Pre-round-12 artifacts lack the pyworker calibration: with too
+    few tagged queries in common for a stable median, tagged queries
+    fall back to the JVM divisor with an explicit advisory naming the
+    missing side(s) — never a silent 1.0 (the kernel-warning lesson,
+    round-11 ADVICE)."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"pyq": 1.0},
+        "calibration": {"median": 0.10},
+        "pyworker_queries": ["pyq"]})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"pyq": 1.0},
+        "calibration": {"median": 0.05, "pyworker": {"median": 1.0}},
+        "pyworker_queries": ["pyq"]})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "pyworker normalization: unavailable" in out
+    assert "missing from old artifact" in out
+
+
+def test_pyworker_missing_calibration_self_normalizes_tagged_class(
+    tmp_path, capsys
+):
+    """The r11->r12 comparison shape: the OLD artifact predates the
+    pyworker calibration, the JVM calibration ran 2x faster while the
+    python side shifted uniformly 1.2x — with >=5 tagged queries in
+    common, the tagged class divides by its OWN median ratio, so the
+    uniform shift cancels and only the genuinely-regressed tagged query
+    (4x) is flagged."""
+    tagged = [f"py{i}" for i in range(6)]
+    old = _write(tmp_path, "old.json", {
+        "queries": {**{q: 1.0 for q in tagged}},
+        "spread": {**{q: [0.9, 1.0, 1.1] for q in tagged}},
+        "calibration": {"median": 0.10},
+        "pyworker_queries": tagged})
+    new_q = {q: 1.2 for q in tagged}
+    new_q["py5"] = 4.0  # the one real python regression
+    new = _write(tmp_path, "new.json", {
+        "queries": new_q,
+        "spread": {q: [v - 0.1, v, v + 0.1] for q, v in new_q.items()},
+        "calibration": {"median": 0.05, "pyworker": {"median": 1.0}},
+        "pyworker_queries": tagged})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "dividing 6 tagged queries by their own median ratio 1.200" in out
+    assert "SLOWER py5" in out
+    assert "flagged >1.5x: 1" in out
+
+
+def test_kernel_missing_calibration_names_both_sides(tmp_path, capsys):
+    """Round-11 ADVICE: with BOTH kernel calibrations absent the warning
+    used to blame only 'old'; it must name each missing side."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"kernels": {"k": {"rows_per_sec": 1_000_000}}}})
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0},
+        "kernels": {"kernels": {"k": {"rows_per_sec": 1_000_000}}}})
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "calibration_sec missing from old and new artifact" in out
+
+
+def test_compact_line_carries_pyworker_calibration():
+    times = {"q1": 1.0, "q2": 2.0}
+    line, _ = bench.compact_line(times, 3.0, 0.1, cal=0.1, cal_py=0.7)
+    d = json.loads(line)
+    assert d["calibration"] == 0.1
+    assert d["calibration_pyworker"] == 0.7

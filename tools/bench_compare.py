@@ -73,11 +73,14 @@ def _from_tail(tail: str) -> dict[str, float]:
 
 def load(
     path: str,
-) -> tuple[dict[str, float], dict[str, list[float]], float | None, dict, dict]:
+) -> tuple[
+    dict[str, float], dict[str, list[float]], float | None, dict, dict,
+    float | None, frozenset,
+]:
     """Returns (median per query, spread per query, calibration median,
-    streaming section, kernels section). Spread/calibration/streaming/
-    kernels are empty for pre-round-7/8/10 artifacts and truncated-tail
-    salvage."""
+    streaming section, kernels section, PYWORKER calibration median,
+    pyworker-tagged query names). Spread/calibration/streaming/kernels/
+    pyworker are empty for older artifacts and truncated-tail salvage."""
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
@@ -91,16 +94,36 @@ def load(
                     f"{len(qs)} queries from its tail",
                     file=sys.stderr,
                 )
-            return qs, {}, None, {}, {}
+            return qs, {}, None, {}, {}, None, frozenset()
     cal = d.get("calibration")
+    py_cal = d.get("calibration_pyworker")  # compact-line scalar (r12+)
     if isinstance(cal, dict):  # BENCH_FULL carries the whole record
+        py = cal.get("pyworker") or {}
+        py_cal = py.get("median")
         cal = cal.get("median")
+    tags = frozenset(d.get("pyworker_queries") or [])
+    if not tags:
+        # compact driver artifacts carry the pyworker cal scalar but not
+        # the tag list (stdout line budget); the tags live in bench.py —
+        # the same source that produced the artifact
+        try:
+            import os as _os
+            import sys as _sys
+
+            _sys.path.insert(
+                0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+            )
+            from bench import PYWORKER_QUERIES as tags  # noqa: N811
+        except Exception:
+            tags = frozenset()
     return (
         d.get("queries", {}),
         d.get("spread", {}),
         cal,
         d.get("streaming") or {},
         d.get("kernels") or {},
+        py_cal,
+        frozenset(tags),
     )
 
 
@@ -175,7 +198,10 @@ def main() -> None:
         del argv[i : i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
-    (old, old_sp, old_cal, old_str, old_ker), (new, new_sp, new_cal, new_str, new_ker) = (
+    (
+        (old, old_sp, old_cal, old_str, old_ker, old_pycal, old_tags),
+        (new, new_sp, new_cal, new_str, new_ker, new_pycal, new_tags),
+    ) = (
         load(argv[0]),
         load(argv[1]),
     )
@@ -188,10 +214,61 @@ def main() -> None:
         print(f"session normalization: dividing new timings by {norm:.3f} ({why})")
     else:
         print(f"session normalization: off ({why})")
+    # pyworker twin (round-12): queries tagged python-worker-bound are
+    # normalized by the mapInPandas calibration instead — the JVM
+    # calibration over-corrects them when only the JVM side of the
+    # session shifted (round-11's phantom uniform ~1.2x on untouched
+    # python-heavy queries)
+    py_tags = new_tags or old_tags
+    py_norm = None
+    if mode in ("cal", "auto") and old_pycal and new_pycal and old_pycal > 0:
+        py_norm = new_pycal / old_pycal
+        print(
+            f"pyworker normalization: dividing {len(py_tags)} tagged "
+            f"queries by {py_norm:.3f} (pyworker calibration "
+            f"{old_pycal:.4f}s -> {new_pycal:.4f}s)"
+        )
+    elif py_tags and mode in ("cal", "auto") and norm != 1.0:
+        # pre-round-12 artifacts lack the pyworker calibration; dividing
+        # tagged queries by the JVM calibration is known to phantom-flag
+        # them wholesale when only the JVM side of the session shifted
+        # (demonstrated r11 AND r12). Self-normalize instead: the median
+        # ratio OVER THE TAGGED CLASS cancels a uniform python-side
+        # session shift while a single real regression among the tagged
+        # queries still stands out. A class-wide coordinated regression
+        # is the blind spot — that is what the printed divisor and the
+        # --drift-since line are for.
+        missing = [s for s, c in (("old", old_pycal), ("new", new_pycal)) if not c]
+        tagged_both = [
+            q for q in py_tags
+            if q in old and q in new and old[q] > 0 and new[q] > 0
+        ]
+        if len(tagged_both) >= 5:
+            py_norm = statistics.median(new[q] / old[q] for q in tagged_both)
+            print(
+                f"pyworker normalization: calibration missing from "
+                f"{' and '.join(missing)} artifact — dividing "
+                f"{len(tagged_both)} tagged queries by their own median "
+                f"ratio {py_norm:.3f} (class-wide shifts cancel; a "
+                "class-wide REAL regression would too — check the "
+                "drift line)"
+            )
+        else:
+            print(
+                f"pyworker normalization: unavailable (calibration "
+                f"missing from {' and '.join(missing)} artifact, "
+                f"{len(tagged_both)} tagged in common — too few for a "
+                "median) — tagged queries fall back to the JVM session "
+                "calibration (treat their flags as advisory)"
+            )
+
+    def _norm_for(q: str) -> float:
+        return py_norm if (py_norm is not None and q in py_tags) else norm
+
     both = sorted(set(old) & set(new))
     flagged, suppressed = [], []
     for q in both:
-        a, b = old[q], new[q] / norm
+        a, b = old[q], new[q] / _norm_for(q)
         if (b == 0) != (a == 0):
             # a measured query can't take literally 0s on either side —
             # suspicious artifact value, not a real delta (round-4 ADVICE:
@@ -209,7 +286,8 @@ def main() -> None:
         if q in old_sp and q in new_sp:
             band = (
                 f"  bands [{old_sp[q][0]:.2f},{old_sp[q][-1]:.2f}] vs "
-                f"norm'd [{new_sp[q][0] / norm:.2f},{new_sp[q][-1] / norm:.2f}]"
+                f"norm'd [{new_sp[q][0] / _norm_for(q):.2f},"
+                f"{new_sp[q][-1] / _norm_for(q):.2f}]"
             )
         print(f"{tag:6s} {q:36s} {a:8.3f} -> {b:8.3f}  ({r:5.2f}x){band}")
     for r, q, a, b in sorted(suppressed, reverse=True):
@@ -254,9 +332,14 @@ def main() -> None:
             # flag phantom regressions or mask real ones — say so loudly
             # instead of silently normalizing by 1.0
             k_norm = 1.0
+            # name each missing side — with BOTH absent the old
+            # message blamed only 'old' (round-11 ADVICE)
+            missing = [
+                s for s, c in (("old", ko_cal), ("new", kn_cal)) if not c
+            ]
             print(
                 "WARNING [kernel] calibration_sec missing from "
-                f"{'old' if not ko_cal else 'new'} artifact — comparing "
+                f"{' and '.join(missing)} artifact — comparing "
                 "RAW rows/s (uncalibrated; treat flags as advisory)"
             )
         k_flagged = []
@@ -280,7 +363,7 @@ def main() -> None:
     else:
         regressed_kernels = []
     tot_o = sum(old[q] for q in both)
-    tot_n = sum(new[q] / norm for q in both)
+    tot_n = sum(new[q] / _norm_for(q) for q in both)
     rate = f"{tot_n / tot_o:.2f}x" if tot_o else "n/a"
     print(
         f"common {len(both)} queries: {tot_o:.2f}s -> {tot_n:.2f}s normalized "
@@ -293,7 +376,7 @@ def main() -> None:
         # r->r+1 comparison stays inside the flag ratio; anchoring a
         # second total against the OLDEST calibration-bearing artifact
         # makes the accumulated drift a printed, gateable number.
-        b0, _, b0_cal, _, _ = load(drift_since)
+        b0, _, b0_cal, _, _, _, _ = load(drift_since)
         d_norm, d_why = session_norm(b0, new, b0_cal, new_cal, mode)
         d_both = sorted(set(b0) & set(new))
         if d_both:
