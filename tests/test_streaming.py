@@ -913,7 +913,7 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
         assert "google.protobuf" in str(ex)
         pytest.skip(
             "protobuf not in this container; operator guarded "
-            "(re-probed round 11, 2026-08-15: `import google.protobuf` "
+            "(re-probed round 12, 2026-08-16: `import google.protobuf` "
             "still raises ModuleNotFoundError)"
         )
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -3423,13 +3423,13 @@ def test_exact_dedup_gate_bloom_prefilter_equivalence_and_probe_skip(
     plain = str(tmp_path / "bg_plain")
     bloomed = str(tmp_path / "bg_bloom")
     run(plain, "bg_ck_p")
-    run(bloomed, "bg_ck_b", bloom_prefilter=True)
+    run(bloomed, "bg_ck_b", bloom_prefilter=True, bloom_min_ratio=0.0)
     want = {r.doc_id for r in spark.read.parquet(plain).select("doc_id").collect()}
     got = {r.doc_id for r in spark.read.parquet(bloomed).select("doc_id").collect()}
     assert got == want, "prefilter changed the admitted set"
 
     # (2) full replay, fresh checkpoint: nothing new
-    run(bloomed, "bg_ck_b2", bloom_prefilter=True)
+    run(bloomed, "bg_ck_b2", bloom_prefilter=True, bloom_min_ratio=0.0)
     assert {
         r.doc_id for r in spark.read.parquet(bloomed).select("doc_id").collect()
     } == want
@@ -3480,6 +3480,7 @@ def test_exact_dedup_gate_bloom_prefilter_equivalence_and_probe_skip(
             .parquet(src),
             bloomed,
             bloom_prefilter=True,
+            bloom_min_ratio=0.0,
         )
         .option("checkpointLocation", str(tmp_path / "bg_ck_b"))
         .start()
@@ -3520,7 +3521,7 @@ def test_exact_dedup_gate_bloom_crash_window_is_safe(spark, sf_dir, tmp_path):
     q = (
         sp.write_exact_dedup_gated(
             spark.readStream.schema(d.schema).parquet(src),
-            corpus, bloom_prefilter=True,
+            corpus, bloom_prefilter=True, bloom_min_ratio=0.0,
         )
         .option("checkpointLocation", str(tmp_path / "cw_ck1"))
         .start()
@@ -3562,7 +3563,7 @@ def test_exact_dedup_gate_bloom_crash_window_is_safe(spark, sf_dir, tmp_path):
     q = (
         sp.write_exact_dedup_gated(
             spark.readStream.schema(d.schema).parquet(src),
-            corpus, bloom_prefilter=True,
+            corpus, bloom_prefilter=True, bloom_min_ratio=0.0,
         )
         .option("checkpointLocation", str(tmp_path / "cw_ck2"))
         .start()
@@ -3625,7 +3626,7 @@ def test_exact_dedup_gate_bloom_backfills_legacy_corpus(spark, sf_dir, tmp_path)
     q = (
         sp.write_exact_dedup_gated(
             spark.readStream.schema(d.schema).parquet(src),
-            corpus, bloom_prefilter=True,
+            corpus, bloom_prefilter=True, bloom_min_ratio=0.0,
         )
         .option("checkpointLocation", str(tmp_path / "lb_ck2"))
         .start()
@@ -3636,6 +3637,153 @@ def test_exact_dedup_gate_bloom_backfills_legacy_corpus(spark, sf_dir, tmp_path)
         "legacy corpus digests leaked past an un-backfilled bloom"
     )
     assert sp.table_exists(spark, corpus + "_bloom")
+
+
+def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(
+    spark, sf_dir, tmp_path
+):
+    """Round-12 adaptive skip (BENCH_AB_bloom_gate.json adjudication):
+    while the filter's key estimate says the corpus is under
+    BLOOM_PREFILTER_MIN_RATIO x the batch, the membership evaluation is
+    SKIPPED — every row takes the plain exact probe — but the fold+
+    persist still runs so the sidecar stays a superset of the corpus
+    from the very first batch. Pinned mechanically both ways on a
+    corrupted corpus: the default-ratio gate must FAIL the batch (it
+    read the corpus = evaluation skipped), and a forced-evaluation
+    re-run over the same checkpoint must sail through (all-new rows are
+    bloom-negative = the negatives accumulated during skip mode are
+    trustworthy)."""
+    import glob as _glob
+    import time as _time
+
+    import numpy as np
+    import pytest as _pytest
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") % 10 == 4)
+    src = str(tmp_path / "as_src")
+    corpus = str(tmp_path / "as_corpus")
+    ck = str(tmp_path / "as_ck")
+    docs.coalesce(1).write.parquet(src)
+
+    def run(**kw):
+        q = (
+            sp.write_exact_dedup_gated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                corpus, bloom_prefilter=True, **kw,
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()  # default ratio: corpus == batch -> skip mode throughout
+    # fold ran despite the skip: every admitted digest queries True
+    side = spark.read.parquet(corpus + "_bloom").collect()[0]
+    bits = np.frombuffer(bytes(side.bits), dtype=np.uint8)
+    keys = np.array(
+        [r.k for r in spark.read.parquet(corpus)
+         .select(F.xxhash64("digest").alias("k")).collect()],
+        dtype=np.int64,
+    )
+    assert sp._bloom_query(bits, keys).all(), (
+        "skip mode must still maintain the sidecar superset invariant"
+    )
+    # corrupt the corpus; a small all-new batch under the default ratio
+    # must PROBE (and therefore fail) — n_est(corpus) < 8 x batch
+    for f in _glob.glob(os.path.join(corpus, "**", "part-*"), recursive=True):
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+    _time.sleep(1.1)
+    rows = [(8_500_000 + i, f"adaptive skip novel text {i}") for i in range(50)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="FOREACH_BATCH|Parquet|parquet"):
+        run()
+    # same checkpoint, evaluation forced: the failed batch replays,
+    # reads bloom-negative, never opens the corpus, and lands whole
+    run(bloom_min_ratio=0.0)
+    import pyarrow.parquet as pq
+
+    new_rows = 0
+    for f in _glob.glob(os.path.join(corpus, "**", "part-*"), recursive=True):
+        try:
+            new_rows += pq.read_table(f).num_rows
+        except Exception:
+            pass  # the corrupted originals
+    assert new_rows == 50
+
+
+def test_exact_dedup_gate_bloom_saturation_warns_once(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Round-12 verdict #6 / ADVICE: an undersized filter degrades to
+    all-suspect silently — the gate must say so. Drive a 128-bit
+    filter past BLOOM_FILL_WARN with one batch (~50 keys x k=4 probes
+    -> fill ~0.8) and assert the warning fires exactly ONCE across two
+    batches (one-shot per run), naming the sidecar and a rebuild
+    size."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") % 10 == 5)
+    src = str(tmp_path / "sw_src")
+    corpus = str(tmp_path / "sw_corpus")
+    docs.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    docs.withColumn("doc_id", F.col("doc_id") + 7_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            corpus, bloom_prefilter=True, bloom_bits=1 << 7,
+        )
+        .option("checkpointLocation", str(tmp_path / "sw_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    err = capsys.readouterr().err
+    assert err.count("WARNING [bloom-gate]") == 1, err
+    assert corpus + "_bloom" in err and "bloom_bits>=" in err
+
+
+def test_exact_dedup_gate_bloom_expected_keys_sizes_filter(
+    spark, sf_dir, tmp_path
+):
+    """``bloom_expected_keys`` sizes the filter at ~10 bits/key rounded
+    up to a power of two (never below the default): 300k expected keys
+    -> 4,194,304 bits (2^22), visible in the persisted sidecar blob."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") % 20 == 6)
+    src = str(tmp_path / "ek_src")
+    corpus = str(tmp_path / "ek_corpus")
+    docs.coalesce(1).write.parquet(src)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src),
+            corpus, bloom_prefilter=True, bloom_expected_keys=300_000,
+        )
+        .option("checkpointLocation", str(tmp_path / "ek_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    side = spark.read.parquet(corpus + "_bloom").collect()[0]
+    assert len(bytes(side.bits)) == (1 << 22) >> 3
 
 
 def test_bloom_or_of_keys_matches_single_update_any_partitioning(spark):
@@ -3677,3 +3825,230 @@ def test_fs_count_data_files_ignores_hidden_and_absent(spark, tmp_path):
     _os.makedirs(d / "subdir")
     assert sp.fs_count_data_files(spark, str(d)) == 2
     assert sp.fs_count_data_files(spark, str(tmp_path / "nope")) == 0
+
+
+# ------------------------------------- global-sink crash-point fuzz
+
+# each sink as (summary_builder, sink_builder): the summary stream is
+# run ONCE per sink to harvest its real micro-batch rows; the fuzz then
+# drives the sink's foreachBatch function directly (round-12 refactor:
+# _global_merge_fn), so 20+ crash/restart cycles cost driver-side jobs,
+# not 20+ streaming-engine starts
+_FUZZ_SINKS = {
+    "quantiles": (
+        lambda ev: sp.streaming_quantiles_gk_summary(ev),
+        lambda ev, out: sp.write_global_quantiles(
+            sp.streaming_quantiles_gk_summary(ev), out, compact_every=2
+        ),
+    ),
+    "distinct": (
+        lambda ev: sp.streaming_distinct_hll(ev),
+        lambda ev, out: sp.write_global_distinct(
+            sp.streaming_distinct_hll(ev), out, compact_every=2
+        ),
+    ),
+    "freq": (
+        lambda ev: sp.streaming_freq_cms(ev),
+        lambda ev, out: sp.write_global_freq(
+            sp.streaming_freq_cms(ev), out, [3, 7, 424242], compact_every=2
+        ),
+    ),
+    "bloom": (
+        lambda ev: sp.streaming_seen_bloom(ev),
+        lambda ev, out: sp.write_global_bloom(
+            sp.streaming_seen_bloom(ev), out, [3, 7, 424242], compact_every=2
+        ),
+    ),
+}
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.fixture(scope="module")
+def _fuzz_src_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("fuzz_events"))
+
+
+def _fuzz_events_src(spark, base_dir, n_files=4, per_file=100):
+    """Deterministic event files with strictly increasing mtimes (file
+    order == trigger order under maxFilesPerTrigger=1). Built once per
+    module (the four parametrized arms share it — identical bytes)."""
+    import time as _time
+
+    src = os.path.join(base_dir, "fz_src")
+    if sp.table_exists(spark, src):
+        return src
+    for f in range(n_files):
+        rows = [
+            (
+                f * per_file + i,
+                1_700_000_000_000_000_000
+                + (f * per_file + i) * 1_000_000_000,
+                (11 * (f * per_file + i)) % 97,
+                "click",
+                float((13 * i + f) % 101),
+                "{}",
+            )
+            for i in range(per_file)
+        ]
+        spark.createDataFrame(rows, sp.EVENTS_RAW_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.05)
+    return src
+
+
+def _fuzz_capture_cfg(spark, tmp_path, sink, monkeypatch):
+    """Build the sink once with _global_merge_pipeline spied, capturing
+    the exact skeleton config the public sink uses — the fuzz then
+    mints fresh _merge closures (== driver restarts) from it."""
+    cfg = {}
+    real = sp._global_merge_pipeline
+
+    def spy(summaries, out_path, **kw):
+        cfg.update(kw)
+
+        class _W:  # never started; the builder just returns it
+            def option(self, *a, **k):
+                return self
+
+            def start(self):
+                raise AssertionError("fuzz spy writer must not start")
+
+        return _W()
+
+    monkeypatch.setattr(sp, "_global_merge_pipeline", spy)
+    try:
+        ev = sp.read_events_stream(
+            spark, str(tmp_path), max_files=1
+        )  # path only shapes the (never-started) spy writer
+        _FUZZ_SINKS[sink][1](ev, str(tmp_path / "fz_spy_out"))
+    finally:
+        monkeypatch.setattr(sp, "_global_merge_pipeline", real)
+    assert cfg, "spy captured no skeleton config"
+    # writer-level, not _merge-level — but the harvest must write the
+    # summary stream in the sink's OWN mode (quantiles is append-only)
+    mode = cfg.pop("output_mode")
+    return cfg, mode
+
+
+def _fuzz_harvest_batches(spark, src, tmp_path, sink, mode):
+    """One REAL streaming run of the sink's summary stage, capturing
+    each micro-batch's rows + schema — the exact frames foreachBatch
+    would hand the skeleton."""
+    batches = []
+    ev = sp.read_events_stream(spark, src, max_files=1)
+
+    def grab(df, bid):
+        rows = df.collect()
+        if rows:
+            batches.append((int(bid), df.schema, rows))
+
+    q = (
+        _FUZZ_SINKS[sink][0](ev)
+        .writeStream.outputMode(mode)
+        .foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / f"fz_harvest_ck_{sink}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) >= 4, "harvest produced too few micro-batches"
+    return batches
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.mark.parametrize("sink", sorted(_FUZZ_SINKS))
+def test_global_sink_crash_point_fuzz(spark, tmp_path, monkeypatch, sink,
+                                      _fuzz_src_dir):
+    """Round-12 verdict #5: the carry/compact/swap idioms each had
+    hand-reconstructed crash tests; this harness kills the skeleton at
+    a SEEDED RANDOM filesystem operation (any rename/delete of any
+    batch — carry swap, series append bookkeeping, compaction swap) by
+    making the op raise, then simulates the driver restart the
+    streaming engine would perform (a FRESH _merge closure — hydration
+    flag, carry cache, compaction counter all rebuilt — replaying the
+    failed batch id with identical rows, which is exactly what the
+    checkpoint guarantees) and asserts across 5 seeds per sink (20
+    crash/restart cycles over the four sinks sharing the skeleton):
+
+    1. the DISTINCT series rows equal a crash-free reference run's
+       byte-for-byte (replay after an uncommitted append may duplicate
+       a batch's rows — the documented idempotent-replay semantics —
+       but may never change or lose a value);
+    2. the series file count stays within the compact_every + 1 bound
+       (restart-seeded counter, round-11 brief);
+    3. where the series carries n_total, it is non-decreasing in
+       batch_id (a lost carry would dent it after a restart).
+    """
+    import random as _random
+
+    src = _fuzz_events_src(spark, _fuzz_src_dir)
+    cfg, mode = _fuzz_capture_cfg(spark, tmp_path, sink, monkeypatch)
+    cfg["compact_every"] = 2
+    batches = _fuzz_harvest_batches(spark, src, tmp_path, sink, mode)
+
+    def run_merge(out, start_idx, merge=None):
+        """Feed batches[start_idx:] through a (fresh unless given)
+        closure; returns on success, raises on injected crash."""
+        if merge is None:
+            merge = sp._global_merge_fn(out, **cfg)
+        for i in range(start_idx, len(batches)):
+            bid, schema, rows = batches[i]
+            try:
+                merge(spark.createDataFrame(rows, schema), bid)
+            except RuntimeError:
+                return i  # crashed on batch i (uncommitted)
+        return None
+
+    # crash-free reference
+    ref_out = str(tmp_path / "fz_ref_out")
+    assert run_merge(ref_out, 0) is None
+    ref_rows = {tuple(r) for r in spark.read.parquet(ref_out).collect()}
+    assert ref_rows
+
+    real_rename, real_delete = sp.fs_rename, sp.fs_delete
+    for seed in range(5):
+        rng = _random.Random(1000 * seed + len(sink))
+        fuse = [rng.randint(1, 24)]
+
+        def _burn(real):
+            def wrapper(*a, **kw):
+                if fuse[0] is not None:
+                    fuse[0] -= 1
+                    if fuse[0] <= 0:
+                        fuse[0] = None
+                        raise RuntimeError("injected crash (fuzz)")
+                return real(*a, **kw)
+
+            return wrapper
+
+        out = str(tmp_path / f"fz_out_{sink}_{seed}")
+        monkeypatch.setattr(sp, "fs_rename", _burn(real_rename))
+        monkeypatch.setattr(sp, "fs_delete", _burn(real_delete))
+        try:
+            crashed_at = run_merge(out, 0)
+        finally:
+            monkeypatch.setattr(sp, "fs_rename", real_rename)
+            monkeypatch.setattr(sp, "fs_delete", real_delete)
+        if crashed_at is not None:  # restart: fresh closure, replay
+            assert run_merge(out, crashed_at) is None
+        got = spark.read.parquet(out).collect()
+        assert {tuple(r) for r in got} == ref_rows, (
+            f"seed {seed}: post-crash series diverged from the "
+            "crash-free reference"
+        )
+        assert sp.fs_count_data_files(spark, out) <= 3, (
+            f"seed {seed}: file-count bound (compact_every+1) broken"
+        )
+        if "n_total" in got[0].asDict():
+            by_batch = {}
+            for r in got:
+                by_batch.setdefault(r.batch_id, set()).add(r.n_total)
+            seq = [max(v) for _, v in sorted(by_batch.items())]
+            assert seq == sorted(seq), (
+                f"seed {seed}: n_total dipped after a crash/restart"
+            )
