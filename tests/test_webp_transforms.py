@@ -349,3 +349,22 @@ def test_webp_transforms_rev_tag_tracks_module_content():
         "needs a 'webp_transforms rev' bump in webp.py (fingerprint-"
         "moving) or only a CONTENT_SHA pin update, then update the pins"
     )
+
+
+def test_plane_code_roundtrip_exhaustive_small_widths():
+    """Exhaustive companion to the hypothesis property: EVERY distance
+    reachable through the 2D neighborhood at EVERY width 1..64 (plus
+    a linear-fallback tail) round-trips exactly — ~41k cases, the full
+    small-width space rather than a sample. Also pins the decode
+    totality invariant: all 120 codes decode to a valid (>=1) distance
+    at every width."""
+    for xsize in range(1, 65):
+        for code in range(1, 121):
+            assert wt.plane_code_to_distance(xsize, code) >= 1
+        # 8*xsize+8 covers every neighborhood-reachable distance
+        # (dy<=7, dx<=8), +32 exercises the linear fallback boundary
+        for dist in range(1, 8 * xsize + 8 + 32):
+            code = wt.distance_to_plane_code(xsize, dist)
+            assert wt.plane_code_to_distance(xsize, code) == dist, (
+                xsize, dist, code,
+            )
