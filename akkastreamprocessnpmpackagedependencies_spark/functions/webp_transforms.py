@@ -738,6 +738,28 @@ def plane_code_to_distance(xsize: int, code: int) -> int:
     return dist if dist >= 1 else 1
 
 
+def _plane_code_map(xsize: int) -> dict[int, int]:
+    """Per-width {distance: smallest plane code} lookup, built once and
+    memoized — the encoder calls distance_to_plane_code once per LZ77
+    backreference, so a 120-entry linear scan there would be ~100x the
+    work of this dict hit (round-12 review finding). First-write-wins
+    preserves the smallest-code alias rule."""
+    m = _PLANE_MAPS.get(xsize)
+    if m is None:
+        m = {}
+        for i, (dx, dy) in enumerate(_PLANE_OFFSETS):
+            d = dy * xsize + dx
+            if d >= 1 and d not in m:
+                m[d] = i + 1
+        if len(_PLANE_MAPS) >= 64:  # bound the cache across many widths
+            _PLANE_MAPS.clear()
+        _PLANE_MAPS[xsize] = m
+    return m
+
+
+_PLANE_MAPS: dict[int, dict[int, int]] = {}
+
+
 def distance_to_plane_code(xsize: int, dist: int) -> int:
     """Encoder side: scan-line distance -> the SMALLEST plane code that
     decodes back to it at this width, else dist + 120. Aliases are
@@ -747,7 +769,4 @@ def distance_to_plane_code(xsize: int, dist: int) -> int:
     choice (it is also the one the entropy coder likes)."""
     if dist < 1:
         raise ValueError(f"LZ77 distance {dist} must be >= 1")
-    for i, (dx, dy) in enumerate(_PLANE_OFFSETS):
-        if dy * xsize + dx == dist:
-            return i + 1
-    return dist + 120
+    return _plane_code_map(xsize).get(dist, dist + 120)

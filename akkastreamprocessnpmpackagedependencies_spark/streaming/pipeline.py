@@ -2392,13 +2392,16 @@ def write_exact_dedup_gated(
         saturation warning (round-12 verdict #6 / ADVICE #3): an
         undersized filter degrades to all-suspect — correct but paying
         the prefilter cost for no probe-skip — so say so loudly with
-        the numbers needed to fix it, instead of degrading silently."""
+        the numbers needed to fix it, instead of degrading silently.
+        Counts via the byte-popcount LUT, not np.unpackbits — this runs
+        once per fold, and unpackbits materializes an 8x temporary,
+        which at a bloom_expected_keys-sized filter (e.g. 2^30 bits =
+        128 MiB) would be a gigabyte per micro-batch (round-12 review
+        finding)."""
         import math
 
-        import numpy as np
-
         bits = bloom_state["bits"]
-        fill = float(np.unpackbits(bits).sum()) / bloom_bits
+        fill = _bloom_popcount(bits) / bloom_bits
         bloom_state["n_est"] = (
             float("inf") if fill >= 1.0
             else -(bloom_bits / BLOOM_K) * math.log1p(-fill)
@@ -2597,6 +2600,24 @@ _BLOOM_SALTS = (
 )
 
 
+_POPCOUNT_LUT = None  # built lazily: 256-entry bits-per-byte table
+
+
+def _bloom_popcount(bits) -> float:
+    """Set-bit count of a packed filter via a byte LUT — the temporary
+    is |bits| int64 elements instead of np.unpackbits' 8x uint8 blow-up
+    (which at a corpus-sized filter is a GiB-scale allocation per call,
+    round-12 review finding)."""
+    import numpy as np
+
+    global _POPCOUNT_LUT
+    if _POPCOUNT_LUT is None:
+        _POPCOUNT_LUT = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.int64)
+    return float(_POPCOUNT_LUT[bits].sum())
+
+
 def _bloom_nbits(bits) -> int:
     """Filter width in bits, derived from the ARRAY — update and query
     can then never disagree with the array they operate on, and a
@@ -2766,7 +2787,7 @@ def write_global_bloom(
         ks = np.asarray(keys, dtype=np.int64)
         ans = _bloom_query(merged, ks)
         n_total = sum(v[1] for v in last_seen.values())
-        fill = float(np.unpackbits(merged).sum()) / BLOOM_BITS
+        fill = _bloom_popcount(merged) / BLOOM_BITS
         return [
             (int(batch_id), int(k), bool(a), int(n_total), fill)
             for k, a in zip(ks.tolist(), ans.tolist())

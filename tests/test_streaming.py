@@ -3704,8 +3704,12 @@ def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(
     spark.createDataFrame(rows, "doc_id long, text string").coalesce(
         1
     ).write.mode("append").parquet(src)
+    # pin skip mode explicitly rather than relying on the default
+    # ratio beating this corpus/batch shape — at sf0.1 test data the
+    # corpus would cross the default threshold and mask the probe
+    # (round-12 review finding)
     with _pytest.raises(Exception, match="FOREACH_BATCH|Parquet|parquet"):
-        run()
+        run(bloom_min_ratio=1e30)
     # same checkpoint, evaluation forced: the failed batch replays,
     # reads bloom-negative, never opens the corpus, and lands whole
     run(bloom_min_ratio=0.0)
@@ -3956,9 +3960,6 @@ def _fuzz_harvest_batches(spark, src, tmp_path, sink, mode):
     q.stop()
     assert len(batches) >= 4, "harvest produced too few micro-batches"
     return batches
-
-
-import pytest as _pytest_mod
 
 
 @_pytest_mod.mark.parametrize("sink", sorted(_FUZZ_SINKS))

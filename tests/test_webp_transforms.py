@@ -328,13 +328,14 @@ def test_webp_transforms_rev_tag_tracks_module_content():
     Round-12 pin covers: the mode>13 guard in _predict_region
     (unreachable from webp.py — choosers emit 0..13, the decode side
     uses scalar predict which already raised) and the staged LZ77
-    plane-code helpers (not yet called by webp.py) — no rev bump."""
+    plane-code helpers incl. the memoized per-width encode map (not yet
+    called by webp.py) — no rev bump."""
     import hashlib
     import os
 
     mod_path = wt.__file__
     got = hashlib.sha256(open(mod_path, "rb").read()).hexdigest()
-    CONTENT_SHA = "d093124689f88edd18b2b5c5fc80bda7fc181cf2e71f60017f83c73ec4fd22a4"
+    CONTENT_SHA = "841534771ca957e8e0932b4e9a508481f47d9fef579b55ee0027fe9a22aa3c17"
     REV = 2
     webp_path = os.path.join(os.path.dirname(mod_path), "webp.py")
     webp_doc = open(webp_path, encoding="utf-8").read()

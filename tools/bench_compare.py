@@ -154,6 +154,66 @@ def session_norm(
     return 1.0, "no calibration in both artifacts (pre-round-8); not normalized"
 
 
+def pyworker_norm(
+    old: dict[str, float],
+    new: dict[str, float],
+    old_pycal: float | None,
+    new_pycal: float | None,
+    py_tags: frozenset,
+    mode: str,
+    jvm_norm: float,
+    label: str = "pyworker normalization",
+) -> float | None:
+    """Divisor for PYWORKER-tagged queries, or None to fall back to the
+    JVM divisor. Both calibrations present: their ratio. Pre-round-12
+    artifact on either side: dividing tagged queries by the JVM
+    calibration is known to phantom-flag them wholesale when only the
+    JVM side of the session shifted (demonstrated r11 AND r12), so the
+    tagged class self-normalizes by its own median ratio when >=5 are
+    in common — a uniform python-side shift cancels while a single real
+    regression still stands out; a class-wide coordinated regression is
+    the blind spot, which is what the printed divisor and the
+    --drift-since line are for. Shared by the per-round comparison and
+    the cumulative-drift line (the drift total used to re-introduce the
+    exact phantom this fixes — round-12 review finding)."""
+    if mode not in ("cal", "auto"):
+        return None
+    if old_pycal and new_pycal and old_pycal > 0:
+        ratio = new_pycal / old_pycal
+        print(
+            f"{label}: dividing {len(py_tags)} tagged "
+            f"queries by {ratio:.3f} (pyworker calibration "
+            f"{old_pycal:.4f}s -> {new_pycal:.4f}s)"
+        )
+        return ratio
+    if not py_tags or jvm_norm == 1.0:
+        return None
+    missing = [s for s, c in (("old", old_pycal), ("new", new_pycal)) if not c]
+    tagged_both = [
+        q for q in py_tags
+        if q in old and q in new and old[q] > 0 and new[q] > 0
+    ]
+    if len(tagged_both) >= 5:
+        ratio = statistics.median(new[q] / old[q] for q in tagged_both)
+        print(
+            f"{label}: calibration missing from "
+            f"{' and '.join(missing)} artifact — dividing "
+            f"{len(tagged_both)} tagged queries by their own median "
+            f"ratio {ratio:.3f} (class-wide shifts cancel; a "
+            "class-wide REAL regression would too — check the "
+            "drift line)"
+        )
+        return ratio
+    print(
+        f"{label}: unavailable (calibration "
+        f"missing from {' and '.join(missing)} artifact, "
+        f"{len(tagged_both)} tagged in common — too few for a "
+        "median) — tagged queries fall back to the JVM session "
+        "calibration (treat their flags as advisory)"
+    )
+    return None
+
+
 def median_in_band(median: float, band: list[float]) -> bool:
     """True when ``median`` lies inside the [min, .., max] sample band —
     the round-8 suppression rule (new median within OLD band), strictly
@@ -220,47 +280,9 @@ def main() -> None:
     # session shifted (round-11's phantom uniform ~1.2x on untouched
     # python-heavy queries)
     py_tags = new_tags or old_tags
-    py_norm = None
-    if mode in ("cal", "auto") and old_pycal and new_pycal and old_pycal > 0:
-        py_norm = new_pycal / old_pycal
-        print(
-            f"pyworker normalization: dividing {len(py_tags)} tagged "
-            f"queries by {py_norm:.3f} (pyworker calibration "
-            f"{old_pycal:.4f}s -> {new_pycal:.4f}s)"
-        )
-    elif py_tags and mode in ("cal", "auto") and norm != 1.0:
-        # pre-round-12 artifacts lack the pyworker calibration; dividing
-        # tagged queries by the JVM calibration is known to phantom-flag
-        # them wholesale when only the JVM side of the session shifted
-        # (demonstrated r11 AND r12). Self-normalize instead: the median
-        # ratio OVER THE TAGGED CLASS cancels a uniform python-side
-        # session shift while a single real regression among the tagged
-        # queries still stands out. A class-wide coordinated regression
-        # is the blind spot — that is what the printed divisor and the
-        # --drift-since line are for.
-        missing = [s for s, c in (("old", old_pycal), ("new", new_pycal)) if not c]
-        tagged_both = [
-            q for q in py_tags
-            if q in old and q in new and old[q] > 0 and new[q] > 0
-        ]
-        if len(tagged_both) >= 5:
-            py_norm = statistics.median(new[q] / old[q] for q in tagged_both)
-            print(
-                f"pyworker normalization: calibration missing from "
-                f"{' and '.join(missing)} artifact — dividing "
-                f"{len(tagged_both)} tagged queries by their own median "
-                f"ratio {py_norm:.3f} (class-wide shifts cancel; a "
-                "class-wide REAL regression would too — check the "
-                "drift line)"
-            )
-        else:
-            print(
-                f"pyworker normalization: unavailable (calibration "
-                f"missing from {' and '.join(missing)} artifact, "
-                f"{len(tagged_both)} tagged in common — too few for a "
-                "median) — tagged queries fall back to the JVM session "
-                "calibration (treat their flags as advisory)"
-            )
+    py_norm = pyworker_norm(
+        old, new, old_pycal, new_pycal, py_tags, mode, norm
+    )
 
     def _norm_for(q: str) -> float:
         return py_norm if (py_norm is not None and q in py_tags) else norm
@@ -376,12 +398,24 @@ def main() -> None:
         # r->r+1 comparison stays inside the flag ratio; anchoring a
         # second total against the OLDEST calibration-bearing artifact
         # makes the accumulated drift a printed, gateable number.
-        b0, _, b0_cal, _, _, _, _ = load(drift_since)
+        b0, _, b0_cal, _, _, b0_pycal, b0_tags = load(drift_since)
         d_norm, d_why = session_norm(b0, new, b0_cal, new_cal, mode)
+        # the drift total divides tagged queries by their own class
+        # divisor too — summing them under the JVM divisor re-created
+        # the phantom uniform shift this round fixed (review finding)
+        d_tags = new_tags or b0_tags
+        d_pynorm = pyworker_norm(
+            b0, new, b0_pycal, new_pycal, d_tags, mode, d_norm,
+            label="pyworker normalization (drift)",
+        )
         d_both = sorted(set(b0) & set(new))
         if d_both:
             d_o = sum(b0[q] for q in d_both)
-            d_n = sum(new[q] / d_norm for q in d_both)
+            d_n = sum(
+                new[q] / (d_pynorm if (d_pynorm is not None and q in d_tags)
+                          else d_norm)
+                for q in d_both
+            )
             print(
                 f"cumulative drift vs {drift_since}: {len(d_both)} common "
                 f"queries {d_o:.2f}s -> {d_n:.2f}s normalized "
