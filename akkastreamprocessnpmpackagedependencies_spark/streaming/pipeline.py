@@ -2574,6 +2574,184 @@ def write_exact_dedup_gated(
     return docs.writeStream.foreachBatch(_ingest)
 
 
+# ------------------------------------------- decontamination gate
+
+DECON_BUCKETS = 64
+
+
+def write_benchmark_grams(
+    spark: SparkSession, bench_docs: DataFrame, path: str, n: int = 5
+) -> int:
+    """One-time materialization of a held-out benchmark's DISTINCT
+    word n-grams — the probe set ``write_decontaminated`` gates
+    against. Returns the gram count (which also sizes the gate's
+    static Bloom). Batch job, run once per benchmark release."""
+    from ..functions.text import word_shingles
+
+    (
+        bench_docs.select(
+            F.explode(word_shingles(F.col("text"), n)).alias("gram")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).count()
+
+
+def write_decontaminated(
+    docs: DataFrame, benchmark_grams: str, out_path: str, n: int = 5,
+    bloom_bits: int | None = None,
+):
+    """STREAMING DECONTAMINATION gate — the third ingestion front door
+    beside the exact-digest and MinHash-LSH dedup gates: a doc sharing
+    any word n-gram with a held-out benchmark set (the probe set the
+    batch twin ``contamination_ngram_hits`` joins against) is routed to
+    a ``<out>_quarantine`` verdict table with its distinct-hit count;
+    clean docs are admitted to ``out_path``. The decontamination pass
+    every training-data pipeline runs before export, at ingest time.
+
+    Economics (the exact-gate pattern, applied to a STATIC filter): the
+    benchmark's gram keys live in a Bloom built ONCE — distributed,
+    ``_bloom_or_of_keys``, O(partitions) fixed blobs — persisted to a
+    ``<out>_benchbloom`` sidecar (restart hydrates; a crash mid-build
+    leaves it absent and the next start rebuilds). ``bloom_bits=None``
+    AUTO-SIZES from the benchmark's gram count at ~10 bits/key (the ~1%
+    FPR point), so the ADVICE-class saturation footgun cannot happen by
+    default. Per batch every exploded gram probes the broadcast bits
+    executor-side; a batch with ZERO maybe-hits never opens the
+    benchmark parquet at all, and only suspect docs' grams take the
+    exact broadcast confirm join — a Bloom false positive costs one
+    small join, a false NEGATIVE cannot happen (no-false-negative
+    kernel invariant), so contamination can never slip through the
+    prescreen. Dropping clean docs is impossible too: the confirm join
+    is exact, so verdicts equal the batch twin's row for row.
+
+    Replay safety: the gate is stateless (the filter is read-only), so
+    a replayed batch re-derives identical verdicts; both sinks are
+    PARTITIONED BY a doc_id hash bucket and each batch anti-joins its
+    own rows against the touched buckets before appending (the
+    self-indexing idiom of the exact gate) — idempotent by
+    construction, no sidecar ordering to crash between."""
+    from ..functions.text import word_shingles
+
+    quarantine = out_path.rstrip("/") + "_quarantine"
+    bloom_sidecar = out_path.rstrip("/") + "_benchbloom"
+    state: dict[str, object] = {"bits": None, "nbits": bloom_bits}
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(DECON_BUCKETS))
+        )
+
+    def _append_new(spark, rows: DataFrame, path: str) -> None:
+        """Replay-idempotent append: drop rows already present in the
+        touched buckets (partition-pruned single-column probe), then
+        append one file per touched bucket."""
+        rows = rows.localCheckpoint()  # decide once: probe AND append
+        if table_exists(spark, path):
+            buckets = [
+                r[0] for r in rows.select("doc_bucket").distinct().collect()
+            ]
+            seen = (
+                spark.read.parquet(path)
+                .filter(F.col("doc_bucket").isin(buckets))
+                .select("doc_id")
+            )
+            rows = rows.join(seen, "doc_id", "left_anti")
+        rows.coalesce(1).write.mode("append").partitionBy(
+            "doc_bucket"
+        ).parquet(path)
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        spark = batch.sparkSession
+        if state["bits"] is None:  # first batch: hydrate or build
+            _swap_recover(spark, bloom_sidecar)
+            if table_exists(spark, bloom_sidecar):
+                row = spark.read.parquet(bloom_sidecar).collect()[0]
+                bits = np.frombuffer(bytes(row.bits), dtype=np.uint8)
+                state["bits"] = bits.copy()
+                state["nbits"] = int(bits.size) << 3
+            else:
+                keys = (
+                    spark.read.parquet(benchmark_grams)
+                    .select(F.xxhash64("gram").alias("k"))
+                )
+                if state["nbits"] is None:
+                    n_grams = keys.count()
+                    target = max(BLOOM_BITS, 10 * n_grams)
+                    state["nbits"] = 1 << (target - 1).bit_length()
+                state["bits"] = _bloom_or_of_keys(keys, state["nbits"])
+                _atomic_overwrite_rows(
+                    spark,
+                    [(state["bits"].tobytes(), -1)],
+                    "bits binary, last_batch long",
+                    bloom_sidecar,
+                )
+        b = _bucketed(batch).localCheckpoint()  # shingle ONCE below
+        grams = b.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), n)).alias("gram"),
+        ).withColumn("k", F.xxhash64("gram"))
+        bc = spark.sparkContext.broadcast(bytes(state["bits"]))
+        nbits = state["nbits"]
+
+        def _maybe_hit(batches):
+            import numpy as np
+            import pandas as pd
+
+            from akkastreamprocessnpmpackagedependencies_spark.streaming.pipeline import (
+                _bloom_query,
+            )
+
+            filt = np.frombuffer(bc.value, dtype=np.uint8)
+            assert (int(filt.size) << 3) == nbits
+            for pdf in batches:
+                hits = _bloom_query(filt, pdf["k"].to_numpy(dtype=np.int64))
+                out = pdf.loc[hits, ["doc_id"]]
+                if len(out):
+                    yield out.drop_duplicates()
+
+        suspects = (
+            grams.select("doc_id", "k")
+            .mapInPandas(_maybe_hit, schema="doc_id long")
+            .distinct()
+            .localCheckpoint()  # evaluate the broadcast probe ONCE
+        )
+        n_suspect = suspects.count()
+        bc.unpersist(blocking=False)
+        contaminated = None
+        if n_suspect > 0:
+            # exact confirm: ONLY suspect docs' grams join the real
+            # benchmark set (broadcast — the probe set is small by
+            # construction, as in the batch twin)
+            bench = spark.read.parquet(benchmark_grams).select("gram")
+            contaminated = (
+                grams.join(suspects, "doc_id")
+                .join(F.broadcast(bench), "gram")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("gram").alias("n_gram_hits"))
+                .localCheckpoint()  # feeds quarantine AND the anti-join
+            )
+            _append_new(
+                spark,
+                _bucketed(
+                    contaminated.withColumn("batch_id", F.lit(int(batch_id)))
+                ),
+                quarantine,
+            )
+            admitted = b.join(
+                contaminated.select("doc_id"), "doc_id", "left_anti"
+            )
+        else:
+            admitted = b
+        _append_new(spark, admitted, out_path)
+
+    return docs.writeStream.foreachBatch(_ingest)
+
+
 # --------------------------------------------------------------- bloom
 
 BLOOM_BITS = 1 << 20  # 128 KiB of bits per shard

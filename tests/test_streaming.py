@@ -3639,6 +3639,162 @@ def test_exact_dedup_gate_bloom_backfills_legacy_corpus(spark, sf_dir, tmp_path)
     assert sp.table_exists(spark, corpus + "_bloom")
 
 
+def test_decontamination_gate_matches_batch_twin_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """write_decontaminated == the batch contamination join, streamed:
+    (1) quarantine rows (doc_id, n_gram_hits) equal the exact batch
+    gram-join truth on the same docs — including two INJECTED
+    contaminated docs (a full benchmark copy and a single-gram
+    overlap), so the hit path is exercised regardless of organic
+    overlap in the synthetic corpus; (2) admitted == everything else;
+    (3) a full replay (fresh checkpoint, same sinks) admits and
+    quarantines nothing new (bucketed self-anti-join idempotence)."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import word_shingles
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    N = 5
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_docs = d.filter(F.col("doc_id") < 20)
+    bench_path = str(tmp_path / "dc_bench")
+    n_grams = sp.write_benchmark_grams(spark, bench_docs, bench_path, n=N)
+    assert n_grams > 0
+
+    # stream = the rest + two injected contaminated docs
+    full_copy = bench_docs.filter(F.col("doc_id") == 3).select(
+        F.lit(9_000_001).alias("doc_id"), "text"
+    )
+    one_gram = bench_docs.filter(F.col("doc_id") == 5).select(
+        F.lit(9_000_002).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split("text", " "), 1, N), " "),
+            F.lit(" zzq unrelated tail words here"),
+        ).alias("text"),
+    )
+    stream_docs = (
+        d.filter(F.col("doc_id") >= 20).unionByName(full_copy).unionByName(one_gram)
+    )
+    src = str(tmp_path / "dc_src")
+    for part in range(3):
+        stream_docs.filter(F.col("doc_id") % 3 == part).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.05)
+
+    out = str(tmp_path / "dc_out")
+
+    def run(ck):
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                bench_path, out, n=N,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("dc_ck1")
+    # batch truth: exact distinct-gram join, the contamination_ngram_hits shape
+    bench_grams = spark.read.parquet(bench_path)
+    truth = {
+        (r.doc_id, r.n_gram_hits)
+        for r in stream_docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), N)).alias("gram")
+        )
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_gram_hits"))
+        .collect()
+    }
+    assert (9_000_001 in {t[0] for t in truth}) and (9_000_002, 1) in truth
+    got_q = {
+        (r.doc_id, r.n_gram_hits)
+        for r in spark.read.parquet(out + "_quarantine").collect()
+    }
+    assert got_q == truth, "quarantine verdicts diverge from the batch twin"
+    got_admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want_admitted = {r.doc_id for r in stream_docs.collect()} - {
+        t[0] for t in truth
+    }
+    assert got_admitted == want_admitted
+    # full replay: nothing new lands in either sink
+    run("dc_ck2")
+    assert {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    } == want_admitted
+    assert {
+        (r.doc_id, r.n_gram_hits)
+        for r in spark.read.parquet(out + "_quarantine").collect()
+    } == truth
+
+
+def test_decontamination_gate_clean_batch_never_opens_benchmark(
+    spark, sf_dir, tmp_path
+):
+    """The exact-gate economics, pinned mechanically on the STATIC
+    filter: once the sidecar exists, a batch whose grams are all
+    bloom-negative must neither rebuild the filter nor run the confirm
+    join — proven by corrupting the benchmark parquet in place and
+    streaming all-new nonsense docs through a FRESH gate instance
+    (hydration from the sidecar + zero suspects = the benchmark file
+    is never read)."""
+    import glob as _glob
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "cb_bench")
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 20), bench_path, n=5
+    )
+    src = str(tmp_path / "cb_src")
+    out = str(tmp_path / "cb_out")
+    rows = [(100 + i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}")
+            for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+
+    def run(ck):
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                bench_path, out, n=5,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("cb_ck1")  # builds + persists the sidecar
+    assert sp.table_exists(spark, out + "_benchbloom")
+    for f in _glob.glob(os.path.join(bench_path, "part-*")):
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+    _time.sleep(1.05)
+    rows2 = [(500 + i, f"omega{i} psi{i} chi{i} phi{i} upsilon{i} tau{i}")
+             for i in range(40)]
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run("cb_ck1")  # same checkpoint: only the new file triggers
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert {r[0] for r in rows2} <= admitted, (
+        "clean batch failed against a corrupted benchmark — the gate "
+        "read a file the bloom negative should have spared"
+    )
+
+
 def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(
     spark, sf_dir, tmp_path
 ):
