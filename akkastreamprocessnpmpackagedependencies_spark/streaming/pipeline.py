@@ -2601,7 +2601,7 @@ def write_benchmark_grams(
 
 def write_decontaminated(
     docs: DataFrame, benchmark_grams: str, out_path: str, n: int = 5,
-    bloom_bits: int | None = None,
+    bloom_bits: int | None = None, wide_writes: bool = False,
 ):
     """STREAMING DECONTAMINATION gate — the third ingestion front door
     beside the exact-digest and MinHash-LSH dedup gates: a doc sharing
@@ -2618,7 +2618,17 @@ def write_decontaminated(
     leaves it absent and the next start rebuilds). ``bloom_bits=None``
     AUTO-SIZES from the benchmark's gram count at ~10 bits/key (the ~1%
     FPR point), so the ADVICE-class saturation footgun cannot happen by
-    default. Per batch every exploded gram probes the broadcast bits
+    default. The sidecar carries the probe set's IDENTITY (gram count +
+    order-independent xor of the hashed grams + the shingle width) and
+    hydration validates it against the live ``benchmark_grams`` content
+    (round-12 ADVICE): a benchmark regenerated while the sidecar
+    persists would otherwise leave a STALE filter whose false negatives
+    silently admit contamination — the one way the no-false-negative
+    invariant could break from outside; a mismatch rebuilds loudly. An
+    explicitly-passed ``bloom_bits`` that disagrees with a VALID
+    sidecar's size raises (delete the sidecar to resize), mirroring the
+    exact gate's check — silently keeping the old size would ignore the
+    caller's ask with no signal. Per batch every exploded gram probes the broadcast bits
     executor-side; a batch with ZERO maybe-hits never opens the
     benchmark parquet at all, and only suspect docs' grams take the
     exact broadcast confirm join — a Bloom false positive costs one
@@ -2632,7 +2642,16 @@ def write_decontaminated(
     PARTITIONED BY a doc_id hash bucket and each batch anti-joins its
     own rows against the touched buckets before appending (the
     self-indexing idiom of the exact gate) — idempotent by
-    construction, no sidecar ordering to crash between."""
+    construction, no sidecar ordering to crash between.
+
+    Write path: ``wide_writes=False`` (default) coalesces each sink
+    append to ONE writer task — one file per touched bucket per batch,
+    right at micro-batch granularity where directory churn dominates;
+    at cluster scale, where a micro-batch is itself large, pass
+    ``wide_writes=True`` to ``repartition("doc_bucket")`` instead so
+    the append runs one writer PER BUCKET in parallel rather than
+    funneling the whole admitted batch through a single task (the
+    sibling exact gate documents the same trade at its append site)."""
     from ..functions.text import word_shingles
 
     quarantine = out_path.rstrip("/") + "_quarantine"
@@ -2647,7 +2666,8 @@ def write_decontaminated(
     def _append_new(spark, rows: DataFrame, path: str) -> None:
         """Replay-idempotent append: drop rows already present in the
         touched buckets (partition-pruned single-column probe), then
-        append one file per touched bucket."""
+        append — one writer task total by default, one per bucket when
+        ``wide_writes`` (see the write-path note in the docstring)."""
         rows = rows.localCheckpoint()  # decide once: probe AND append
         if table_exists(spark, path):
             buckets = [
@@ -2659,9 +2679,11 @@ def write_decontaminated(
                 .select("doc_id")
             )
             rows = rows.join(seen, "doc_id", "left_anti")
-        rows.coalesce(1).write.mode("append").partitionBy(
-            "doc_bucket"
-        ).parquet(path)
+        shaped = (
+            rows.repartition("doc_bucket") if wide_writes
+            else rows.coalesce(1)
+        )
+        shaped.write.mode("append").partitionBy("doc_bucket").parquet(path)
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         import numpy as np
@@ -2669,25 +2691,59 @@ def write_decontaminated(
         spark = batch.sparkSession
         if state["bits"] is None:  # first batch: hydrate or build
             _swap_recover(spark, bloom_sidecar)
+            keys = (
+                spark.read.parquet(benchmark_grams)
+                .select(F.xxhash64("gram").alias("k"))
+            )
+            # the probe set's identity — one aggregate over the (small)
+            # benchmark parquet, first batch only
+            ident = keys.agg(
+                F.count("*").alias("n_grams"),
+                F.expr("bit_xor(k)").alias("grams_xor"),
+            ).collect()[0]
+            n_grams = int(ident.n_grams)
+            grams_xor = int(ident.grams_xor or 0)
             if table_exists(spark, bloom_sidecar):
                 row = spark.read.parquet(bloom_sidecar).collect()[0]
-                bits = np.frombuffer(bytes(row.bits), dtype=np.uint8)
-                state["bits"] = bits.copy()
-                state["nbits"] = int(bits.size) << 3
-            else:
-                keys = (
-                    spark.read.parquet(benchmark_grams)
-                    .select(F.xxhash64("gram").alias("k"))
+                current = (
+                    "n_grams" in row.__fields__  # pre-identity sidecars rebuild
+                    and int(row.n_grams) == n_grams
+                    and int(row.grams_xor) == grams_xor
+                    and int(row.shingle_n) == n
                 )
+                bits = np.frombuffer(bytes(row.bits), dtype=np.uint8)
+                if current and bloom_bits is not None and (
+                    int(bits.size) << 3
+                ) != bloom_bits:
+                    raise ValueError(
+                        f"decon bloom sidecar holds {int(bits.size) << 3} "
+                        f"bits, bloom_bits asks for {bloom_bits}; delete "
+                        f"the sidecar {bloom_sidecar} to rebuild at the "
+                        "new size"
+                    )
+                if current:
+                    state["bits"] = bits.copy()
+                    state["nbits"] = int(bits.size) << 3
+                else:
+                    print(
+                        f"WARNING [decon-gate] sidecar {bloom_sidecar} does "
+                        f"not match the live benchmark set at {benchmark_grams} "
+                        f"(stored identity vs current n_grams={n_grams} "
+                        f"grams_xor={grams_xor} n={n}) — a stale filter's "
+                        "false negatives would silently admit contamination; "
+                        "rebuilding from the current benchmark",
+                        file=sys.stderr,
+                    )
+            if state["bits"] is None:
                 if state["nbits"] is None:
-                    n_grams = keys.count()
                     target = max(BLOOM_BITS, 10 * n_grams)
                     state["nbits"] = 1 << (target - 1).bit_length()
                 state["bits"] = _bloom_or_of_keys(keys, state["nbits"])
                 _atomic_overwrite_rows(
                     spark,
-                    [(state["bits"].tobytes(), -1)],
-                    "bits binary, last_batch long",
+                    [(state["bits"].tobytes(), -1, n_grams, grams_xor, n)],
+                    "bits binary, last_batch long, n_grams long, "
+                    "grams_xor long, shingle_n long",
                     bloom_sidecar,
                 )
         b = _bucketed(batch).localCheckpoint()  # shingle ONCE below

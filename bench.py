@@ -452,6 +452,34 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             .start()
         )
         record("write_exact_dedup_gated_bloom", q, t0)
+
+        # decontamination gate (round 13, joining its sibling gates in
+        # the regression record): benchmark n-grams from a small doc
+        # subset, ALL docs streamed through the static-Bloom prescreen —
+        # the benchmark docs themselves ride along as full-copy
+        # contamination, so every batch exercises prescreen + exact
+        # confirm + quarantine, the worst-case (contaminated) path; the
+        # suspect-free economics live in BENCH_decon_volume.json
+        bench_grams = os.path.join(work, "dc_bench")
+        sp.write_benchmark_grams(
+            spark,
+            d.filter(F.col("doc_id") < 50),
+            bench_grams,
+            n=5,
+        )
+        dcorpus = os.path.join(work, "dc_out")
+        t0 = time.perf_counter()
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_src),
+                bench_grams, dcorpus,
+            )
+            .option("checkpointLocation", os.path.join(work, "dc_ck"))
+            .start()
+        )
+        record("write_decontaminated", q, t0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -490,3 +490,19 @@ def test_compact_line_carries_pyworker_calibration():
     d = json.loads(line)
     assert d["calibration"] == 0.1
     assert d["calibration_pyworker"] == 0.7
+
+
+def test_tag_backfill_from_live_bench_is_announced(tmp_path, capsys):
+    """Round-12 ADVICE (low): when an artifact carries no
+    pyworker_queries tag list, load() backfills it from the CURRENT
+    checkout's bench.py — which may not describe what an old artifact
+    measured. The backfill must be announced per-path, never silent; an
+    artifact that carries its own tags stays quiet."""
+    untagged = _write(tmp_path, "old.json", {"queries": {"q": 1.0}})
+    tagged = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0}, "pyworker_queries": ["q"]})
+    bc.load(untagged)
+    err = capsys.readouterr().err
+    assert "backfilled" in err and "old.json" in err and "bench.py" in err
+    bc.load(tagged)
+    assert "backfilled" not in capsys.readouterr().err

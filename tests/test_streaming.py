@@ -913,7 +913,7 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
         assert "google.protobuf" in str(ex)
         pytest.skip(
             "protobuf not in this container; operator guarded "
-            "(re-probed round 12, 2026-08-16: `import google.protobuf` "
+            "(re-probed round 13, 2026-08-16: `import google.protobuf` "
             "still raises ModuleNotFoundError)"
         )
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -3738,12 +3738,14 @@ def test_decontamination_gate_clean_batch_never_opens_benchmark(
     spark, sf_dir, tmp_path
 ):
     """The exact-gate economics, pinned mechanically on the STATIC
-    filter: once the sidecar exists, a batch whose grams are all
-    bloom-negative must neither rebuild the filter nor run the confirm
-    join — proven by corrupting the benchmark parquet in place and
-    streaming all-new nonsense docs through a FRESH gate instance
-    (hydration from the sidecar + zero suspects = the benchmark file
-    is never read)."""
+    filter: after a gate instance has hydrated — which costs exactly
+    ONE identity aggregate over the benchmark, the round-13 staleness
+    validation — a batch whose grams are all bloom-negative must
+    neither re-read the benchmark nor run the confirm join. Proven by
+    corrupting the benchmark parquet in place UNDER A RUNNING gate
+    instance: the subsequent all-new-nonsense batch sails through
+    (zero suspects = the benchmark is never opened again this
+    instance)."""
     import glob as _glob
     import time as _time
 
@@ -3762,22 +3764,20 @@ def test_decontamination_gate_clean_batch_never_opens_benchmark(
         1
     ).write.parquet(src)
 
-    def run(ck):
-        q = (
-            sp.write_decontaminated(
-                spark.readStream.schema(d.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src),
-                bench_path, out, n=5,
-            )
-            .option("checkpointLocation", str(tmp_path / ck))
-            .start()
+    q = (
+        sp.write_decontaminated(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            bench_path, out, n=5,
         )
-        q.processAllAvailable()
-        q.stop()
-
-    run("cb_ck1")  # builds + persists the sidecar
+        .option("checkpointLocation", str(tmp_path / "cb_ck"))
+        .start()
+    )
+    q.processAllAvailable()  # first batch: hydrate-or-build + validate
     assert sp.table_exists(spark, out + "_benchbloom")
+    # corrupt the benchmark IN PLACE while the instance keeps running:
+    # any content read from here on fails loudly
     for f in _glob.glob(os.path.join(bench_path, "part-*")):
         with open(f, "wb") as fh:
             fh.write(b"NOT A PARQUET FILE")
@@ -3787,12 +3787,209 @@ def test_decontamination_gate_clean_batch_never_opens_benchmark(
     spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
         1
     ).write.mode("append").parquet(src)
-    run("cb_ck1")  # same checkpoint: only the new file triggers
+    q.processAllAvailable()  # clean batch against the corrupted file
+    q.stop()
     admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert {r[0] for r in rows2} <= admitted, (
         "clean batch failed against a corrupted benchmark — the gate "
         "read a file the bloom negative should have spared"
     )
+
+
+def test_decontamination_gate_stale_sidecar_rebuilds(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Round-12 ADVICE (medium): the sidecar persists the probe set's
+    identity and hydration validates it against the live
+    ``benchmark_grams`` content. Regenerate the benchmark from
+    DIFFERENT docs while the old sidecar persists, then stream a doc
+    contaminated ONLY against the NEW benchmark through a fresh gate
+    instance: without the validation the stale filter's false negative
+    silently ADMITS it (the exact failure the docstring's
+    no-false-negative claim forbids); with it the gate warns, rebuilds,
+    and quarantines. The rewritten sidecar carries the new identity."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "st_bench")
+    out = str(tmp_path / "st_out")
+    src = str(tmp_path / "st_src")
+    N = 5
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 10), bench_path, n=N
+    )
+    # first instance: clean nonsense docs -> sidecar built for benchmark A
+    spark.createDataFrame(
+        [(900 + i, f"qq{i} ww{i} ee{i} rr{i} tt{i} yy{i}") for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    q = (
+        sp.write_decontaminated(
+            spark.readStream.schema(d.schema).parquet(src),
+            bench_path, out, n=N,
+        )
+        .option("checkpointLocation", str(tmp_path / "st_ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    side_a = spark.read.parquet(out + "_benchbloom").collect()[0]
+    # benchmark regenerated in place from DISJOINT docs (new release)
+    n_new = sp.write_benchmark_grams(
+        spark, d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        bench_path, n=N,
+    )
+    capsys.readouterr()  # drop anything emitted so far
+    # second instance streams a full copy of a NEW-benchmark doc
+    contaminated = (
+        d.filter(F.col("doc_id") == 12)
+        .select(F.lit(9_100_001).alias("doc_id"), "text")
+    )
+    src2 = str(tmp_path / "st_src2")
+    contaminated.coalesce(1).write.parquet(src2)
+    q = (
+        sp.write_decontaminated(
+            spark.readStream.schema(d.schema).parquet(src2),
+            bench_path, out, n=N,
+        )
+        .option("checkpointLocation", str(tmp_path / "st_ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    err = capsys.readouterr().err
+    assert "WARNING [decon-gate]" in err and bench_path in err, err
+    quarantined = {
+        r.doc_id for r in spark.read.parquet(out + "_quarantine").collect()
+    }
+    assert 9_100_001 in quarantined, (
+        "stale sidecar admitted contamination against the regenerated "
+        "benchmark — the identity validation did not rebuild"
+    )
+    side_b = spark.read.parquet(out + "_benchbloom").collect()[0]
+    assert int(side_b.n_grams) == n_new
+    assert (int(side_b.n_grams), int(side_b.grams_xor)) != (
+        int(side_a.n_grams), int(side_a.grams_xor),
+    )
+
+
+def test_decontamination_gate_explicit_bits_mismatch_raises(
+    spark, sf_dir, tmp_path
+):
+    """Round-12 ADVICE (low): an explicitly passed ``bloom_bits`` that
+    disagrees with a VALID hydrated sidecar's size must raise with the
+    delete-the-sidecar message (the exact gate's check at its own
+    hydration site) — silently keeping the old size would ignore the
+    caller's ask with no signal. ``bloom_bits=None`` keeps accepting
+    whatever size the sidecar holds."""
+    import pytest
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "bm_bench")
+    out = str(tmp_path / "bm_out")
+    src = str(tmp_path / "bm_src")
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 10), bench_path, n=5
+    )
+    spark.createDataFrame(
+        [(700 + i, f"aa{i} bb{i} cc{i} dd{i} ee{i} ff{i}") for i in range(10)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+
+    def run(ck, **kw):
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema).parquet(src),
+                bench_path, out, n=5, **kw,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("bm_ck1", bloom_bits=1 << 20)  # sidecar built at 2^20 bits
+    with pytest.raises(Exception, match="delete the sidecar"):
+        run("bm_ck2", bloom_bits=1 << 21)
+    run("bm_ck3")  # auto mode accepts the hydrated size
+
+
+def test_decontamination_gate_wide_writes_layout(spark, sf_dir, tmp_path):
+    """Round-12 verdict #5: the gate's append path is switchable —
+    ``wide_writes=False`` (default) funnels each append through ONE
+    writer task, ``wide_writes=True`` repartitions on ``doc_bucket`` so
+    buckets write in parallel at cluster-scale batch sizes. Either way
+    the on-disk layout invariant holds — exactly one file per touched
+    bucket per batch, rows hash-routed to their bucket — and both
+    sinks' CONTENT is identical across the two modes."""
+    import glob as _glob
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "ww_bench")
+    N = 5
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 20), bench_path, n=N
+    )
+    # one contaminated + many clean docs, in ONE batch per mode
+    stream_docs = d.filter(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") < 60)
+    ).unionByName(
+        d.filter(F.col("doc_id") == 7).select(
+            F.lit(9_200_001).alias("doc_id"), "text"
+        )
+    )
+    src = str(tmp_path / "ww_src")
+    stream_docs.coalesce(1).write.parquet(src)
+
+    def run(out, wide):
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema).parquet(src),
+                bench_path, out, n=N, wide_writes=wide,
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"ww_ck_{wide}")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def layout(path) -> dict[str, int]:
+        return {
+            os.path.basename(b): len(_glob.glob(os.path.join(b, "*.parquet")))
+            for b in _glob.glob(os.path.join(path, "doc_bucket=*"))
+        }
+
+    out_narrow = str(tmp_path / "ww_narrow")
+    out_wide = str(tmp_path / "ww_wide")
+    run(out_narrow, wide=False)
+    run(out_wide, wide=True)
+    for out in (out_narrow, out_wide):
+        lay = layout(out)
+        assert lay and all(nf == 1 for nf in lay.values()), (
+            "one batch touched each bucket once -> one file per bucket",
+            out, lay,
+        )
+    assert layout(out_narrow).keys() == layout(out_wide).keys()
+    for sink in ("", "_quarantine"):
+        a = {
+            tuple(r) for r in spark.read.parquet(out_narrow + sink)
+            .drop("batch_id").collect()
+        }
+        b = {
+            tuple(r) for r in spark.read.parquet(out_wide + sink)
+            .drop("batch_id").collect()
+        }
+        assert a == b, f"content diverged between write modes in {sink or 'admit'}"
+    assert 9_200_001 in {
+        r.doc_id
+        for r in spark.read.parquet(out_narrow + "_quarantine").collect()
+    }
 
 
 def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(

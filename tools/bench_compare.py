@@ -104,8 +104,11 @@ def load(
     tags = frozenset(d.get("pyworker_queries") or [])
     if not tags:
         # compact driver artifacts carry the pyworker cal scalar but not
-        # the tag list (stdout line budget); the tags live in bench.py —
-        # the same source that produced the artifact
+        # the tag list (stdout line budget); the tags live in bench.py.
+        # Say so out loud (round-12 ADVICE): the live checkout's tag set
+        # may not describe what an OLD artifact measured — a query added
+        # to PYWORKER_QUERIES since then would silently switch
+        # normalization classes for that artifact's side
         try:
             import os as _os
             import sys as _sys
@@ -114,6 +117,14 @@ def load(
                 0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
             )
             from bench import PYWORKER_QUERIES as tags  # noqa: N811
+
+            print(
+                f"note: {path} carries no pyworker_queries tag list; "
+                f"backfilled {len(tags)} tags from the CURRENT checkout's "
+                "bench.py — if the artifact predates a tag-set change, "
+                "those queries normalize by the wrong calibration class",
+                file=sys.stderr,
+            )
         except Exception:
             tags = frozenset()
     return (
