@@ -2618,7 +2618,16 @@ def write_decontaminated(
     leaves it absent and the next start rebuilds). ``bloom_bits=None``
     AUTO-SIZES from the benchmark's gram count at ~10 bits/key (the ~1%
     FPR point), so the ADVICE-class saturation footgun cannot happen by
-    default. The sidecar carries the probe set's IDENTITY (gram count +
+    default. Sizing caveat, measured not asserted (round-13 volume
+    study, BENCH_decon_volume.json): the unit that matters is the
+    per-DOC false-positive rate, 1-(1-fpr)^grams_per_doc — at the ~1%
+    per-gram default a ~200-gram clean doc is a suspect ~87% of the
+    time, so the confirm join still runs on clean batches (correct,
+    just not free); pass ``bloom_bits`` sized for per-gram FPR ~=
+    doc_fpr_target / grams_per_doc (e.g. 2^26 bits = 8 MiB broadcast
+    for a ~25k-gram benchmark) and clean batches skip the join
+    entirely — measured 1.40x end-to-end on all-clean streams at
+    sf0.1. The sidecar carries the probe set's IDENTITY (gram count +
     order-independent xor of the hashed grams + the shingle width) and
     hydration validates it against the live ``benchmark_grams`` content
     (round-12 ADVICE): a benchmark regenerated while the sidecar
@@ -2673,8 +2682,12 @@ def write_decontaminated(
             buckets = [
                 r[0] for r in rows.select("doc_bucket").distinct().collect()
             ]
+            # schema-explicit read: a crash can leave the sink directory
+            # present but file-less, where schema inference throws
+            # (round-13 volume study, found via the empty-quarantine
+            # twin of this hazard)
             seen = (
-                spark.read.parquet(path)
+                spark.read.schema(rows.schema).parquet(path)
                 .filter(F.col("doc_bucket").isin(buckets))
                 .select("doc_id")
             )
@@ -2791,6 +2804,14 @@ def write_decontaminated(
                 .agg(F.countDistinct("gram").alias("n_gram_hits"))
                 .localCheckpoint()  # feeds quarantine AND the anti-join
             )
+            if contaminated.count() == 0:
+                # every suspect was a bloom false positive (round-13
+                # volume study: an all-FP batch used to append an EMPTY
+                # frame here, leaving a file-less quarantine directory
+                # that crashed the NEXT batch's idempotence probe on
+                # schema inference)
+                contaminated = None
+        if contaminated is not None:
             _append_new(
                 spark,
                 _bucketed(

@@ -3992,6 +3992,65 @@ def test_decontamination_gate_wide_writes_layout(spark, sf_dir, tmp_path):
     }
 
 
+def test_decontamination_gate_survives_all_false_positive_batches(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 volume-study regression: a SATURATED filter (forced via
+    bloom_bits=64) marks every clean doc a suspect, the exact confirm
+    finds nothing, and the old code appended an EMPTY frame to the
+    quarantine sink — a file-less directory that crashed the NEXT
+    batch's idempotence probe with UNABLE_TO_INFER_SCHEMA. Now an
+    all-false-positive batch must write no quarantine at all, later
+    batches must keep flowing, and a genuinely contaminated doc in a
+    later batch is still caught."""
+    import time as _time
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "fp_bench")
+    out = str(tmp_path / "fp_out")
+    src = str(tmp_path / "fp_src")
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 10), bench_path, n=5
+    )
+    clean = [(800 + i, f"nn{i} mm{i} kk{i} jj{i} hh{i} gg{i}")
+             for i in range(20)]
+    spark.createDataFrame(
+        clean, "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    _time.sleep(1.05)
+    spark.createDataFrame(
+        [(850 + i, f"vv{i} cc{i} xx{i} zz{i} ll{i} pp{i}") for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        sp.write_decontaminated(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            bench_path, out, n=5, bloom_bits=64,
+        )
+        .option("checkpointLocation", str(tmp_path / "fp_ck"))
+        .start()
+    )
+    q.processAllAvailable()  # two all-FP batches, no crash
+    # a real contamination in a third batch is still caught
+    _time.sleep(1.05)
+    d.filter(F.col("doc_id") == 3).select(
+        F.lit(9_300_001).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert {i for i, _ in clean} <= admitted
+    assert 9_300_001 not in admitted
+    quarantined = {
+        r.doc_id for r in spark.read.parquet(out + "_quarantine").collect()
+    }
+    assert quarantined == {9_300_001}
+
+
 def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(
     spark, sf_dir, tmp_path
 ):
