@@ -2696,8 +2696,8 @@ def write_decontaminated(
     just not free); pass ``bloom_bits`` sized for per-gram FPR ~=
     doc_fpr_target / grams_per_doc (e.g. 2^26 bits = 8 MiB broadcast
     for a ~25k-gram benchmark) and clean batches skip the join
-    entirely — measured 1.40x end-to-end on all-clean streams at
-    sf0.1. The sidecar carries the probe set's IDENTITY (gram count +
+    entirely — measured 1.4-1.5x end-to-end on all-clean streams at
+    sf0.1 across two study runs. The sidecar carries the probe set's IDENTITY (gram count +
     order-independent xor of the hashed grams + the shingle width) and
     hydration validates it against the live ``benchmark_grams`` content
     (round-12 ADVICE): a benchmark regenerated while the sidecar
@@ -2825,12 +2825,20 @@ def write_decontaminated(
                     "grams_xor long, shingle_n long",
                     bloom_sidecar,
                 )
+        if state.get("bc") is None:
+            # the filter is STATIC (built/hydrated once) — broadcast it
+            # ONCE and reuse across every batch. Honest framing: at the
+            # volume study's 5k-row batches this measured WITHIN NOISE
+            # (scheduling dominates); it is kept because re-broadcasting
+            # an up-to-8-MiB filter every micro-batch is strictly wasted
+            # work that scales with filter size x batch cadence
+            state["bc"] = spark.sparkContext.broadcast(bytes(state["bits"]))
         b = _bucketed(batch).localCheckpoint()  # shingle ONCE below
         grams = b.select(
             "doc_id",
             F.explode(word_shingles(F.col("text"), n)).alias("gram"),
         ).withColumn("k", F.xxhash64("gram"))
-        bc = spark.sparkContext.broadcast(bytes(state["bits"]))
+        bc = state["bc"]
         nbits = state["nbits"]
 
         def _maybe_hit(batches):
@@ -2856,13 +2864,20 @@ def write_decontaminated(
             .localCheckpoint()  # evaluate the broadcast probe ONCE
         )
         n_suspect = suspects.count()
-        bc.unpersist(blocking=False)
         contaminated = None
         if n_suspect > 0:
             # exact confirm: ONLY suspect docs' grams join the real
             # benchmark set (broadcast — the probe set is small by
-            # construction, as in the batch twin)
-            bench = spark.read.parquet(benchmark_grams).select("gram")
+            # construction, as in the batch twin). The frame is STATIC
+            # like the filter: persist it once and reuse across suspect
+            # batches instead of re-reading the parquet every time
+            if state.get("bench") is None:
+                state["bench"] = (
+                    spark.read.parquet(benchmark_grams)
+                    .select("gram")
+                    .persist()
+                )
+            bench = state["bench"]
             contaminated = (
                 grams.join(suspects, "doc_id")
                 .join(F.broadcast(bench), "gram")
