@@ -450,8 +450,15 @@ def table_has_data(spark: SparkSession, path: str) -> bool:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return False
-    for st in fs.listStatus(hpath):
-        if not st.getPath().getName().startswith((".", "_")):
+    # listStatusIterator + early break, NOT listStatus: this runs per
+    # micro-batch, and a long-lived unpartitioned corpus accumulates one
+    # file per batch — materializing the whole entry array would make
+    # the aggregate listing cost quadratic in stream age (and paged LIST
+    # round-trips on object stores). Data files usually appear within
+    # the first few entries; hidden-only directories are tiny.
+    it = fs.listStatusIterator(hpath)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith((".", "_")):
             return True
     return False
 
@@ -2696,8 +2703,8 @@ def write_decontaminated(
     just not free); pass ``bloom_bits`` sized for per-gram FPR ~=
     doc_fpr_target / grams_per_doc (e.g. 2^26 bits = 8 MiB broadcast
     for a ~25k-gram benchmark) and clean batches skip the join
-    entirely — measured 1.4-1.5x end-to-end on all-clean streams at
-    sf0.1 across two study runs. The sidecar carries the probe set's IDENTITY (gram count +
+    entirely — measured 1.4-1.6x end-to-end on all-clean streams at
+    sf0.1 across three study runs (committed: BENCH_decon_volume.json). The sidecar carries the probe set's IDENTITY (gram count +
     order-independent xor of the hashed grams + the shingle width) and
     hydration validates it against the live ``benchmark_grams`` content
     (round-12 ADVICE): a benchmark regenerated while the sidecar
@@ -2707,10 +2714,15 @@ def write_decontaminated(
     explicitly-passed ``bloom_bits`` that disagrees with a VALID
     sidecar's size raises (delete the sidecar to resize), mirroring the
     exact gate's check — silently keeping the old size would ignore the
-    caller's ask with no signal. Per batch every exploded gram probes the broadcast bits
-    executor-side; a batch with ZERO maybe-hits never opens the
-    benchmark parquet at all, and only suspect docs' grams take the
-    exact broadcast confirm join — a Bloom false positive costs one
+    caller's ask with no signal. Per batch every exploded gram probes
+    the broadcast bits executor-side; after the first batch, a batch
+    with ZERO maybe-hits never opens the benchmark parquet, and only
+    suspect docs' grams take the exact broadcast confirm join. (The
+    identity validation makes the FIRST batch of every gate INSTANCE
+    read the benchmark once — a deliberate trade: restarts now require
+    the live benchmark to be readable, because a sidecar that cannot be
+    checked against the probe set it claims to represent is exactly the
+    stale-filter hazard the validation closes.) A Bloom false positive costs one
     small join, a false NEGATIVE cannot happen (no-false-negative
     kernel invariant), so contamination can never slip through the
     prescreen. Dropping clean docs is impossible too: the confirm join
@@ -2748,6 +2760,14 @@ def write_decontaminated(
         append — one writer task total by default, one per bucket when
         ``wide_writes`` (see the write-path note in the docstring)."""
         rows = rows.localCheckpoint()  # decide once: probe AND append
+        if not rows.take(1):
+            # nothing to append: writing an empty frame to a NOT-YET-
+            # EXISTING sink would create the file-less directory that
+            # breaks downstream schema inference — the round-13 review
+            # moved the guard here so it covers the admitted sink too
+            # (a 100%-contaminated batch empties it), not just the
+            # quarantine path
+            return
         if table_has_data(spark, path):  # file-less dir == empty sink
             buckets = [
                 r[0] for r in rows.select("doc_bucket").distinct().collect()
@@ -2833,6 +2853,12 @@ def write_decontaminated(
             # an up-to-8-MiB filter every micro-batch is strictly wasted
             # work that scales with filter size x batch cadence
             state["bc"] = spark.sparkContext.broadcast(bytes(state["bits"]))
+            # the driver-side numpy copy is dead weight from here on —
+            # keep a True sentinel so the first-batch branch stays
+            # closed and the blob is freed (review finding). foreachBatch
+            # has no stop hook, so bc/bench retention is a documented
+            # per-instance cost: one filter + one small cached frame.
+            state["bits"] = True
         b = _bucketed(batch).localCheckpoint()  # shingle ONCE below
         grams = b.select(
             "doc_id",
