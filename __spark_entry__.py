@@ -76,12 +76,15 @@ _PRIORITY = [
     # Round-14 rotation plan (recorded per standing practice): after
     # this round the histogram is r11:46, r12:50, r13:50. Demand for
     # r14 = flagship + the 46 remaining r11-aged rows = 47 — and that
-    # set ALREADY CONTAINS all four multimodal decode queries
-    # (real/png/jpeg/webp), so r14 is the round that merges the staged
-    # plane-code wiring branch (r14-plane-wiring: webp.py decoder
-    # lookup + encoder emission + rev tag 3 + flipped tests, committed
-    # and green there): the four moved fingerprints are in-window by
-    # age with no extra slot cost. Spend the 3 free slots on the 3
+    # set ALREADY CONTAINS the whole multimodal family, so r14 is the
+    # round that merges the staged `r14-plane-wiring` branch (committed
+    # and green there: webp.py plane-code decoder lookup + encoder
+    # emission, rev tag 3, flipped/added codec tests, a SIXTH rotated
+    # webp query shape, and the real-codec scan-widening — webp 12.5 ->
+    # 1.2 s, jpeg 5.1 -> 1.2 s, png 4.1 -> 0.9 s at sf0.1, all five
+    # decode queries oracle-green on the branch): every moved
+    # fingerprint (decode real/png/jpeg/webp/audio) is in-window by age
+    # with no extra slot cost. Spend the 3 free slots on the 3
     # alphabetically-first r12-aged rows (ann_recall_eval,
     # approx_sketches, approx_sketches_exact per evidence.json after
     # this round's update). Fingerprint-moving edits remain
