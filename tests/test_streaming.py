@@ -4366,6 +4366,29 @@ def test_fs_count_data_files_ignores_hidden_and_absent(spark, tmp_path):
     assert sp.fs_count_data_files(spark, str(tmp_path / "nope")) == 0
 
 
+def test_table_has_data_semantics(spark, tmp_path):
+    """The round-13 gate guard: absent and hidden-only directories read
+    as data-less; a data file OR a partition SUBDIRECTORY (the
+    bucket-partitioned layouts, where no file sits at the root) counts
+    as data — the case fs_count_data_files is deliberately blind to."""
+    import os as _os
+
+    assert not sp.table_has_data(spark, str(tmp_path / "absent"))
+    empty = tmp_path / "thd_empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_bytes(b"")
+    (empty / ".x.crc").write_bytes(b"c")
+    assert not sp.table_has_data(spark, str(empty))
+    flat = tmp_path / "thd_flat"
+    flat.mkdir()
+    (flat / "part-00000.parquet").write_bytes(b"x")
+    assert sp.table_has_data(spark, str(flat))
+    parted = tmp_path / "thd_parted"
+    _os.makedirs(parted / "doc_bucket=3")
+    (parted / "_SUCCESS").write_bytes(b"")
+    assert sp.table_has_data(spark, str(parted))
+
+
 # ------------------------------------- global-sink crash-point fuzz
 
 # each sink as (summary_builder, sink_builder): the summary stream is
