@@ -84,10 +84,11 @@ _PRIORITY = [
     # 1.2 s, jpeg 5.1 -> 1.2 s, png 4.1 -> 0.9 s at sf0.1, all five
     # decode queries oracle-green on the branch): every moved
     # fingerprint (decode real/png/jpeg/webp/audio) is in-window by age
-    # with no extra slot cost. KNOWN-AND-INTENDED: the branch alone
-    # fails `driver_check.py --staleness` (its moved decode
-    # fingerprints sit outside the r13 window) — merge it only
-    # TOGETHER WITH the r14 _PRIORITY rotation, which seats them. Spend the 3 free slots on the 3
+    # with no extra slot cost. The branch now CARRIES the r14
+    # _PRIORITY rotation itself (staged end of round 13, both gates
+    # verified green there against the merged round-13 state), so
+    # round 14 reduces to: `git merge r14-plane-wiring` +
+    # `--evidence-update 14` + the normal verify/gate run. Spend the 3 free slots on the 3
     # alphabetically-first r12-aged rows (ann_recall_eval,
     # approx_sketches, approx_sketches_exact per evidence.json after
     # this round's update). Fingerprint-moving edits remain
