@@ -2705,8 +2705,10 @@ def write_decontaminated(
     just not free); pass ``bloom_bits`` sized for per-gram FPR ~=
     doc_fpr_target / grams_per_doc (e.g. 2^26 bits = 8 MiB broadcast
     for a ~25k-gram benchmark) and clean batches skip the join
-    entirely — measured 1.4-1.6x end-to-end on all-clean streams at
-    sf0.1 across three study runs (committed: BENCH_decon_volume.json). The sidecar carries the probe set's IDENTITY (gram count +
+    entirely — measured 1.4-1.7x end-to-end on all-clean streams at
+    sf0.1 across four study runs (committed: BENCH_decon_volume.json,
+    which also prices honestly-diverse 10%-contaminated batches at
+    ~0.35x the clean-auto rate: contamination carries its own cost). The sidecar carries the probe set's IDENTITY (gram count +
     order-independent xor of the hashed grams + the shingle width) and
     hydration validates it against the live ``benchmark_grams`` content
     (round-12 ADVICE): a benchmark regenerated while the sidecar
