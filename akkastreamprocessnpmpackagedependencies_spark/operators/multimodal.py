@@ -643,7 +643,7 @@ REG.add("multimodal_decode_jpeg", _JPEG_ORACLE)(multimodal_decode_jpeg)
 # arithmetic to the PNG/JPEG oracles — dims from doc_id, byte-mean of the
 # rpad'ed ASCII body, same non-empty pure-ASCII gate. The Spark side
 # deliberately rotates VP8L encode modes per doc_id, so a single driver row
-# certifies five different bitstream shapes decoding to the same bytes.
+# certifies six different bitstream shapes decoding to the same bytes.
 _WEBP_ORACLE = f"""
     WITH img AS (
       SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
@@ -665,18 +665,20 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZ77 run copies with direct distances / color cache + subtract-green
     transform / per-block PREDICTOR residuals / subtract-green +
     predictor + CROSS-COLOR stacked, both spatial transforms with 4x4
-    blocks so multi-block mode sub-images are exercised) — and
-    ``functions/webp.py`` decodes the container back (RIFF framing,
-    canonical prefix codes incl. the RLE-coded code-length code,
-    transform inversion in reverse stream order). The oracle recomputes
-    dims and byte-mean in SQL, so an entropy, transform, or container
-    bug in encode OR decode anywhere across the five mode shapes breaks
-    the value hash — the multimodal_decode_png/jpeg technique, extended
-    with cross-path identity inside one driver-checked query (round-7
-    verdict item #8 landed VP8L; round 11 wired the last two transforms
-    from functions/webp_transforms.py, so only lossy VP8 and plane
-    distance codes remain loud ValueErrors, see the module docstring of
-    functions/webp.py).
+    blocks so multi-block mode sub-images are exercised / LZ77 with 2D
+    PLANE-CODED distances, the round-14 wiring of the spec-derived
+    neighborhood map) — and ``functions/webp.py`` decodes the container
+    back (RIFF framing, canonical prefix codes incl. the RLE-coded
+    code-length code, transform inversion in reverse stream order). The
+    oracle recomputes dims and byte-mean in SQL, so an entropy,
+    transform, or container bug in encode OR decode anywhere across the
+    six mode shapes breaks the value hash — the
+    multimodal_decode_png/jpeg technique, extended with cross-path
+    identity inside one driver-checked query (round-7 verdict item #8
+    landed VP8L; round 11 wired the last two transforms, round 14 the
+    plane codes, so only lossy VP8 / extended VP8X remain loud
+    ValueErrors — the DCT codec, out of scope by documented design, see
+    the module docstring of functions/webp.py).
 
     Scale shape: encode and decode run in the SAME Arrow-batched executor
     pass; the compressed payload never crosses the wire — only typed
@@ -697,6 +699,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                  transform_bits=2),
             dict(use_lz77=True, cache_bits=4, subtract_green=True,
                  predictor=True, cross_color=True, transform_bits=2),
+            dict(use_lz77=True, cache_bits=0, plane_codes=True),
         ]
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_intensity")}
@@ -705,7 +708,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = int(3 + doc_id % 11)
                 n = w * h * 3
                 body = text.encode("ascii").ljust(n, b"x")[:n]
-                payload = encode_webp(w, h, body, 3, **modes[int(doc_id) % 5])
+                payload = encode_webp(w, h, body, 3, **modes[int(doc_id) % 6])
                 dw, dh, dc, arr = decode_webp(payload)
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(dw)
