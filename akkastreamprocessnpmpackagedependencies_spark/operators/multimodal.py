@@ -140,6 +140,27 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECODE_SCHEMA = "doc_id long, width int, height int, channels int, mean_intensity double"
 
 
+def _widen_for_cpu(df: DataFrame) -> DataFrame:
+    """Match a REAL-codec mapInPandas stage's parallelism to the cluster
+    when the scan under-splits (round-13/14 finding): the sf0.1
+    documents table is one 594 KB file -> ONE split, so the whole
+    Arrow-batched codec pass ran on 1 of 32 cores (~23 s of webp codec
+    CPU measured single-threaded where the cluster had 32x that
+    available). The repartition triggers ONLY when the scan yields
+    fewer partitions than defaultParallelism — a small input whose
+    shuffle is cheap next to the per-row codec CPU; at 100 TB the scan
+    has >= cores splits, the condition is false, and payloads keep the
+    documented stay-on-the-scanning-executor property (no shuffle).
+    The FAKE-codec queries (features, frame_sample) deliberately stay
+    unwidened — their per-row work is trivial, so worker fan-out
+    overhead would dominate (their docstrings say so)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def decode_image_real(df: DataFrame) -> DataFrame:
     """Production image-decode operator: REAL pixel decode through the
     stdlib codecs — binary Netpbm (P5/P6, ``functions/ppm.py``) for the
@@ -281,7 +302,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("P6\n%d %d\n255\n", w, h),
         F.rpad(F.col("text"), (w * h * F.lit(3)).cast("int"), "x"),
     ).cast("binary")
-    imgs = d.select("doc_id", payload.alias("payload"))
+    imgs = _widen_for_cpu(d.select("doc_id", payload.alias("payload")))
     return decode_image_real(imgs)
 
 
@@ -488,7 +509,9 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length("text") == F.octet_length("text"))
         )
     )
-    wavs = d.mapInPandas(_encode, schema="doc_id long, payload binary")
+    wavs = _widen_for_cpu(d).mapInPandas(
+        _encode, schema="doc_id long, payload binary"
+    )
     return decode_audio_real(wavs)
 
 
@@ -546,7 +569,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(int(w), int(h), body, 3, filter_type=4))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    imgs = d.select("doc_id", "text").mapInPandas(
+    imgs = _widen_for_cpu(d.select("doc_id", "text")).mapInPandas(
         _encode, schema="doc_id long, payload binary"
     )
     return decode_image_real(imgs)
@@ -630,7 +653,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    imgs = d.select("doc_id", "text").mapInPandas(
+    imgs = _widen_for_cpu(d.select("doc_id", "text")).mapInPandas(
         _encode, schema="doc_id long, payload binary"
     )
     return decode_image_real(imgs)
@@ -721,7 +744,9 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").mapInPandas(_encode_decode, schema=_DECODE_SCHEMA)
+    return _widen_for_cpu(d.select("doc_id", "text")).mapInPandas(
+        _encode_decode, schema=_DECODE_SCHEMA
+    )
 
 
 REG.add("multimodal_decode_webp", _WEBP_ORACLE)(multimodal_decode_webp)
