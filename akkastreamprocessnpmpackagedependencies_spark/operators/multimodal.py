@@ -153,7 +153,12 @@ def _widen_for_cpu(df: DataFrame) -> DataFrame:
     documented stay-on-the-scanning-executor property (no shuffle).
     The FAKE-codec queries (features, frame_sample) deliberately stay
     unwidened — their per-row work is trivial, so worker fan-out
-    overhead would dominate (their docstrings say so)."""
+    overhead would dominate (their docstrings say so). This is
+    ``session.load_scaled``'s rule applied AFTER the two-column
+    projection (so the rebalance ships doc_id+text, not every column);
+    the dedup/similarity families have used that helper since round 3 —
+    the decode queries predate it and were the one compute-bound family
+    left on the bare scan."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
