@@ -40,52 +40,61 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 12 slot arithmetic, executing the rotation plan recorded at
-    # the end of round 11 (verified against tools/evidence.json this
-    # round: age histogram entering round 12 is exactly r9:46, r10:49,
-    # r11:50 — plan and evidence agree): 50 slots = 1 flagship + ALL 46
-    # r9-aged rows (no registry row may age past r10) + the 3
-    # alphabetically-first r10-aged rows in the free slots. Demand
-    # checked green by `tools/driver_check.py --window-budget 12`
-    # before and after every edit.
-    # the 46 r9-aged rows, alphabetical
-    *["ann_recall_eval", "approx_sketches", "bracket_revenue",
-      "customer_churn_full_outer", "customer_order_counts",
-      "customers_without_big_orders", "distinct_aggs",
-      "doc_perplexity_bigram", "embedding_neardup_pairs",
-      "embedding_pq_codes", "embedding_quantize_int8",
-      "events_error_context_5m", "events_value_rolling_1h",
-      "forecast_revenue", "grouping_sets_qty", "idle_rich_customers",
-      "large_volume_customers", "late_shipment_suppliers",
-      "local_supplier_revenue", "nation_market_share",
-      "npm_reverse_dependency_counts", "order_gap_days",
-      "pack_sequences", "pivot_linestatus", "pq_adc_topk",
-      "priority_with_returns", "product_profit_by_nation_year",
-      "promo_revenue_ratio", "quality_filter_composite",
-      "repetition_signals", "returned_item_customers",
-      "running_quantity_by_supplier", "skew_salted_join",
-      "small_qty_part_revenue", "split_leakage_audit",
-      "stats_moments", "supplier_volume_by_nation",
-      "tfidf_top_terms_per_doc", "top_bigram_share",
-      "top_orders_global", "top_orders_per_customer",
-      "top_revenue_suppliers", "top_unshipped_orders",
-      "topk_per_customer_agg", "unpivot_part_metrics",
-      "window_rank_variants"],
-    # the 3 free slots: alphabetically-first r10-aged rows
-    "approx_sketches_exact", "array_funcs", "asof_cogroup_pandas",
-    # Round-13 rotation plan (recorded per standing practice): after
-    # this round the histogram is r10:46, r11:49(+flagship), r12:50.
-    # Demand for r13 = flagship + the 46 remaining r10-aged rows = 47,
-    # leaving 3 free slots; spend them on the 3 alphabetically-first
-    # r11-aged rows (per evidence.json after this round's update) —
-    # UNLESS the VP8L plane-code wiring lands in r13, in which case
-    # spend them on multimodal_decode_real/png/jpeg so all four decode
-    # fingerprints move in-window together (the webp helpers are staged
-    # this round in webp_transforms.py without touching webp.py).
-    # Fingerprint-moving edits remain window-mandatory; other new work
-    # should land as appended operator functions or streaming ops
-    # (streaming/pipeline.py is outside queries() fingerprints —
-    # verified empirically in rounds 9 and 10).
+    # round 13 slot arithmetic, executing the rotation plan recorded at
+    # the end of round 12 (verified against tools/evidence.json this
+    # round: age histogram entering round 13 is exactly r10:46, r11:49,
+    # r12:50 — plan and evidence agree): 50 slots = 1 flagship + ALL 46
+    # r10-aged rows (no registry row may age past r11) + the 3
+    # alphabetically-first r11-aged rows in the free slots (the plan's
+    # other arm — spending them on decode queries — applies only if the
+    # VP8L plane-code wiring lands THIS round; it is instead staged on
+    # a branch for r14, when all four decode rows are in-window by age
+    # anyway). Demand checked green by `tools/driver_check.py
+    # --window-budget 13` before and after every edit.
+    # the 46 r10-aged rows, alphabetical
+    *["asof_purchase_signup", "bigram_lm_probs", "bm25_topk_docs",
+      "case_bucketing", "chargram_jaccard_pairs", "chunk_documents",
+      "contamination_ngram_hits", "cosine_topk_bruteforce",
+      "cosine_topk_ivf", "cube_qty", "dataset_shuffle_order",
+      "dataset_split_assign", "dedup_exact_hash", "dedup_incremental",
+      "deterministic_sample", "dominant_part_suppliers",
+      "dq_expectations", "duplicate_ngram_overlap",
+      "embedding_covariance", "embedding_pca_project",
+      "equi_depth_deciles", "events_funnel_conversion",
+      "events_mad_outliers", "events_retention_cohorts",
+      "fuzzy_dedup_keep_one", "key_skew_profile", "kmeans_assignments",
+      "kmeans_clusters", "length_weighted_sample", "min_cost_supplier",
+      "minhash_lsh_neardup", "nation_pair_trade", "neardup_clusters",
+      "part_supplier_variety", "part_value_concentration",
+      "pricing_summary", "rollup_qty", "scd2_user_tiers",
+      "session_concurrency_hourly", "set_intersect",
+      "shipping_delay_priority", "simhash_candidate_pairs",
+      "snapshot_diff", "source_mixing_weights", "token_rarity_scores",
+      "zorder_bucket_profile"],
+    # the 3 free slots: alphabetically-first r11-aged rows
+    "corpus_budget_select", "corpus_pipeline_verdicts", "cosine_topk_lsh",
+    # Round-14 rotation plan (recorded per standing practice): after
+    # this round the histogram is r11:46, r12:50, r13:50. Demand for
+    # r14 = flagship + the 46 remaining r11-aged rows = 47 — and that
+    # set ALREADY CONTAINS the whole multimodal family, so r14 is the
+    # round that merges the staged `r14-plane-wiring` branch (committed
+    # and green there: webp.py plane-code decoder lookup + encoder
+    # emission, rev tag 3, flipped/added codec tests, a SIXTH rotated
+    # webp query shape, and the real-codec scan-widening — webp 12.5 ->
+    # 1.2 s, jpeg 5.1 -> 1.2 s, png 4.1 -> 0.9 s at sf0.1, all five
+    # decode queries oracle-green on the branch): every moved
+    # fingerprint (decode real/png/jpeg/webp/audio) is in-window by age
+    # with no extra slot cost. KNOWN-AND-INTENDED: the branch alone
+    # fails `driver_check.py --staleness` (its moved decode
+    # fingerprints sit outside the r13 window) — merge it only
+    # TOGETHER WITH the r14 _PRIORITY rotation, which seats them. Spend the 3 free slots on the 3
+    # alphabetically-first r12-aged rows (ann_recall_eval,
+    # approx_sketches, approx_sketches_exact per evidence.json after
+    # this round's update). Fingerprint-moving edits remain
+    # window-mandatory; other new work should land as appended operator
+    # functions or streaming ops (streaming/pipeline.py is outside
+    # queries() fingerprints — verified empirically in rounds 9, 10,
+    # and 13).
 ]
 
 

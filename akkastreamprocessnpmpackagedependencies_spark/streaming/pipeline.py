@@ -434,6 +434,35 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def table_has_data(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists AND holds at least one non-hidden entry
+    (a data file, or a partition subdirectory for partitionBy layouts —
+    ``fs_count_data_files`` is deliberately non-recursive, so it cannot
+    answer this for bucket-partitioned tables). The round-13 gate
+    hardening: a sink directory can exist FILE-LESS (crash between
+    mkdir and first commit, or an all-empty batch's append), where
+    ``table_exists`` is True but schema inference throws; probes gate
+    on THIS check so a file-less directory reads as an empty corpus,
+    while a populated-but-drifted corpus still fails loudly through
+    normal schema inference (the round-4 regression class)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    # listStatusIterator + early break, NOT listStatus: this runs per
+    # micro-batch, and a long-lived unpartitioned corpus accumulates one
+    # file per batch — materializing the whole entry array would make
+    # the aggregate listing cost quadratic in stream age (and paged LIST
+    # round-trips on object stores). Data files usually appear within
+    # the first few entries; hidden-only directories are tiny.
+    it = fs.listStatusIterator(hpath)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith((".", "_")):
+            return True
+    return False
+
+
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     """Directory rename through the Hadoop FileSystem API — the atomic
     install step of the write-to-temp-then-swap idiom used by the
@@ -585,7 +614,9 @@ def _verify_jaccard_asym(
 DEDUP_BAND_BUCKETS = 8
 
 
-def write_dedup_gated(docs: DataFrame, corpus_path: str):
+def write_dedup_gated(
+    docs: DataFrame, corpus_path: str, wide_writes: bool = False,
+):
     """Dedup-gated streaming ingestion — the composition a live training-
     data pipeline runs: each micro-batch of documents is near-dup-checked
     (banded MinHash-LSH) against the ALREADY-ACCEPTED corpus and within
@@ -624,7 +655,16 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
     invariants that hold regardless of arrival order are (a) the
     accepted corpus is pairwise non-duplicate under the LSH check and
     (b) every rejected doc had a match at rejection time — both asserted
-    in tests/test_streaming.py::test_streaming_dedup_gated_ingestion."""
+    in tests/test_streaming.py::test_streaming_dedup_gated_ingestion.
+
+    Round 13 (mirroring the sibling gates): the sidecar append is
+    switchable via ``wide_writes`` (one writer task at micro-batch
+    granularity vs ``repartition("band_bucket")`` at cluster-scale
+    batch sizes), and the corpus/sidecar probes gate on
+    ``table_has_data`` so a file-less directory left by a crash or an
+    all-empty batch probes as an empty corpus instead of crashing
+    schema inference — while a populated-but-drifted corpus still
+    fails the batch loudly through normal inference."""
     from ..operators.dedup import (
         JACCARD_THRESHOLD,
         N_HASHES,
@@ -666,8 +706,14 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         # on e.g. a schema drift or a corrupt footer and admit duplicates
         # forever; only the legitimate first-batch missing-path case may
         # bypass it.
-        if table_exists(spark, corpus_path):
-            if not table_exists(spark, bands_path):
+        # has-data, not bare existence (round-13 hardening): a corpus
+        # or sidecar directory left FILE-LESS by a crash or an all-empty
+        # batch append reads as an empty corpus here, while a populated-
+        # but-drifted corpus still fails the batch loudly through normal
+        # schema inference (the round-4 regression class, kept pinned by
+        # test_dedup_gate_fails_loudly_on_corpus_schema_drift)
+        if table_has_data(spark, corpus_path):
+            if not table_has_data(spark, bands_path):
                 # corpus written by the pre-sidecar layout: ONE-TIME
                 # BACKFILL — band the ENTIRE stored corpus and install
                 # the result as the sidecar via write-to-temp + atomic
@@ -701,6 +747,11 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
                     .partitionBy("band_bucket")
                     .parquet(tmp)
                 )
+                # a FILE-LESS bands dir can exist here (all-empty
+                # batch appended nothing); Hadoop rename onto an
+                # existing dir would nest tmp INSIDE it — clear it first
+                # (nothing to lose: the has-data guard above says so)
+                fs_delete(spark, bands_path)
                 fs_rename(spark, tmp, bands_path)
             # pruned probe: only the bucket directories this batch's
             # band keys hash into are read (partition pruning on the
@@ -749,13 +800,20 @@ def write_dedup_gated(docs: DataFrame, corpus_path: str):
         )
         # sidecar first (see docstring: orphan band rows are safe, a
         # corpus doc missing from the sidecar would silently skip probes).
-        # coalesce(1): one file per touched bucket per batch instead of
-        # one per (task x bucket) — band rows are a few ints/strings per
-        # accepted doc, and directory churn dominates at micro-batch
-        # granularity (at cluster scale: repartition("band_bucket"))
-        nb.join(keep.select("doc_id"), "doc_id").coalesce(1).write.mode(
-            "append"
-        ).partitionBy("band_bucket").parquet(bands_path)
+        # one writer task by default — one file per touched bucket per
+        # batch instead of one per (task x bucket); band rows are a few
+        # ints/strings per accepted doc and directory churn dominates at
+        # micro-batch granularity. wide_writes repartitions on the
+        # bucket for cluster-scale batches (round 13, mirroring the
+        # sibling gates).
+        kept_bands = nb.join(keep.select("doc_id"), "doc_id")
+        shaped = (
+            kept_bands.repartition("band_bucket") if wide_writes
+            else kept_bands.coalesce(1)
+        )
+        shaped.write.mode("append").partitionBy("band_bucket").parquet(
+            bands_path
+        )
         keep.write.mode("append").parquet(corpus_path)
 
     return docs.writeStream.foreachBatch(_ingest)
@@ -2275,6 +2333,7 @@ def write_exact_dedup_gated(
     bloom_prefilter: bool = False, bloom_bits: int | None = None,
     bloom_expected_keys: int | None = None,
     bloom_min_ratio: float | None = None,
+    wide_writes: bool = False,
 ):
     """EXACT-duplicate streaming ingestion gate — the cheap front door a
     training pipeline runs BEFORE the near-dup LSH gate
@@ -2367,7 +2426,19 @@ def write_exact_dedup_gated(
     Enable the flag when the corpus will dwarf the batch — every
     long-lived ingestion deployment; the adaptive skip now makes the
     warm-up phase cost ~1.2x instead of 1.4x, and the default stays
-    False for short-lived batch-sized jobs."""
+    False for short-lived batch-sized jobs.
+
+    Write path (round 13, mirroring the decontamination gate):
+    ``wide_writes=False`` (default) coalesces each append to ONE writer
+    task — one file per touched bucket per batch, right at micro-batch
+    granularity where directory churn dominates; pass
+    ``wide_writes=True`` at cluster-scale batch sizes to
+    ``repartition("dig_bucket")`` so buckets write in parallel. Corpus
+    probes gate on ``table_has_data`` (round-13 volume-study finding on
+    the decon twin): a crash or an all-empty first batch can leave the
+    corpus directory present but FILE-LESS, where schema inference
+    throws — such a directory now reads as an empty corpus, while a
+    populated-but-drifted one still fails loudly through inference."""
     from ..functions.text import norm_expr
 
     if bloom_bits is None:
@@ -2448,7 +2519,7 @@ def write_exact_dedup_gated(
             b.groupBy("digest").agg(F.min("doc_id").alias("doc_id")),
             ["digest", "doc_id"],
         ).localCheckpoint()  # decide ONCE; feeds the probe and the append
-        corpus_exists = table_exists(spark, corpus_path)
+        corpus_exists = table_has_data(spark, corpus_path)
         prefilter_active = False
         if bloom_prefilter:
             import numpy as np
@@ -2469,7 +2540,9 @@ def write_exact_dedup_gated(
                 elif corpus_exists:
                     # one-time legacy backfill: the corpus predates the
                     # sidecar, so every existing digest must enter the
-                    # filter before any batch may trust a negative
+                    # filter before any batch may trust a negative (a
+                    # file-less corpus dir never reaches here:
+                    # corpus_exists is the has-data check)
                     bloom_state["bits"] = _bloom_or_of_keys(
                         spark.read.parquet(corpus_path).select(
                             F.xxhash64("digest").alias("dig_key")
@@ -2564,12 +2637,16 @@ def write_exact_dedup_gated(
                 "bits binary, last_batch long",
                 bloom_sidecar,
             )
-        # coalesce(1): one file per touched bucket per batch — directory
-        # churn dominates at micro-batch granularity (at cluster scale:
-        # repartition("dig_bucket"))
-        keep.coalesce(1).write.mode("append").partitionBy(
-            "dig_bucket"
-        ).parquet(corpus_path)
+        # one writer task by default (directory churn dominates at
+        # micro-batch granularity); one writer per bucket when
+        # wide_writes (cluster-scale batches)
+        shaped = (
+            keep.repartition("dig_bucket") if wide_writes
+            else keep.coalesce(1)
+        )
+        shaped.write.mode("append").partitionBy("dig_bucket").parquet(
+            corpus_path
+        )
 
     return docs.writeStream.foreachBatch(_ingest)
 
@@ -2626,8 +2703,8 @@ def write_decontaminated(
     just not free); pass ``bloom_bits`` sized for per-gram FPR ~=
     doc_fpr_target / grams_per_doc (e.g. 2^26 bits = 8 MiB broadcast
     for a ~25k-gram benchmark) and clean batches skip the join
-    entirely — measured 1.40x end-to-end on all-clean streams at
-    sf0.1. The sidecar carries the probe set's IDENTITY (gram count +
+    entirely — measured 1.4-1.6x end-to-end on all-clean streams at
+    sf0.1 across three study runs (committed: BENCH_decon_volume.json). The sidecar carries the probe set's IDENTITY (gram count +
     order-independent xor of the hashed grams + the shingle width) and
     hydration validates it against the live ``benchmark_grams`` content
     (round-12 ADVICE): a benchmark regenerated while the sidecar
@@ -2637,10 +2714,15 @@ def write_decontaminated(
     explicitly-passed ``bloom_bits`` that disagrees with a VALID
     sidecar's size raises (delete the sidecar to resize), mirroring the
     exact gate's check — silently keeping the old size would ignore the
-    caller's ask with no signal. Per batch every exploded gram probes the broadcast bits
-    executor-side; a batch with ZERO maybe-hits never opens the
-    benchmark parquet at all, and only suspect docs' grams take the
-    exact broadcast confirm join — a Bloom false positive costs one
+    caller's ask with no signal. Per batch every exploded gram probes
+    the broadcast bits executor-side; after the first batch, a batch
+    with ZERO maybe-hits never opens the benchmark parquet, and only
+    suspect docs' grams take the exact broadcast confirm join. (The
+    identity validation makes the FIRST batch of every gate INSTANCE
+    read the benchmark once — a deliberate trade: restarts now require
+    the live benchmark to be readable, because a sidecar that cannot be
+    checked against the probe set it claims to represent is exactly the
+    stale-filter hazard the validation closes.) A Bloom false positive costs one
     small join, a false NEGATIVE cannot happen (no-false-negative
     kernel invariant), so contamination can never slip through the
     prescreen. Dropping clean docs is impossible too: the confirm join
@@ -2678,16 +2760,20 @@ def write_decontaminated(
         append — one writer task total by default, one per bucket when
         ``wide_writes`` (see the write-path note in the docstring)."""
         rows = rows.localCheckpoint()  # decide once: probe AND append
-        if table_exists(spark, path):
+        if not rows.take(1):
+            # nothing to append: writing an empty frame to a NOT-YET-
+            # EXISTING sink would create the file-less directory that
+            # breaks downstream schema inference — the round-13 review
+            # moved the guard here so it covers the admitted sink too
+            # (a 100%-contaminated batch empties it), not just the
+            # quarantine path
+            return
+        if table_has_data(spark, path):  # file-less dir == empty sink
             buckets = [
                 r[0] for r in rows.select("doc_bucket").distinct().collect()
             ]
-            # schema-explicit read: a crash can leave the sink directory
-            # present but file-less, where schema inference throws
-            # (round-13 volume study, found via the empty-quarantine
-            # twin of this hazard)
             seen = (
-                spark.read.schema(rows.schema).parquet(path)
+                spark.read.parquet(path)
                 .filter(F.col("doc_bucket").isin(buckets))
                 .select("doc_id")
             )
@@ -2759,12 +2845,26 @@ def write_decontaminated(
                     "grams_xor long, shingle_n long",
                     bloom_sidecar,
                 )
+        if state.get("bc") is None:
+            # the filter is STATIC (built/hydrated once) — broadcast it
+            # ONCE and reuse across every batch. Honest framing: at the
+            # volume study's 5k-row batches this measured WITHIN NOISE
+            # (scheduling dominates); it is kept because re-broadcasting
+            # an up-to-8-MiB filter every micro-batch is strictly wasted
+            # work that scales with filter size x batch cadence
+            state["bc"] = spark.sparkContext.broadcast(bytes(state["bits"]))
+            # the driver-side numpy copy is dead weight from here on —
+            # keep a True sentinel so the first-batch branch stays
+            # closed and the blob is freed (review finding). foreachBatch
+            # has no stop hook, so bc/bench retention is a documented
+            # per-instance cost: one filter + one small cached frame.
+            state["bits"] = True
         b = _bucketed(batch).localCheckpoint()  # shingle ONCE below
         grams = b.select(
             "doc_id",
             F.explode(word_shingles(F.col("text"), n)).alias("gram"),
         ).withColumn("k", F.xxhash64("gram"))
-        bc = spark.sparkContext.broadcast(bytes(state["bits"]))
+        bc = state["bc"]
         nbits = state["nbits"]
 
         def _maybe_hit(batches):
@@ -2790,13 +2890,20 @@ def write_decontaminated(
             .localCheckpoint()  # evaluate the broadcast probe ONCE
         )
         n_suspect = suspects.count()
-        bc.unpersist(blocking=False)
         contaminated = None
         if n_suspect > 0:
             # exact confirm: ONLY suspect docs' grams join the real
             # benchmark set (broadcast — the probe set is small by
-            # construction, as in the batch twin)
-            bench = spark.read.parquet(benchmark_grams).select("gram")
+            # construction, as in the batch twin). The frame is STATIC
+            # like the filter: persist it once and reuse across suspect
+            # batches instead of re-reading the parquet every time
+            if state.get("bench") is None:
+                state["bench"] = (
+                    spark.read.parquet(benchmark_grams)
+                    .select("gram")
+                    .persist()
+                )
+            bench = state["bench"]
             contaminated = (
                 grams.join(suspects, "doc_id")
                 .join(F.broadcast(bench), "gram")

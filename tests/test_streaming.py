@@ -4051,6 +4051,129 @@ def test_decontamination_gate_survives_all_false_positive_batches(
     assert quarantined == {9_300_001}
 
 
+def test_gates_survive_fileless_corpus_dirs(spark, sf_dir, tmp_path):
+    """Round-13 hardening (found on the decon twin): a corpus directory
+    can exist with NO data files — a crash between mkdir and the first
+    commit, or an all-empty first batch — and ``table_exists`` is
+    rightly existence-only. Every gate probe is now schema-explicit, so
+    such a directory reads as an EMPTY corpus instead of crashing
+    schema inference. Pinned for the exact gate (plain + bloom-backfill
+    paths) and the LSH gate (bands backfill + signature probe)."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") % 25 == 4)
+    n_docs = docs.count()
+    src = str(tmp_path / "fl_src")
+    docs.coalesce(1).write.parquet(src)
+
+    def fileless(path):
+        os.makedirs(path)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    # exact gate, plain probe
+    ecorpus = str(tmp_path / "fl_exact")
+    fileless(ecorpus)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src), ecorpus
+        )
+        .option("checkpointLocation", str(tmp_path / "fl_eck"))
+        .start()
+    )
+    _drain(q)
+    assert spark.read.parquet(ecorpus).count() == n_docs
+
+    # exact gate, bloom backfill over the file-less corpus
+    bcorpus = str(tmp_path / "fl_bloom")
+    fileless(bcorpus)
+    q = (
+        sp.write_exact_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src),
+            bcorpus, bloom_prefilter=True, bloom_min_ratio=0.0,
+        )
+        .option("checkpointLocation", str(tmp_path / "fl_bck"))
+        .start()
+    )
+    _drain(q)
+    assert spark.read.parquet(bcorpus).count() == n_docs
+
+    # LSH gate: file-less corpus, absent bands sidecar -> empty backfill
+    lcorpus = str(tmp_path / "fl_lsh")
+    fileless(lcorpus)
+    q = (
+        sp.write_dedup_gated(
+            spark.readStream.schema(d.schema).parquet(src), lcorpus
+        )
+        .option("checkpointLocation", str(tmp_path / "fl_lck"))
+        .start()
+    )
+    _drain(q)
+    assert spark.read.parquet(lcorpus).count() == n_docs
+
+
+def test_sibling_gates_wide_writes_parity(spark, sf_dir, tmp_path):
+    """Round-13: the exact and LSH gates' appends are switchable like
+    the decon gate's. Either mode yields identical corpus CONTENT and
+    the same one-file-per-touched-bucket-per-batch layout for the
+    bucket-partitioned tables (exact corpus; LSH band sidecar)."""
+    import glob as _glob
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") % 25 == 9)
+    src = str(tmp_path / "wp_src")
+    docs.coalesce(1).write.parquet(src)
+
+    def layout(path, col) -> dict[str, int]:
+        return {
+            os.path.basename(b): len(_glob.glob(os.path.join(b, "*.parquet")))
+            for b in _glob.glob(os.path.join(path, f"{col}=*"))
+        }
+
+    results = {}
+    for wide in (False, True):
+        ec = str(tmp_path / f"wp_exact_{wide}")
+        q = (
+            sp.write_exact_dedup_gated(
+                spark.readStream.schema(d.schema).parquet(src),
+                ec, wide_writes=wide,
+            )
+            .option("checkpointLocation", str(tmp_path / f"wp_eck_{wide}"))
+            .start()
+        )
+        _drain(q)
+        lc = str(tmp_path / f"wp_lsh_{wide}")
+        q = (
+            sp.write_dedup_gated(
+                spark.readStream.schema(d.schema).parquet(src),
+                lc, wide_writes=wide,
+            )
+            .option("checkpointLocation", str(tmp_path / f"wp_lck_{wide}"))
+            .start()
+        )
+        _drain(q)
+        results[wide] = {
+            "exact_rows": {
+                tuple(r)
+                for r in spark.read.parquet(ec)
+                .select("doc_id", "digest", "dig_bucket").collect()
+            },
+            "exact_layout": layout(ec, "dig_bucket"),
+            "lsh_docs": {r.doc_id for r in spark.read.parquet(lc).collect()},
+            "bands_layout": layout(lc + "_bands", "band_bucket"),
+        }
+    a, b = results[False], results[True]
+    assert a["exact_rows"] == b["exact_rows"]
+    assert a["lsh_docs"] == b["lsh_docs"]
+    for key in ("exact_layout", "bands_layout"):
+        assert a[key].keys() == b[key].keys(), key
+        # one batch per mode -> exactly one file per touched bucket
+        assert all(nf == 1 for nf in a[key].values()), (key, a[key])
+        assert all(nf == 1 for nf in b[key].values()), (key, b[key])
+
+
 def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(
     spark, sf_dir, tmp_path
 ):
@@ -4241,6 +4364,29 @@ def test_fs_count_data_files_ignores_hidden_and_absent(spark, tmp_path):
     _os.makedirs(d / "subdir")
     assert sp.fs_count_data_files(spark, str(d)) == 2
     assert sp.fs_count_data_files(spark, str(tmp_path / "nope")) == 0
+
+
+def test_table_has_data_semantics(spark, tmp_path):
+    """The round-13 gate guard: absent and hidden-only directories read
+    as data-less; a data file OR a partition SUBDIRECTORY (the
+    bucket-partitioned layouts, where no file sits at the root) counts
+    as data — the case fs_count_data_files is deliberately blind to."""
+    import os as _os
+
+    assert not sp.table_has_data(spark, str(tmp_path / "absent"))
+    empty = tmp_path / "thd_empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_bytes(b"")
+    (empty / ".x.crc").write_bytes(b"c")
+    assert not sp.table_has_data(spark, str(empty))
+    flat = tmp_path / "thd_flat"
+    flat.mkdir()
+    (flat / "part-00000.parquet").write_bytes(b"x")
+    assert sp.table_has_data(spark, str(flat))
+    parted = tmp_path / "thd_parted"
+    _os.makedirs(parted / "doc_bucket=3")
+    (parted / "_SUCCESS").write_bytes(b"")
+    assert sp.table_has_data(spark, str(parted))
 
 
 # ------------------------------------- global-sink crash-point fuzz

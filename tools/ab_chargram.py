@@ -52,11 +52,17 @@ def _blob(ref: str) -> str:
     ).stdout.strip()
 
 
-def _artifact_median(name: str) -> float | None:
-    p = os.path.join(REPO, name)
+def _artifact_median(ref_path: str) -> float | None:
+    """Median from an artifact PINNED at a commit (``<ref>:<file>``) —
+    never the working-tree file, which later rounds overwrite in place
+    (review finding: a re-run at a newer HEAD would otherwise record a
+    newer round's median under the r12 label)."""
     try:
-        with open(p) as f:
-            d = json.load(f)
+        raw = subprocess.run(
+            ["git", "show", ref_path], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        d = json.loads(raw)
         if "parsed" in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
         return d.get("queries", {}).get("chargram_jaccard_pairs")
@@ -148,8 +154,12 @@ def main() -> None:
             for ref, c in REF_COMMITS.items()
         },
         "context_medians_sec": {
-            "r11_in_suite": _artifact_median("BENCH_r11.json"),
-            "r12_in_suite": _artifact_median("BENCH_FULL.json"),
+            "r11_in_suite": _artifact_median(
+                f"{REF_COMMITS['r11']}:BENCH_r11.json"
+            ),
+            "r12_in_suite": _artifact_median(
+                f"{REF_COMMITS['r12']}:BENCH_FULL.json"
+            ),
         },
         "runs_per_variant": RUNS_PER_VARIANT,
         "pairs": len(got_pin),

@@ -15,9 +15,13 @@ session:
   doc-level FPR (2^26 bits = 8 MiB broadcast, per-gram FPR ~1e-9):
   zero suspects, the confirm join and the benchmark read never happen —
   the suspect-free fast path a sized deployment sees.
-- ``contaminated``: every 10th doc replaced by a full benchmark-doc
-  copy (10% contamination), auto-sized filter: prescreen + exact
-  confirm + quarantine every batch.
+- ``contaminated``: 10% of EACH batch replaced by full benchmark-doc
+  copies (the contamination predicate is on ``doc_id // 10`` so it is
+  orthogonal to the ``doc_id % N_BATCHES`` batch split — a round-13
+  review caught the original ``doc_id % 10`` stride aliasing with the
+  split, which silently measured one 100%-contaminated batch plus nine
+  clean ones), auto-sized filter: prescreen + exact confirm +
+  quarantine in every batch.
 
 Usage: python tools/bench_decon_volume.py [sf_dir] [out_json]
 Defaults: sf0.1, BENCH_decon_volume.json in the repo root.
@@ -81,19 +85,22 @@ def main() -> None:
             .select(F.col("id").alias("doc_id"), tok_cols.alias("text"))
             .localCheckpoint()  # freeze: input build must not be timed
         )
-        # contaminated stream: every 10th doc is a verbatim benchmark doc
+        # contaminated stream: 10% of each batch are verbatim benchmark docs
         bench_texts = (
             d.filter(F.col("doc_id") < BENCH_DOCS)
             .select((F.col("doc_id") % 10).alias("slot"), "text")
             .groupBy("slot").agg(F.first("text").alias("bench_text"))
         )
+        # contaminate (doc_id // 10) % 10 == 0 — exactly 10% of every
+        # batch, since batches split on doc_id % N_BATCHES (orthogonal
+        # moduli); vary which benchmark doc via doc_id % 10
         contaminated = (
-            clean.withColumn("slot", (F.col("doc_id") / 10).cast("long") % 10)
+            clean.withColumn("slot", F.col("doc_id") % 10)
             .join(F.broadcast(bench_texts), "slot", "left")
             .select(
                 "doc_id",
                 F.when(
-                    F.col("doc_id") % 10 == 0,
+                    (F.col("doc_id") / 10).cast("long") % 10 == 0,
                     F.coalesce(F.col("bench_text"), F.col("text")),
                 ).otherwise(F.col("text")).alias("text"),
             )
