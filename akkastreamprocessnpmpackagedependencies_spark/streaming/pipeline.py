@@ -452,10 +452,12 @@ def table_has_data(spark: SparkSession, path: str) -> bool:
         return False
     # listStatusIterator + early break, NOT listStatus: this runs per
     # micro-batch, and a long-lived unpartitioned corpus accumulates one
-    # file per batch — materializing the whole entry array would make
-    # the aggregate listing cost quadratic in stream age (and paged LIST
-    # round-trips on object stores). Data files usually appear within
-    # the first few entries; hidden-only directories are tiny.
+    # file per batch. Honest scope (second review pass): filesystems
+    # that override the iterator (HDFS, S3A) page the listing, so the
+    # early break avoids both the full array and extra LIST round-trips;
+    # RawLocalFileSystem's default iterator still builds the array
+    # JVM-side, where the break only saves the per-entry py4j traffic.
+    # Data files usually appear within the first few entries.
     it = fs.listStatusIterator(hpath)
     while it.hasNext():
         if not it.next().getPath().getName().startswith((".", "_")):
@@ -2703,8 +2705,10 @@ def write_decontaminated(
     just not free); pass ``bloom_bits`` sized for per-gram FPR ~=
     doc_fpr_target / grams_per_doc (e.g. 2^26 bits = 8 MiB broadcast
     for a ~25k-gram benchmark) and clean batches skip the join
-    entirely — measured 1.4-1.6x end-to-end on all-clean streams at
-    sf0.1 across three study runs (committed: BENCH_decon_volume.json). The sidecar carries the probe set's IDENTITY (gram count +
+    entirely — measured 1.4-1.7x end-to-end on all-clean streams at
+    sf0.1 across four study runs (committed: BENCH_decon_volume.json,
+    which also prices honestly-diverse 10%-contaminated batches at
+    ~0.35x the clean-auto rate: contamination carries its own cost). The sidecar carries the probe set's IDENTITY (gram count +
     order-independent xor of the hashed grams + the shingle width) and
     hydration validates it against the live ``benchmark_grams`` content
     (round-12 ADVICE): a benchmark regenerated while the sidecar
@@ -2754,13 +2758,17 @@ def write_decontaminated(
             "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(DECON_BUCKETS))
         )
 
-    def _append_new(spark, rows: DataFrame, path: str) -> None:
+    def _append_new(
+        spark, rows: DataFrame, path: str, known_nonempty: bool = False
+    ) -> None:
         """Replay-idempotent append: drop rows already present in the
         touched buckets (partition-pruned single-column probe), then
         append — one writer task total by default, one per bucket when
-        ``wide_writes`` (see the write-path note in the docstring)."""
+        ``wide_writes`` (see the write-path note in the docstring).
+        ``known_nonempty`` skips the empty-guard job when the caller
+        just proved the frame non-empty (the quarantine path's count)."""
         rows = rows.localCheckpoint()  # decide once: probe AND append
-        if not rows.take(1):
+        if not known_nonempty and not rows.take(1):
             # nothing to append: writing an empty frame to a NOT-YET-
             # EXISTING sink would create the file-less directory that
             # breaks downstream schema inference — the round-13 review
@@ -2925,6 +2933,7 @@ def write_decontaminated(
                     contaminated.withColumn("batch_id", F.lit(int(batch_id)))
                 ),
                 quarantine,
+                known_nonempty=True,  # contaminated.count() > 0 above
             )
             admitted = b.join(
                 contaminated.select("doc_id"), "doc_id", "left_anti"

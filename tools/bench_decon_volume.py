@@ -93,9 +93,13 @@ def main() -> None:
         )
         # contaminate (doc_id // 10) % 10 == 0 — exactly 10% of every
         # batch, since batches split on doc_id % N_BATCHES (orthogonal
-        # moduli); vary which benchmark doc via doc_id % 10
+        # moduli); vary which benchmark doc via (doc_id // 100) % 10,
+        # a stride orthogonal to BOTH the batch split and the
+        # contamination predicate (second review pass: doc_id % 10
+        # would collapse each batch's contamination onto one benchmark
+        # doc, understating gram diversity)
         contaminated = (
-            clean.withColumn("slot", F.col("doc_id") % 10)
+            clean.withColumn("slot", (F.col("doc_id") / 100).cast("long") % 10)
             .join(F.broadcast(bench_texts), "slot", "left")
             .select(
                 "doc_id",
