@@ -40,62 +40,52 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 13 slot arithmetic, executing the rotation plan recorded at
-    # the end of round 12 (verified against tools/evidence.json this
-    # round: age histogram entering round 13 is exactly r10:46, r11:49,
-    # r12:50 — plan and evidence agree): 50 slots = 1 flagship + ALL 46
-    # r10-aged rows (no registry row may age past r11) + the 3
-    # alphabetically-first r11-aged rows in the free slots (the plan's
-    # other arm — spending them on decode queries — applies only if the
-    # VP8L plane-code wiring lands THIS round; it is instead staged on
-    # a branch for r14, when all four decode rows are in-window by age
-    # anyway). Demand checked green by `tools/driver_check.py
-    # --window-budget 13` before and after every edit.
-    # the 46 r10-aged rows, alphabetical
-    *["asof_purchase_signup", "bigram_lm_probs", "bm25_topk_docs",
-      "case_bucketing", "chargram_jaccard_pairs", "chunk_documents",
-      "contamination_ngram_hits", "cosine_topk_bruteforce",
-      "cosine_topk_ivf", "cube_qty", "dataset_shuffle_order",
-      "dataset_split_assign", "dedup_exact_hash", "dedup_incremental",
-      "deterministic_sample", "dominant_part_suppliers",
-      "dq_expectations", "duplicate_ngram_overlap",
-      "embedding_covariance", "embedding_pca_project",
-      "equi_depth_deciles", "events_funnel_conversion",
-      "events_mad_outliers", "events_retention_cohorts",
-      "fuzzy_dedup_keep_one", "key_skew_profile", "kmeans_assignments",
-      "kmeans_clusters", "length_weighted_sample", "min_cost_supplier",
-      "minhash_lsh_neardup", "nation_pair_trade", "neardup_clusters",
-      "part_supplier_variety", "part_value_concentration",
-      "pricing_summary", "rollup_qty", "scd2_user_tiers",
-      "session_concurrency_hourly", "set_intersect",
-      "shipping_delay_priority", "simhash_candidate_pairs",
-      "snapshot_diff", "source_mixing_weights", "token_rarity_scores",
-      "zorder_bucket_profile"],
-    # the 3 free slots: alphabetically-first r11-aged rows
-    "corpus_budget_select", "corpus_pipeline_verdicts", "cosine_topk_lsh",
-    # Round-14 rotation plan (recorded per standing practice): after
-    # this round the histogram is r11:46, r12:50, r13:50. Demand for
-    # r14 = flagship + the 46 remaining r11-aged rows = 47 — and that
-    # set ALREADY CONTAINS the whole multimodal family, so r14 is the
-    # round that merges the staged `r14-plane-wiring` branch (committed
-    # and green there: webp.py plane-code decoder lookup + encoder
-    # emission, rev tag 3, flipped/added codec tests, a SIXTH rotated
-    # webp query shape, and the real-codec scan-widening — webp 12.5 ->
-    # 1.2 s, jpeg 5.1 -> 1.2 s, png 4.1 -> 0.9 s at sf0.1, all five
-    # decode queries oracle-green on the branch): every moved
-    # fingerprint (decode real/png/jpeg/webp/audio) is in-window by age
-    # with no extra slot cost. The branch now CARRIES the r14
-    # _PRIORITY rotation itself (staged end of round 13, both gates
-    # verified green there against the merged round-13 state), so
-    # round 14 reduces to: `git merge r14-plane-wiring` +
-    # `--evidence-update 14` + the normal verify/gate run. Spend the 3 free slots on the 3
-    # alphabetically-first r12-aged rows (ann_recall_eval,
-    # approx_sketches, approx_sketches_exact per evidence.json after
-    # this round's update). Fingerprint-moving edits remain
-    # window-mandatory; other new work should land as appended operator
-    # functions or streaming ops (streaming/pipeline.py is outside
-    # queries() fingerprints — verified empirically in rounds 9, 10,
-    # and 13).
+    # round 14 slot arithmetic, executing the rotation plan recorded at
+    # the end of round 13 (verified against tools/evidence.json: age
+    # histogram entering round 14 is exactly r11:46, r12:50, r13:50 —
+    # plan and evidence agree): 50 slots = 1 flagship + ALL 46 r11-aged
+    # rows (no registry row may age past r12) — which by construction
+    # contain the whole multimodal family, seating every fingerprint
+    # the merged plane-wiring branch moved (webp.py plane codes + rev 3,
+    # the sixth webp query shape, the real-codec scan widening) at zero
+    # extra slot cost — + the 3 alphabetically-first r12-aged rows in
+    # the free slots. Demand checked green by `tools/driver_check.py
+    # --window-budget 14` before and after every edit.
+    # the 46 r11-aged rows, alphabetical
+    *["date_funcs", "dedup_exact_summary",
+      "dedup_normalized_hash", "doc_fingerprints",
+      "embedding_centroids", "events_hourly_gapfill",
+      "events_sessionize", "events_sliding_1h_30m",
+      "events_tumbling_1h", "grouped_median_pandas",
+      "json_corrupt_tolerant", "json_funcs",
+      "lang_id_heuristic", "map_funcs",
+      "math_funcs", "minhash_signatures",
+      "multimodal_decode_audio", "multimodal_decode_features",
+      "multimodal_decode_jpeg", "multimodal_decode_png",
+      "multimodal_decode_real", "multimodal_decode_webp",
+      "multimodal_frame_sample", "multimodal_metadata",
+      "multimodal_resize_plan", "npm_dependency_pagerank",
+      "npm_transitive_deps", "order_priority_by_quarter",
+      "pca_project_fixed_basis", "pii_redact",
+      "pii_scan", "price_histogram",
+      "price_outliers_iqr", "semdedup_keep_one",
+      "session_overlap_pairs", "set_except",
+      "set_union", "simhash_fingerprints",
+      "sql_api_revenue_by_nation", "stratified_sample",
+      "string_funcs", "text_normalize",
+      "text_quality_scores", "token_counts",
+      "udtf_sentences", "vocab_top_terms"],
+    # the 3 free slots: alphabetically-first r12-aged rows
+    "ann_recall_eval", "approx_sketches", "approx_sketches_exact",
+    # Round-15 rotation plan (recorded per standing practice): after
+    # round 14 the histogram is r12:47, r13:50, r14:50. Demand for r15
+    # = flagship + the 47 remaining r12-aged rows = 48, leaving 2 free
+    # slots for the alphabetically-first r13-aged rows (re-derive from
+    # evidence.json after round 14's --evidence-update). Fingerprint-
+    # moving edits remain window-mandatory; other new work should land
+    # as appended operator functions or streaming ops
+    # (streaming/pipeline.py is outside queries() fingerprints —
+    # verified empirically in rounds 9, 10, and 13).
 ]
 
 

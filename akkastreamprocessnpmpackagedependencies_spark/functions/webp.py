@@ -24,18 +24,21 @@ the evidence fingerprint does not follow module-level imports
 transitively. Any behavioral edit to webp_transforms.py MUST be
 accompanied by bumping the revision tag on the next line so the decode
 fingerprints move and the staleness gate sees the change.
-webp_transforms rev: 2 (round 11: choosers + forward/cross-color paths
-vectorized, byte-equivalent to the retained scalar references)
+webp_transforms rev: 3 (round 14: LZ77 2D distance plane codes wired —
+decoder maps symbols 1..120 through the spec-derived neighborhood,
+encoder optionally emits them; helpers staged in rounds 12-13)
 
 Scope (honest limits, validated loudly — the PNG/JPEG pattern):
 
 - VP8 LOSSY payloads ("VP8 " chunk) raise ValueError: a DCT video
   intraframe codec is out of scope for a data-pipeline container.
-- The 2D distance plane-code map (distance symbols 1..120) still raises
-  ValueError naming the feature; this module's encoder only emits
-  direct distances, so every payload the registered query decodes
-  round-trips bit-exactly. PIL remains the documented production path
-  for arbitrary wild WebP (e.g. lossy VP8).
+- The 2D distance plane-code map (distance symbols 1..120) DECODES via
+  ``webp_transforms.plane_code_to_distance`` (RFC 9649 §4.2.2, the
+  table re-derived from the spec's construction and pinned against its
+  packed-nibble constants), and the encoder emits plane codes under
+  ``plane_codes=True`` — the last entropy-coding seam that used to
+  route real cwebp output to PIL. PIL remains the documented
+  production path for arbitrary wild WebP (e.g. lossy VP8).
 
 The encoder exists to make the decoder falsifiable without PIL: it can
 emit the same raster through materially different code paths (pure
@@ -360,13 +363,10 @@ def _decode_pixels(br: _BitReader, w: int, h: int, level0: bool) -> list[int]:
         elif sym < 256 + 24:
             length = _prefix_value(sym - 256, br)
             dist_code = _prefix_value(d_code.decode(br), br)
-            if dist_code <= 120:
-                raise ValueError(
-                    "VP8L: 2D distance plane codes (1..120) unsupported — "
-                    "their proximity map is unverifiable offline; "
-                    "re-encode with direct distances or use PIL"
-                )
-            dist = dist_code - 120
+            # symbols 1..120 are the 2D plane-code neighborhood at THIS
+            # stream's width (sub-images decode at their own xsize);
+            # >120 is linear — both handled by the spec-derived helper
+            dist = _wt.plane_code_to_distance(w, dist_code)
             if dist < 1 or dist > len(out):
                 raise ValueError("VP8L: backward reference out of range")
             for _ in range(length):
@@ -677,6 +677,7 @@ def encode_webp(
     predictor: bool = False,
     cross_color: bool = False,
     transform_bits: int = 4,
+    plane_codes: bool = False,
 ) -> bytes:
     """Encode raw pixel bytes (HxWxC, C in {3,4}) as a lossless WebP.
 
@@ -799,7 +800,10 @@ def encode_webp(
         argb = _wt.cross_color_forward(argb, xsize, height, ctes, transform_bits)
     bw.write(0, 1)  # no more transforms
 
-    _encode_pixel_stream(bw, argb, cache_bits=cache_bits, use_lz77=use_lz77, width=xsize)
+    _encode_pixel_stream(
+        bw, argb, cache_bits=cache_bits, use_lz77=use_lz77, width=xsize,
+        plane_codes=plane_codes,
+    )
 
     payload = b"\x2f" + bw.bytes()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -817,6 +821,7 @@ def _encode_pixel_stream(
     use_lz77: bool,
     width: int,
     level0: bool = True,
+    plane_codes: bool = False,
 ) -> None:
     """Tokenize one ARGB stream (literals / copy(len,dist) with direct
     distance codes / cache hits), then emit the five prefix codes and the
@@ -870,7 +875,11 @@ def _encode_pixel_stream(
         elif t[0] == "copy":
             lcode, _, _ = _prefix_symbol(t[1])
             green_f[256 + lcode] = green_f.get(256 + lcode, 0) + 1
-            dcode, _, _ = _prefix_symbol(t[2] + 120)
+            dsym = (
+                _wt.distance_to_plane_code(width, t[2])
+                if plane_codes else t[2] + 120
+            )
+            dcode, _, _ = _prefix_symbol(dsym)
             dist_f[dcode] = dist_f.get(dcode, 0) + 1
         else:
             green_f[256 + 24 + t[1]] = green_f.get(256 + 24 + t[1], 0) + 1
@@ -911,7 +920,11 @@ def _encode_pixel_stream(
             bw.write(c, l)
             if nbits:
                 bw.write(payload, nbits)
-            dcode, payload, nbits = _prefix_symbol(t[2] + 120)
+            dsym = (
+                _wt.distance_to_plane_code(width, t[2])
+                if plane_codes else t[2] + 120
+            )
+            dcode, payload, nbits = _prefix_symbol(dsym)
             c, l = d_enc[dcode]
             bw.write(c, l)
             if nbits:

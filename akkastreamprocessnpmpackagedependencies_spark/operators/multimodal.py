@@ -140,6 +140,32 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECODE_SCHEMA = "doc_id long, width int, height int, channels int, mean_intensity double"
 
 
+def _widen_for_cpu(df: DataFrame) -> DataFrame:
+    """Match a REAL-codec mapInPandas stage's parallelism to the cluster
+    when the scan under-splits (round-13/14 finding): the sf0.1
+    documents table is one 594 KB file -> ONE split, so the whole
+    Arrow-batched codec pass ran on 1 of 32 cores (~23 s of webp codec
+    CPU measured single-threaded where the cluster had 32x that
+    available). The repartition triggers ONLY when the scan yields
+    fewer partitions than defaultParallelism — a small input whose
+    shuffle is cheap next to the per-row codec CPU; at 100 TB the scan
+    has >= cores splits, the condition is false, and payloads keep the
+    documented stay-on-the-scanning-executor property (no shuffle).
+    The FAKE-codec queries (features, frame_sample) deliberately stay
+    unwidened — their per-row work is trivial, so worker fan-out
+    overhead would dominate (their docstrings say so). This is
+    ``session.load_scaled``'s rule applied AFTER the two-column
+    projection (so the rebalance ships doc_id+text, not every column);
+    the dedup/similarity families have used that helper since round 3 —
+    the decode queries predate it and were the one compute-bound family
+    left on the bare scan."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def decode_image_real(df: DataFrame) -> DataFrame:
     """Production image-decode operator: REAL pixel decode through the
     stdlib codecs — binary Netpbm (P5/P6, ``functions/ppm.py``) for the
@@ -281,7 +307,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("P6\n%d %d\n255\n", w, h),
         F.rpad(F.col("text"), (w * h * F.lit(3)).cast("int"), "x"),
     ).cast("binary")
-    imgs = d.select("doc_id", payload.alias("payload"))
+    imgs = _widen_for_cpu(d.select("doc_id", payload.alias("payload")))
     return decode_image_real(imgs)
 
 
@@ -488,7 +514,9 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length("text") == F.octet_length("text"))
         )
     )
-    wavs = d.mapInPandas(_encode, schema="doc_id long, payload binary")
+    wavs = _widen_for_cpu(d).mapInPandas(
+        _encode, schema="doc_id long, payload binary"
+    )
     return decode_audio_real(wavs)
 
 
@@ -546,7 +574,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(int(w), int(h), body, 3, filter_type=4))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    imgs = d.select("doc_id", "text").mapInPandas(
+    imgs = _widen_for_cpu(d.select("doc_id", "text")).mapInPandas(
         _encode, schema="doc_id long, payload binary"
     )
     return decode_image_real(imgs)
@@ -630,7 +658,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    imgs = d.select("doc_id", "text").mapInPandas(
+    imgs = _widen_for_cpu(d.select("doc_id", "text")).mapInPandas(
         _encode, schema="doc_id long, payload binary"
     )
     return decode_image_real(imgs)
@@ -643,7 +671,7 @@ REG.add("multimodal_decode_jpeg", _JPEG_ORACLE)(multimodal_decode_jpeg)
 # arithmetic to the PNG/JPEG oracles — dims from doc_id, byte-mean of the
 # rpad'ed ASCII body, same non-empty pure-ASCII gate. The Spark side
 # deliberately rotates VP8L encode modes per doc_id, so a single driver row
-# certifies five different bitstream shapes decoding to the same bytes.
+# certifies six different bitstream shapes decoding to the same bytes.
 _WEBP_ORACLE = f"""
     WITH img AS (
       SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
@@ -665,18 +693,20 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZ77 run copies with direct distances / color cache + subtract-green
     transform / per-block PREDICTOR residuals / subtract-green +
     predictor + CROSS-COLOR stacked, both spatial transforms with 4x4
-    blocks so multi-block mode sub-images are exercised) — and
-    ``functions/webp.py`` decodes the container back (RIFF framing,
-    canonical prefix codes incl. the RLE-coded code-length code,
-    transform inversion in reverse stream order). The oracle recomputes
-    dims and byte-mean in SQL, so an entropy, transform, or container
-    bug in encode OR decode anywhere across the five mode shapes breaks
-    the value hash — the multimodal_decode_png/jpeg technique, extended
-    with cross-path identity inside one driver-checked query (round-7
-    verdict item #8 landed VP8L; round 11 wired the last two transforms
-    from functions/webp_transforms.py, so only lossy VP8 and plane
-    distance codes remain loud ValueErrors, see the module docstring of
-    functions/webp.py).
+    blocks so multi-block mode sub-images are exercised / LZ77 with 2D
+    PLANE-CODED distances, the round-14 wiring of the spec-derived
+    neighborhood map) — and ``functions/webp.py`` decodes the container
+    back (RIFF framing, canonical prefix codes incl. the RLE-coded
+    code-length code, transform inversion in reverse stream order). The
+    oracle recomputes dims and byte-mean in SQL, so an entropy,
+    transform, or container bug in encode OR decode anywhere across the
+    six mode shapes breaks the value hash — the
+    multimodal_decode_png/jpeg technique, extended with cross-path
+    identity inside one driver-checked query (round-7 verdict item #8
+    landed VP8L; round 11 wired the last two transforms, round 14 the
+    plane codes, so only lossy VP8 / extended VP8X remain loud
+    ValueErrors — the DCT codec, out of scope by documented design, see
+    the module docstring of functions/webp.py).
 
     Scale shape: encode and decode run in the SAME Arrow-batched executor
     pass; the compressed payload never crosses the wire — only typed
@@ -697,6 +727,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                  transform_bits=2),
             dict(use_lz77=True, cache_bits=4, subtract_green=True,
                  predictor=True, cross_color=True, transform_bits=2),
+            dict(use_lz77=True, cache_bits=0, plane_codes=True),
         ]
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_intensity")}
@@ -705,7 +736,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = int(3 + doc_id % 11)
                 n = w * h * 3
                 body = text.encode("ascii").ljust(n, b"x")[:n]
-                payload = encode_webp(w, h, body, 3, **modes[int(doc_id) % 5])
+                payload = encode_webp(w, h, body, 3, **modes[int(doc_id) % 6])
                 dw, dh, dc, arr = decode_webp(payload)
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(dw)
@@ -718,7 +749,9 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").mapInPandas(_encode_decode, schema=_DECODE_SCHEMA)
+    return _widen_for_cpu(d.select("doc_id", "text")).mapInPandas(
+        _encode_decode, schema=_DECODE_SCHEMA
+    )
 
 
 REG.add("multimodal_decode_webp", _WEBP_ORACLE)(multimodal_decode_webp)

@@ -1029,16 +1029,16 @@ def test_decode_image_real_all_four_containers(spark):
         assert gmean == pytest.approx(mean, abs=1e-9)
 
 
-def test_multimodal_decode_webp_roundtrips_five_bitstream_shapes(spark, sf_dir):
-    """The round-8 query, widened in round 11: documents become REAL
-    lossless WebPs under a per-doc rotation of FIVE VP8L bitstream
+def test_multimodal_decode_webp_roundtrips_six_bitstream_shapes(spark, sf_dir):
+    """The round-8 query, widened in rounds 11 and 14: documents become
+    REAL lossless WebPs under a per-doc rotation of SIX VP8L bitstream
     shapes (literals / LZ77 copies / cache + subtract-green / predictor
-    / subtract-green + predictor + cross-color stacked) and come back
-    through functions/webp.py. Dims must match the doc_id formula and
-    mean_intensity must equal the Python byte-mean of the padded body —
-    any entropy, transform, or container bug in any of the five shapes
-    breaks the equality (_WEBP_ORACLE carries the same arithmetic for
-    the driver's DuckDB check)."""
+    / subtract-green + predictor + cross-color stacked / plane-coded
+    LZ77 distances) and come back through functions/webp.py. Dims must
+    match the doc_id formula and mean_intensity must equal the Python
+    byte-mean of the padded body — any entropy, transform, or container
+    bug in any of the six shapes breaks the equality (_WEBP_ORACLE
+    carries the same arithmetic for the driver's DuckDB check)."""
     from akkastreamprocessnpmpackagedependencies_spark.session import load_table
 
     out = {r.doc_id: r for r in mm.multimodal_decode_webp(spark, sf_dir).collect()}
@@ -1049,14 +1049,33 @@ def test_multimodal_decode_webp_roundtrips_five_bitstream_shapes(spark, sf_dir):
         if len(r.text) > 0 and len(r.text) == len(r.text.encode())
     }
     assert set(out) == set(ascii_docs)
-    # check docs covering all five encode modes (doc_id % 5)
+    # check docs covering all six encode modes (doc_id % 6)
     seen_modes = set()
     for doc_id, text in list(ascii_docs.items())[:60]:
-        seen_modes.add(doc_id % 5)
+        seen_modes.add(doc_id % 6)
         w, h = 4 + doc_id % 13, 3 + doc_id % 11
         n = w * h * 3
         body = text.encode("ascii").ljust(n, b"x")[:n]
         r = out[doc_id]
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert r.mean_intensity == pytest.approx(sum(body) / n, abs=1e-12)
-    assert seen_modes == {0, 1, 2, 3, 4}
+    assert seen_modes == {0, 1, 2, 3, 4, 5}
+
+
+def test_real_codec_queries_widen_single_split_scans(spark, sf_dir):
+    """Round-14 scale fix, pinned at the plan level: the test tables are
+    single-file scans (one split), and the real-codec mapInPandas
+    stages must NOT inherit that — _widen_for_cpu repartitions them to
+    defaultParallelism, so the codec CPU uses the whole cluster. The
+    fake-codec queries deliberately keep the narrow scan (their
+    docstrings own that trade)."""
+    target = spark.sparkContext.defaultParallelism
+    for q in (mm.multimodal_decode_real, mm.multimodal_decode_png,
+              mm.multimodal_decode_jpeg, mm.multimodal_decode_webp,
+              mm.multimodal_decode_audio):
+        got = q(spark, sf_dir).rdd.getNumPartitions()
+        assert got >= target, (q.__name__, got, target)
+    assert (
+        mm.multimodal_decode_features(spark, sf_dir).rdd.getNumPartitions()
+        < target
+    ), "fake codec should stay on the narrow scan"

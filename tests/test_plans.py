@@ -609,11 +609,16 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
 
 
-def test_multimodal_decode_webp_is_zero_shuffle_pruned_scan(spark, sf_dir):
-    """The round-8 WebP query must stay a map-only pipeline: pruned
-    2-column scan with the non-null filter pushed to parquet, one
-    Arrow-batched MapInPandas, ZERO exchanges — the compressed payload
-    never crosses the wire at any scale."""
+def test_multimodal_decode_webp_is_pruned_scan_with_bounded_widening(spark, sf_dir):
+    """The round-8 WebP query stays a pruned 2-column scan with the
+    non-null filter pushed to parquet and one Arrow-batched MapInPandas.
+    Round 14 amended the zero-exchange rule: when the scan UNDER-SPLITS
+    (the test tables are one file = one task), _widen_for_cpu inserts
+    EXACTLY ONE exchange of the projected (doc_id, text) pair so the
+    codec CPU uses every core — measured 12.5 -> 1.2 s at sf0.1; at
+    scale the scan has >= cores splits and the plan is exchange-free
+    again (the widening is conditional, pinned separately by
+    test_real_codec_queries_widen_single_split_scans)."""
     from akkastreamprocessnpmpackagedependencies_spark.operators.multimodal import (
         multimodal_decode_webp,
     )
@@ -623,7 +628,7 @@ def test_multimodal_decode_webp_is_zero_shuffle_pruned_scan(spark, sf_dir):
 
     df = multimodal_decode_webp(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan_exchange_count(df) == 0
+    assert plan_exchange_count(df) == 1  # the conditional widening, only
     assert "MapInPandas" in plan
     explained = df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -269,55 +269,103 @@ def test_duplicate_spatial_transform_rejected():
         decode_webp(_wrap_vp8l(bw))
 
 
-def test_rejects_distance_plane_codes_by_name():
-    """A bitstream using 2D plane distance codes (<=120) is refused with
-    the seam named, never silently mis-mapped. Built by patching the
-    encoder's token emitter is brittle; instead decode a stream we craft
-    with a direct distance, then check the guard path via a copy token
-    whose distance code lands <= 120: craft by encoding a 2-row image
-    with a dist-1 run and rewriting is fragile too — so drive the guard
-    directly through a miniature hand-rolled stream."""
-    # miniature 4x1 image: literal A, then copy(len=3, plane code 1)
-    bw = _BitWriter()
-    bw.write(3, 14)  # width-1 = 3
-    bw.write(0, 14)  # height-1 = 0
-    bw.write(0, 1)
-    bw.write(0, 3)
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta image
-    # green code: simple, 2 symbols: 100 (literal) and 256+2 -> needs 8-bit+
-    # symbol 258 > 255 can't ride a simple code; use full code instead via
-    # encoder helper
+def test_decodes_distance_plane_codes_hand_rolled():
+    """A hand-rolled bitstream whose copy token carries a 2D plane
+    distance code (symbols 1..120) decodes through the spec-derived
+    neighborhood map — the seam that used to raise. 4x1 image: one
+    literal, then copy(len=3, distance VALUE 2 = plane code 2 = offset
+    (1,0) = scan-line distance 1) — four identical pixels. Also pins
+    the out-of-range guard: distance value 1 (plane code 1 = (0,1) =
+    dist 4 at width 4) points past the single decoded pixel and must
+    still fail loudly, never wrap."""
     from akkastreamprocessnpmpackagedependencies_spark.functions.webp import (
         _write_prefix_code,
     )
 
-    # encoder maps carry pre-bit-reversed codes, emitted via write()
-    g_enc = _write_prefix_code(bw, {100: 1, 256 + 1: 1}, 256 + 24)  # len code 1 -> L=2..3
-    r_enc = _write_prefix_code(bw, {10: 1}, 256)
-    b_enc = _write_prefix_code(bw, {20: 1}, 256)
-    a_enc = _write_prefix_code(bw, {255: 1}, 256)
-    d_enc = _write_prefix_code(bw, {0: 1}, 40)  # distance prefix 0 -> value 1 (plane!)
-    c, l = g_enc[100]
-    bw.write(c, l)
-    for enc, sym in [(r_enc, 10), (b_enc, 20), (a_enc, 255)]:
-        c, l = enc[sym]
+    def stream(dist_prefix_sym: int, len_prefix_sym: int) -> bytes:
+        bw = _BitWriter()
+        bw.write(3, 14)  # width-1 = 3
+        bw.write(0, 14)  # height-1 = 0
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no meta image
+        g_enc = _write_prefix_code(
+            bw, {100: 1, 256 + len_prefix_sym: 1}, 256 + 24
+        )
+        r_enc = _write_prefix_code(bw, {10: 1}, 256)
+        b_enc = _write_prefix_code(bw, {20: 1}, 256)
+        a_enc = _write_prefix_code(bw, {255: 1}, 256)
+        d_enc = _write_prefix_code(bw, {dist_prefix_sym: 1}, 40)
+        c, l = g_enc[100]
         bw.write(c, l)
-    c, l = g_enc[256 + 1]  # copy, length prefix 1 -> length 2
-    bw.write(c, l)
-    c, l = d_enc[0]  # distance value 1 -> plane code
-    bw.write(c, l)
-    payload = b"\x2f" + bw.bytes()
-    data = (
-        b"RIFF"
-        + struct.pack("<I", 12 + 8 + len(payload))
-        + b"WEBPVP8L"
-        + struct.pack("<I", len(payload))
-        + payload
-    )
-    with pytest.raises(ValueError, match="plane"):
-        decode_webp(data)
+        for enc, sym in [(r_enc, 10), (b_enc, 20), (a_enc, 255)]:
+            c, l = enc[sym]
+            bw.write(c, l)
+        c, l = g_enc[256 + len_prefix_sym]  # copy, prefix s -> length s+1
+        bw.write(c, l)
+        c, l = d_enc[dist_prefix_sym]  # distance prefix s -> value s+1
+        bw.write(c, l)
+        payload = b"\x2f" + bw.bytes()
+        return (
+            b"RIFF"
+            + struct.pack("<I", 12 + 8 + len(payload))
+            + b"WEBPVP8L"
+            + struct.pack("<I", len(payload))
+            + payload
+        )
+
+    # distance value 2 -> plane code 2 -> (1,0) -> dist 1: repeats the
+    # literal across the row
+    w, h, ch, px = decode_webp(stream(dist_prefix_sym=1, len_prefix_sym=2))
+    assert (w, h, ch) == (4, 1, 3)
+    assert px.tolist() == [[[10, 100, 20]] * 4]
+    # distance value 1 -> plane code 1 -> (0,1) -> dist 4 at width 4:
+    # out of range after one pixel — loud, not wrapped
+    with pytest.raises(ValueError, match="out of range"):
+        decode_webp(stream(dist_prefix_sym=0, len_prefix_sym=2))
+
+
+def test_plane_code_shape_roundtrips_and_differs():
+    """Encoder emission under ``plane_codes=True``: the same raster
+    round-trips bit-exactly through the plane-coded LZ77 shape, the
+    bytes DIFFER from the direct-distance shape (so the cross-path
+    oracle really exercises the new symbols — the encoder's distances
+    1 and width both live inside the 120-code neighborhood), and the
+    shape composes with the cache and subtract-green like its
+    siblings. Narrow widths (< 8) cover the clamp/alias region of the
+    neighborhood map."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    for w, h in [(4, 3), (7, 5), (16, 9), (33, 2)]:
+        # runs along rows and columns so LZ77 finds dist-1 and dist-w
+        # copies; a few random pixels keep the literals alive
+        base = np.repeat(
+            rng.integers(0, 255, (h, 1, 3), dtype=np.uint8), w, axis=1
+        )
+        noise = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        mask = rng.random((h, w, 1)) < 0.2
+        img = np.where(mask, noise, base).astype(np.uint8)
+        # guarantee at least one dist-1 run (solid first row) and one
+        # dist-width run (second row repeats it), so a copy token —
+        # and with it a distance symbol — always exists to differ on
+        img[0, :] = img[0, 0]
+        img[1, :] = img[0, :]
+        raw = img.tobytes()
+        plane = encode_webp(w, h, raw, 3, plane_codes=True)
+        direct = encode_webp(w, h, raw, 3, plane_codes=False)
+        assert plane != direct, (w, h)
+        for blob in (plane, direct):
+            gw, gh, gc, got = decode_webp(blob)
+            assert (gw, gh, gc) == (w, h, 3)
+            assert got.tobytes() == raw, (w, h)
+        stacked = encode_webp(
+            w, h, raw, 3, plane_codes=True, cache_bits=4, subtract_green=True
+        )
+        gw, gh, gc, got = decode_webp(stacked)
+        assert got.tobytes() == raw, (w, h, "stacked")
 
 
 def test_encoder_input_validation():

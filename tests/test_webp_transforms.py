@@ -325,18 +325,17 @@ def test_webp_transforms_rev_tag_tracks_module_content():
       guards on inputs the codec cannot produce): update only the
       CONTENT_SHA pin and say why in the commit.
 
-    Round-12 pin covers: the mode>13 guard in _predict_region
-    (unreachable from webp.py — choosers emit 0..13, the decode side
-    uses scalar predict which already raised) and the staged LZ77
-    plane-code helpers incl. the memoized per-width encode map (not yet
-    called by webp.py) — no rev bump."""
+    Round-14 pin covers: the LZ77 plane-code helpers are now CALLED by
+    webp.py (decoder lookup + encoder emission wired), so the rev tag
+    moved 2 -> 3; webp_transforms.py itself is byte-identical to the
+    round-12 staging, so CONTENT_SHA is unchanged."""
     import hashlib
     import os
 
     mod_path = wt.__file__
     got = hashlib.sha256(open(mod_path, "rb").read()).hexdigest()
     CONTENT_SHA = "841534771ca957e8e0932b4e9a508481f47d9fef579b55ee0027fe9a22aa3c17"
-    REV = 2
+    REV = 3
     webp_path = os.path.join(os.path.dirname(mod_path), "webp.py")
     webp_doc = open(webp_path, encoding="utf-8").read()
     assert f"webp_transforms rev: {REV}" in webp_doc, (
