@@ -760,6 +760,7 @@ def main() -> None:
     line, n_kept = compact_line(
         times, total, sf, cal=calibration["median"],
         cal_py=calibration["pyworker"]["median"],
+        py_tags=PYWORKER_QUERIES,
     )
     print(
         f"bench: stdout line {len(line)}B carries flagship + {n_kept - 1} "
@@ -781,6 +782,7 @@ def compact_line(
     budget: int = LINE_BUDGET,
     cal: float | None = None,
     cal_py: float | None = None,
+    py_tags: frozenset | None = None,
 ) -> tuple[str, int]:
     """The ONE stdout JSON line, guaranteed to fit the driver's capture.
 
@@ -791,7 +793,16 @@ def compact_line(
     the slowest queries — dropping the cheapest included query until it
     fits ``budget`` — with the full per-query map in BENCH_FULL.json
     (referenced by the ``queries_full`` field). Returns (line,
-    n_queries_included)."""
+    n_queries_included).
+
+    When ``py_tags`` is given, the line also carries ``pyworker_queries``
+    — the tag list intersected with the queries the line kept — so a
+    driver-captured artifact is self-describing for calibration-class
+    normalization (round-13 verdict #4: tools/bench_compare.py otherwise
+    backfills tags from the CURRENT checkout's bench.py, which misclassifies
+    historical artifacts if the tag set ever changes). Intersecting with
+    the kept queries keeps the field inside the budget loop: a dropped
+    query needs no tag because it cannot be compared."""
     slowest = sorted(times, key=times.get, reverse=True)
     keep = ([FLAGSHIP] if FLAGSHIP in times else []) + [
         q for q in slowest if q != FLAGSHIP
@@ -812,6 +823,8 @@ def compact_line(
             compact["calibration"] = cal
         if cal_py is not None:
             compact["calibration_pyworker"] = cal_py
+        if py_tags is not None:
+            compact["pyworker_queries"] = sorted(py_tags & set(keep))
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget or len(keep) <= 1:
             return line, len(keep)

@@ -506,3 +506,40 @@ def test_tag_backfill_from_live_bench_is_announced(tmp_path, capsys):
     assert "backfilled" in err and "old.json" in err and "bench.py" in err
     bc.load(tagged)
     assert "backfilled" not in capsys.readouterr().err
+
+
+def test_compact_line_carries_pyworker_tags_for_kept_queries():
+    """Round-13 verdict #4: the driver-captured stdout line must be
+    self-describing for calibration-class normalization — it carries
+    the pyworker tag list intersected with the queries it kept, so
+    tools/bench_compare.py never backfills tags from a checkout whose
+    tag set may postdate the artifact."""
+    times = {"npm_dependency_counts": 0.3, "jvm_q": 1.0, "py_q": 2.0}
+    line, _ = bench.compact_line(
+        times, 3.3, 0.1, py_tags=frozenset({"py_q", "dropped_q"}))
+    d = json.loads(line)
+    assert d["pyworker_queries"] == ["py_q"]  # kept ∩ tags only
+    # the field shrinks with the kept set: a 103-query suite drops
+    # cheap queries to fit the budget, and their tags go with them
+    many = _many_queries(103)
+    tags = frozenset(many) - {"npm_dependency_counts"}
+    line, kept = bench.compact_line(many, 82.5, 0.1, py_tags=tags)
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    assert set(d["pyworker_queries"]) == set(d["queries"]) - {
+        "npm_dependency_counts"}
+    # no py_tags argument -> field absent (pre-r14 line shape preserved)
+    line, _ = bench.compact_line(times, 3.3, 0.1)
+    assert "pyworker_queries" not in json.loads(line)
+
+
+def test_present_but_empty_tag_list_is_authoritative(tmp_path, capsys):
+    """A compact line whose kept queries include no pyworker query emits
+    pyworker_queries: [] — that is a statement, not missing data, and
+    must NOT trigger the current-checkout backfill (which would wrongly
+    reclassify queries the artifact's own bench run said were JVM)."""
+    empty_tagged = _write(tmp_path, "empty.json", {
+        "queries": {"jvm_q": 1.0}, "pyworker_queries": []})
+    *_, tags = bc.load(empty_tagged)
+    assert tags == frozenset()
+    assert "backfilled" not in capsys.readouterr().err

@@ -101,14 +101,19 @@ def load(
         py = cal.get("pyworker") or {}
         py_cal = py.get("median")
         cal = cal.get("median")
-    tags = frozenset(d.get("pyworker_queries") or [])
-    if not tags:
-        # compact driver artifacts carry the pyworker cal scalar but not
-        # the tag list (stdout line budget); the tags live in bench.py.
-        # Say so out loud (round-12 ADVICE): the live checkout's tag set
-        # may not describe what an OLD artifact measured — a query added
-        # to PYWORKER_QUERIES since then would silently switch
-        # normalization classes for that artifact's side
+    raw_tags = d.get("pyworker_queries")
+    tags = frozenset(raw_tags or [])
+    if raw_tags is None:
+        # r14+ compact lines carry their own (kept-query-intersected)
+        # tag list, which the branch above prefers — including a
+        # present-but-empty list, which is authoritative ("none of the
+        # kept queries are pyworker"), not missing data. Only genuinely
+        # tagless artifacts (pre-r14 compact lines) reach here; backfill
+        # from the CURRENT checkout's bench.py and say so out loud
+        # (round-12 ADVICE): the live tag set may not describe what an
+        # OLD artifact measured — a query added to PYWORKER_QUERIES
+        # since then would silently switch normalization classes for
+        # that artifact's side
         try:
             import os as _os
             import sys as _sys
