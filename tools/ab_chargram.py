@@ -56,18 +56,29 @@ def _artifact_median(ref_path: str) -> float | None:
     """Median from an artifact PINNED at a commit (``<ref>:<file>``) —
     never the working-tree file, which later rounds overwrite in place
     (review finding: a re-run at a newer HEAD would otherwise record a
-    newer round's median under the r12 label)."""
-    try:
-        raw = subprocess.run(
-            ["git", "show", ref_path], cwd=REPO,
-            capture_output=True, text=True, check=True,
-        ).stdout
-        d = json.loads(raw)
-        if "parsed" in d and isinstance(d.get("parsed"), dict):
-            d = d["parsed"]
-        return d.get("queries", {}).get("chargram_jaccard_pairs")
-    except Exception:
-        return None
+    newer round's median under the r12 label).
+
+    The pinned refs are FIXED INPUTS, not optional context (round-13
+    ADVICE): a typo'd ref or an unparseable artifact raises instead of
+    silently recording a null context median under a complete-looking
+    verdict JSON. Only a genuinely absent query key returns None — and
+    says so on stderr."""
+    raw = subprocess.run(
+        ["git", "show", ref_path], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    d = json.loads(raw)
+    if "parsed" in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    med = d.get("queries", {}).get("chargram_jaccard_pairs")
+    if med is None:
+        print(
+            f"note: {ref_path} parsed but carries no "
+            "chargram_jaccard_pairs median (query absent from that "
+            "artifact's compact line); context median recorded as null",
+            file=sys.stderr,
+        )
+    return med
 
 
 def main() -> None:
