@@ -460,8 +460,27 @@ def table_has_data(spark: SparkSession, path: str) -> bool:
     # Data files usually appear within the first few entries.
     it = fs.listStatusIterator(hpath)
     while it.hasNext():
-        if not it.next().getPath().getName().startswith((".", "_")):
+        st = it.next()
+        if st.getPath().getName().startswith((".", "_")):
+            continue
+        if st.isFile():
             return True
+        # A non-hidden DIRECTORY (a `bucket=N/` partition dir) is only
+        # data if something non-hidden lives INSIDE it — a crash can
+        # leave the partition dir itself empty, which crashes schema
+        # inference exactly like a file-less root (round-13 ADVICE: the
+        # old check stopped one level short). One level is the repo's
+        # whole layout space (every gate partitions by a single bucket
+        # column); anything non-hidden inside — file OR deeper dir —
+        # counts as data, because answering "empty" when rows exist
+        # deeper would silently SKIP the dedup/decon probe and admit
+        # duplicates, while answering "data" on a truly file-less tree
+        # only fails loudly at inference. Empty partition dirs are
+        # skipped, so their siblings still get scanned.
+        sub = fs.listStatusIterator(st.getPath())
+        while sub.hasNext():
+            if not sub.next().getPath().getName().startswith((".", "_")):
+                return True
     return False
 
 
@@ -615,9 +634,33 @@ def _verify_jaccard_asym(
 # at cluster scale this would be sized to executors x a few
 DEDUP_BAND_BUCKETS = 8
 
+# auto wide-writes switch point (round 14, executing the round-13
+# verdict: the manual flag was the right default at micro-batch sizes
+# but a deployment whose batches grow crossed the churn/parallelism
+# tradeoff silently). Gates whose callers leave ``wide_writes=None``
+# pick the write shape PER BATCH from the batch's row count: below the
+# threshold, ``coalesce(1)`` (one file per touched bucket per batch —
+# directory churn and per-file overhead dominate at micro-batch
+# granularity); at or above it, ``repartition(bucket)`` so buckets
+# write in parallel (a single writer task serializes a cluster-scale
+# append). 100k rows of ~KiB-scale docs is ~100 MiB — roughly a second
+# of single-task parquet encoding, the point where serialized write
+# time starts to outweigh the per-file overhead the narrow shape
+# exists to avoid. Explicit True/False still forces either shape.
+WIDE_WRITES_ROWS = 100_000
+
+
+def _resolve_wide(wide_writes: bool | None, n_rows: int) -> bool:
+    """The gate append's write-shape decision: the caller's explicit
+    choice when given, else the per-batch row-count auto switch
+    (``WIDE_WRITES_ROWS``, module-level so tests can lower it)."""
+    if wide_writes is not None:
+        return wide_writes
+    return n_rows >= WIDE_WRITES_ROWS
+
 
 def write_dedup_gated(
-    docs: DataFrame, corpus_path: str, wide_writes: bool = False,
+    docs: DataFrame, corpus_path: str, wide_writes: bool | None = None,
 ):
     """Dedup-gated streaming ingestion — the composition a live training-
     data pipeline runs: each micro-batch of documents is near-dup-checked
@@ -662,7 +705,12 @@ def write_dedup_gated(
     Round 13 (mirroring the sibling gates): the sidecar append is
     switchable via ``wide_writes`` (one writer task at micro-batch
     granularity vs ``repartition("band_bucket")`` at cluster-scale
-    batch sizes), and the corpus/sidecar probes gate on
+    batch sizes) — since round 14 the default ``None`` AUTO-SWITCHES
+    per batch on the admitted row count (``WIDE_WRITES_ROWS``), so a
+    deployment whose batches grow past micro-batch scale stops
+    funneling appends through one task without anyone flipping a flag;
+    explicit True/False still forces either shape. The corpus/sidecar
+    probes gate on
     ``table_has_data`` so a file-less directory left by a crash or an
     all-empty batch probes as an empty corpus instead of crashing
     schema inference — while a populated-but-drifted corpus still
@@ -728,6 +776,21 @@ def write_dedup_gated(
                 # crash mid-backfill leave bands_path absent, so the
                 # next attempt redoes the backfill instead of trusting a
                 # partial sidecar.
+                # Say it out loud (round-13 ADVICE, mirroring the decon
+                # gate's stderr WARNING): this branch also fires when a
+                # crash after an all-empty append left the sidecar
+                # FILE-LESS — correct either way, but a full-corpus
+                # re-band inside a micro-batch whose cost scales with
+                # |corpus| must be attributable, not a silent stall.
+                print(
+                    f"WARNING [dedup-gate] bands sidecar {bands_path} is "
+                    f"absent or file-less while the corpus {corpus_path} "
+                    "has data — running the ONE-TIME full-corpus band "
+                    "backfill (cost scales with corpus size; expected "
+                    "once after a layout upgrade or a crash that left "
+                    "the sidecar empty)",
+                    file=sys.stderr,
+                )
                 tmp = bands_path + "__backfill_tmp"
                 (
                     _band_frame(
@@ -802,15 +865,17 @@ def write_dedup_gated(
         )
         # sidecar first (see docstring: orphan band rows are safe, a
         # corpus doc missing from the sidecar would silently skip probes).
-        # one writer task by default — one file per touched bucket per
-        # batch instead of one per (task x bucket); band rows are a few
-        # ints/strings per accepted doc and directory churn dominates at
-        # micro-batch granularity. wide_writes repartitions on the
-        # bucket for cluster-scale batches (round 13, mirroring the
-        # sibling gates).
+        # one writer task at micro-batch sizes — one file per touched
+        # bucket per batch instead of one per (task x bucket); band rows
+        # are a few ints/strings per accepted doc and directory churn
+        # dominates there. At cluster-scale batch sizes the append
+        # repartitions on the bucket instead (round 14: auto-decided per
+        # batch from the admitted count — a cached-scan job on the
+        # localCheckpoint above — unless the caller forced a shape).
+        wide = _resolve_wide(wide_writes, keep.count())
         kept_bands = nb.join(keep.select("doc_id"), "doc_id")
         shaped = (
-            kept_bands.repartition("band_bucket") if wide_writes
+            kept_bands.repartition("band_bucket") if wide
             else kept_bands.coalesce(1)
         )
         shaped.write.mode("append").partitionBy("band_bucket").parquet(
@@ -2335,7 +2400,7 @@ def write_exact_dedup_gated(
     bloom_prefilter: bool = False, bloom_bits: int | None = None,
     bloom_expected_keys: int | None = None,
     bloom_min_ratio: float | None = None,
-    wide_writes: bool = False,
+    wide_writes: bool | None = None,
 ):
     """EXACT-duplicate streaming ingestion gate — the cheap front door a
     training pipeline runs BEFORE the near-dup LSH gate
@@ -2431,11 +2496,18 @@ def write_exact_dedup_gated(
     False for short-lived batch-sized jobs.
 
     Write path (round 13, mirroring the decontamination gate):
-    ``wide_writes=False`` (default) coalesces each append to ONE writer
-    task — one file per touched bucket per batch, right at micro-batch
-    granularity where directory churn dominates; pass
-    ``wide_writes=True`` at cluster-scale batch sizes to
-    ``repartition("dig_bucket")`` so buckets write in parallel. Corpus
+    ``wide_writes=False`` coalesces each append to ONE writer task —
+    one file per touched bucket per batch, right at micro-batch
+    granularity where directory churn dominates; ``wide_writes=True``
+    at cluster-scale batch sizes runs ``repartition("dig_bucket")`` so
+    buckets write in parallel. The round-14 default ``None``
+    AUTO-SWITCHES per batch on the within-batch-deduped row count
+    (``WIDE_WRITES_ROWS``) — that count is known before the corpus
+    probe (the admitted subset is never larger, and "is this a
+    cluster-scale batch" is a property of the batch, not of how many
+    of its docs turn out to be duplicates), and when the Bloom
+    prefilter is on it is needed anyway, so auto mode adds no job
+    there and one cached-scan job otherwise. Corpus
     probes gate on ``table_has_data`` (round-13 volume-study finding on
     the decon twin): a crash or an all-empty first batch can leave the
     corpus directory present but FILE-LESS, where schema inference
@@ -2521,6 +2593,14 @@ def write_exact_dedup_gated(
             b.groupBy("digest").agg(F.min("doc_id").alias("doc_id")),
             ["digest", "doc_id"],
         ).localCheckpoint()  # decide ONCE; feeds the probe and the append
+        # within-batch-deduped size: drives the auto write-shape switch
+        # (see docstring) and, when the prefilter is on, its adaptive
+        # skip — a cheap cached-scan job on the localCheckpoint above,
+        # skipped entirely when neither consumer needs it
+        batch_rows = (
+            keep.count() if (wide_writes is None or bloom_prefilter) else 0
+        )
+        wide = _resolve_wide(wide_writes, batch_rows)
         corpus_exists = table_has_data(spark, corpus_path)
         prefilter_active = False
         if bloom_prefilter:
@@ -2560,9 +2640,8 @@ def write_exact_dedup_gated(
             # evaluation only pays once the corpus dwarfs the batch;
             # until the filter's own key estimate crosses the ratio the
             # batch takes the plain probe and only the invariant-
-            # mandatory fold below runs. keep is localCheckpointed, so
-            # this count is a cheap cached-scan job.
-            batch_rows = keep.count()
+            # mandatory fold below runs. batch_rows was counted above
+            # (shared with the write-shape switch).
             prefilter_active = (
                 corpus_exists
                 and bloom_state["n_est"]
@@ -2639,11 +2718,11 @@ def write_exact_dedup_gated(
                 "bits binary, last_batch long",
                 bloom_sidecar,
             )
-        # one writer task by default (directory churn dominates at
-        # micro-batch granularity); one writer per bucket when
-        # wide_writes (cluster-scale batches)
+        # one writer task at micro-batch sizes (directory churn
+        # dominates); one writer per bucket at cluster-scale batches —
+        # auto-decided above unless the caller forced a shape
         shaped = (
-            keep.repartition("dig_bucket") if wide_writes
+            keep.repartition("dig_bucket") if wide
             else keep.coalesce(1)
         )
         shaped.write.mode("append").partitionBy("dig_bucket").parquet(
@@ -2680,7 +2759,7 @@ def write_benchmark_grams(
 
 def write_decontaminated(
     docs: DataFrame, benchmark_grams: str, out_path: str, n: int = 5,
-    bloom_bits: int | None = None, wide_writes: bool = False,
+    bloom_bits: int | None = None, wide_writes: bool | None = None,
 ):
     """STREAMING DECONTAMINATION gate — the third ingestion front door
     beside the exact-digest and MinHash-LSH dedup gates: a doc sharing
@@ -2723,10 +2802,16 @@ def write_decontaminated(
     with ZERO maybe-hits never opens the benchmark parquet, and only
     suspect docs' grams take the exact broadcast confirm join. (The
     identity validation makes the FIRST batch of every gate INSTANCE
-    read the benchmark once — a deliberate trade: restarts now require
-    the live benchmark to be readable, because a sidecar that cannot be
-    checked against the probe set it claims to represent is exactly the
-    stale-filter hazard the validation closes.) A Bloom false positive costs one
+    read the benchmark once; round 14, per the round-13 ADVICE, an
+    UNREADABLE benchmark at hydration no longer kills a restart when an
+    identity-carrying sidecar exists — the gate warns, trusts the
+    sidecar, and keeps admitting provably-clean batches, while any
+    suspect batch still fails loudly at the exact confirm join until
+    the benchmark is readable again. Restart durability and the
+    stale-filter hazard both land on the safe side: a filter can only
+    go stale via a REGENERATED benchmark, and regeneration makes the
+    benchmark readable, so the next hydration validates against it.) A
+    Bloom false positive costs one
     small join, a false NEGATIVE cannot happen (no-false-negative
     kernel invariant), so contamination can never slip through the
     prescreen. Dropping clean docs is impossible too: the confirm join
@@ -2739,14 +2824,18 @@ def write_decontaminated(
     self-indexing idiom of the exact gate) — idempotent by
     construction, no sidecar ordering to crash between.
 
-    Write path: ``wide_writes=False`` (default) coalesces each sink
-    append to ONE writer task — one file per touched bucket per batch,
-    right at micro-batch granularity where directory churn dominates;
-    at cluster scale, where a micro-batch is itself large, pass
-    ``wide_writes=True`` to ``repartition("doc_bucket")`` instead so
-    the append runs one writer PER BUCKET in parallel rather than
+    Write path: ``wide_writes=False`` coalesces each sink append to
+    ONE writer task — one file per touched bucket per batch, right at
+    micro-batch granularity where directory churn dominates; at
+    cluster scale, where a micro-batch is itself large,
+    ``wide_writes=True`` runs ``repartition("doc_bucket")`` instead so
+    the append writes one task PER BUCKET in parallel rather than
     funneling the whole admitted batch through a single task (the
-    sibling exact gate documents the same trade at its append site)."""
+    sibling exact gate documents the same trade at its append site).
+    The round-14 default ``None`` auto-switches PER APPEND on the
+    frame's row count (``WIDE_WRITES_ROWS``) — the count each append
+    already takes to guard the empty-frame case now does double duty,
+    so auto mode adds no extra job."""
     from ..functions.text import word_shingles
 
     quarantine = out_path.rstrip("/") + "_quarantine"
@@ -2759,16 +2848,19 @@ def write_decontaminated(
         )
 
     def _append_new(
-        spark, rows: DataFrame, path: str, known_nonempty: bool = False
+        spark, rows: DataFrame, path: str, known_count: int | None = None
     ) -> None:
         """Replay-idempotent append: drop rows already present in the
         touched buckets (partition-pruned single-column probe), then
-        append — one writer task total by default, one per bucket when
-        ``wide_writes`` (see the write-path note in the docstring).
-        ``known_nonempty`` skips the empty-guard job when the caller
-        just proved the frame non-empty (the quarantine path's count)."""
+        append — write shape per ``_resolve_wide`` (see the write-path
+        note in the docstring). One count serves BOTH the empty-frame
+        guard and the auto wide-writes switch (round 14, retiring the
+        per-append ``take(1)`` the round-13 review flagged); a caller
+        that already counted the frame passes ``known_count`` so the
+        quarantine path adds no job at all."""
         rows = rows.localCheckpoint()  # decide once: probe AND append
-        if not known_nonempty and not rows.take(1):
+        n = rows.count() if known_count is None else known_count
+        if n == 0:
             # nothing to append: writing an empty frame to a NOT-YET-
             # EXISTING sink would create the file-less directory that
             # breaks downstream schema inference — the round-13 review
@@ -2787,7 +2879,7 @@ def write_decontaminated(
             )
             rows = rows.join(seen, "doc_id", "left_anti")
         shaped = (
-            rows.repartition("doc_bucket") if wide_writes
+            rows.repartition("doc_bucket") if _resolve_wide(wide_writes, n)
             else rows.coalesce(1)
         )
         shaped.write.mode("append").partitionBy("doc_bucket").parquet(path)
@@ -2798,22 +2890,52 @@ def write_decontaminated(
         spark = batch.sparkSession
         if state["bits"] is None:  # first batch: hydrate or build
             _swap_recover(spark, bloom_sidecar)
-            keys = (
-                spark.read.parquet(benchmark_grams)
-                .select(F.xxhash64("gram").alias("k"))
-            )
             # the probe set's identity — one aggregate over the (small)
-            # benchmark parquet, first batch only
-            ident = keys.agg(
-                F.count("*").alias("n_grams"),
-                F.expr("bit_xor(k)").alias("grams_xor"),
-            ).collect()[0]
-            n_grams = int(ident.n_grams)
-            grams_xor = int(ident.grams_xor or 0)
+            # benchmark parquet, first batch only. An unreadable
+            # benchmark is held, not raised (round-13 ADVICE: the
+            # identity validation cost restarts their independence from
+            # the benchmark file): when a sidecar WITH identity fields
+            # exists, hydration trusts it and warns — the filter it
+            # carries has no false negatives against the benchmark it
+            # recorded, and the exact confirm join (which needs the real
+            # gram set) only runs on suspect batches, failing THAT batch
+            # loudly if the benchmark is still unreadable then. Every
+            # path that must read the benchmark anyway (no sidecar to
+            # trust, a pre-identity sidecar, a rebuild) re-raises.
+            n_grams = grams_xor = None
+            bench_err: Exception | None = None
+            try:
+                keys = (
+                    spark.read.parquet(benchmark_grams)
+                    .select(F.xxhash64("gram").alias("k"))
+                )
+                ident = keys.agg(
+                    F.count("*").alias("n_grams"),
+                    F.expr("bit_xor(k)").alias("grams_xor"),
+                ).collect()[0]
+                n_grams = int(ident.n_grams)
+                grams_xor = int(ident.grams_xor or 0)
+            except Exception as ex:  # noqa: BLE001 — held; re-raised on
+                bench_err = ex       # every path that needs the read
             if table_exists(spark, bloom_sidecar):
                 row = spark.read.parquet(bloom_sidecar).collect()[0]
-                current = (
-                    "n_grams" in row.__fields__  # pre-identity sidecars rebuild
+                has_identity = "n_grams" in row.__fields__
+                if bench_err is not None and not has_identity:
+                    raise bench_err  # pre-identity sidecar: must rebuild
+                if bench_err is not None:
+                    print(
+                        f"WARNING [decon-gate] benchmark set at "
+                        f"{benchmark_grams} is unreadable ({bench_err}); "
+                        f"trusting the identity-carrying sidecar "
+                        f"{bloom_sidecar} so the restart can proceed — "
+                        "if the benchmark was REGENERATED before it "
+                        "became unreadable, this filter is stale; "
+                        "suspect batches will fail loudly at the exact "
+                        "confirm join until the benchmark is readable",
+                        file=sys.stderr,
+                    )
+                current = bench_err is not None or (
+                    has_identity  # pre-identity sidecars rebuild
                     and int(row.n_grams) == n_grams
                     and int(row.grams_xor) == grams_xor
                     and int(row.shingle_n) == n
@@ -2842,6 +2964,8 @@ def write_decontaminated(
                         file=sys.stderr,
                     )
             if state["bits"] is None:
+                if bench_err is not None:
+                    raise bench_err  # build/rebuild requires the keys
                 if state["nbits"] is None:
                     target = max(BLOOM_BITS, 10 * n_grams)
                     state["nbits"] = 1 << (target - 1).bit_length()
@@ -2919,7 +3043,8 @@ def write_decontaminated(
                 .agg(F.countDistinct("gram").alias("n_gram_hits"))
                 .localCheckpoint()  # feeds quarantine AND the anti-join
             )
-            if contaminated.count() == 0:
+            n_cont = contaminated.count()
+            if n_cont == 0:
                 # every suspect was a bloom false positive (round-13
                 # volume study: an all-FP batch used to append an EMPTY
                 # frame here, leaving a file-less quarantine directory
@@ -2933,7 +3058,7 @@ def write_decontaminated(
                     contaminated.withColumn("batch_id", F.lit(int(batch_id)))
                 ),
                 quarantine,
-                known_nonempty=True,  # contaminated.count() > 0 above
+                known_count=n_cont,  # counted above; > 0 here
             )
             admitted = b.join(
                 contaminated.select("doc_id"), "doc_id", "left_anti"

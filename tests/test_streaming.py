@@ -913,7 +913,7 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
         assert "google.protobuf" in str(ex)
         pytest.skip(
             "protobuf not in this container; operator guarded "
-            "(re-probed round 13, 2026-08-16: `import google.protobuf` "
+            "(re-probed round 14, 2026-08-16: `import google.protobuf` "
             "still raises ModuleNotFoundError)"
         )
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -3873,6 +3873,89 @@ def test_decontamination_gate_stale_sidecar_rebuilds(
     )
 
 
+def test_decontamination_gate_restart_survives_unreadable_benchmark(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Round-13 ADVICE (low): the identity validation had made the
+    FIRST batch of every gate instance read the live benchmark, so a
+    restart hard-failed if the benchmark was deleted/corrupted even
+    with a valid sidecar on disk. Round 14 restores restart
+    independence on the safe side: a NEW instance hydrating against an
+    unreadable benchmark warns and trusts an identity-carrying sidecar
+    (clean batches keep flowing); a first-ever start with no sidecar
+    still fails loudly — there is nothing trustworthy to hydrate."""
+    import pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "ub_bench")
+    out = str(tmp_path / "ub_out")
+    N = 5
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 10), bench_path, n=N
+    )
+
+    def clean_src(path, base):
+        spark.createDataFrame(
+            [(base + i, f"jj{i} kk{i} ll{i} mm{i} nn{i} oo{i}")
+             for i in range(20)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(path)
+        return path
+
+    def run(src, ck):
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema).parquet(src),
+                bench_path, out, n=N,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # instance 1: builds the identity-carrying sidecar
+    run(clean_src(str(tmp_path / "ub_src1"), 700), "ub_ck1")
+    assert sp.table_exists(spark, out + "_benchbloom")
+    # benchmark corrupted in place (unreadable, not regenerated)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(bench_path, "part-*")):
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+    capsys.readouterr()
+    # instance 2 (the restart): hydrates from the sidecar, warns, and
+    # admits the clean batch
+    run(clean_src(str(tmp_path / "ub_src2"), 800), "ub_ck2")
+    err = capsys.readouterr().err
+    assert "unreadable" in err and "trusting" in err, err
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert set(range(800, 820)) <= admitted, (
+        "restart with a valid sidecar failed to admit a clean batch "
+        "against an unreadable benchmark"
+    )
+    # first-ever start (no sidecar) against the unreadable benchmark:
+    # nothing trustworthy to hydrate -> the batch fails loudly
+    src3 = clean_src(str(tmp_path / "ub_src3"), 900)
+    q = (
+        sp.write_decontaminated(
+            spark.readStream.schema(d.schema).parquet(src3),
+            bench_path, str(tmp_path / "ub_fresh_out"), n=N,
+        )
+        .option("checkpointLocation", str(tmp_path / "ub_ck3"))
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def test_decontamination_gate_explicit_bits_mismatch_raises(
     spark, sf_dir, tmp_path
 ):
@@ -4174,6 +4257,107 @@ def test_sibling_gates_wide_writes_parity(spark, sf_dir, tmp_path):
         assert all(nf == 1 for nf in b[key].values()), (key, b[key])
 
 
+def test_resolve_wide_threshold_edges():
+    """Inclusive at the threshold; explicit flags override any count."""
+    assert sp._resolve_wide(None, sp.WIDE_WRITES_ROWS) is True
+    assert sp._resolve_wide(None, sp.WIDE_WRITES_ROWS - 1) is False
+    assert sp._resolve_wide(None, 0) is False
+    assert sp._resolve_wide(True, 0) is True
+    assert sp._resolve_wide(False, 10**9) is False
+
+
+def test_wide_writes_auto_switch_on_batch_row_count(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-13 verdict #5: ``wide_writes=None`` (the new default) must
+    pick the write shape PER BATCH from the batch's row count instead
+    of leaving a deployment whose micro-batches grow funneling every
+    append through one writer task. The two shapes produce the SAME
+    one-file-per-touched-bucket layout (coalesce(1): one task holding
+    all buckets; repartition(bucket): one task per bucket), so the
+    decision itself is observed through ``_resolve_wide`` — spied, not
+    stubbed: the real decision runs, against a lowered threshold, on
+    all THREE gates, below and above it."""
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    real = sp._resolve_wide
+    calls: list[tuple[bool | None, int, bool]] = []
+
+    def spy(ww, n):
+        out = real(ww, n)
+        calls.append((ww, n, out))
+        return out
+
+    monkeypatch.setattr(sp, "_resolve_wide", spy)
+    monkeypatch.setattr(sp, "WIDE_WRITES_ROWS", 25)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    small = d.filter(F.col("doc_id") % 50 == 3)   # ~10 docs at sf0.001
+    big = d.filter(F.col("doc_id") % 4 == 1)      # ~125 docs
+    n_small, n_big = small.count(), big.count()
+    assert n_small < 25 <= n_big, (n_small, n_big)
+
+    def run(gate, src_df, out, **kw):
+        src = out + "_src"
+        src_df.coalesce(1).write.parquet(src)
+        q = (
+            gate(
+                spark.readStream.schema(d.schema).parquet(src), out, **kw
+            )
+            .option("checkpointLocation", out + "_ck")
+            .start()
+        )
+        _drain(q)
+
+    # benchmark grams from synthetic gibberish no documents row contains,
+    # so ZERO docs quarantine and the decon gate makes exactly one
+    # (admitted-sink) append per batch — the decision trace stays
+    # deterministic
+    bench_path = str(tmp_path / "aw_bench")
+    sp.write_benchmark_grams(
+        spark,
+        spark.createDataFrame(
+            [(9_900_000, "zq xv qk jxw vvq plw mzz qqj wjx zzv kqx")],
+            "doc_id long, text string",
+        ),
+        bench_path,
+        n=5,
+    )
+    gates = [
+        (sp.write_exact_dedup_gated, {}),
+        (sp.write_dedup_gated, {}),
+        (
+            lambda s, out, **kw: sp.write_decontaminated(
+                s, bench_path, out, n=5, **kw
+            ),
+            {},
+        ),
+    ]
+    for i, (gate, kw) in enumerate(gates):
+        for label, src_df, expect_wide in (
+            ("small", small, False), ("big", big, True),
+        ):
+            calls.clear()
+            out = str(tmp_path / f"aw_{i}_{label}")
+            run(gate, src_df, out, **kw)
+            # every auto decision this stream made agrees with the
+            # threshold side (the decon gate decides per sink append;
+            # its only append here is the full admitted batch — the
+            # gibberish benchmark guarantees zero quarantined docs)
+            assert calls, "gate never consulted the write-shape switch"
+            assert all(ww is None for ww, _, _ in calls)
+            assert all(got is expect_wide for _, _, got in calls), (
+                label, calls,
+            )
+            # content sanity: every streamed doc landed in the sink
+            assert spark.read.parquet(out).count() == src_df.count()
+            # an explicit flag still overrides the auto switch
+            calls.clear()
+            forced = str(tmp_path / f"aw_{i}_{label}_forced")
+            run(gate, src_df, forced, wide_writes=not expect_wide, **kw)
+            assert all(got is (not expect_wide) for _, _, got in calls)
+
+
 def test_exact_dedup_gate_bloom_adaptive_skip_probes_until_corpus_dwarfs_batch(
     spark, sf_dir, tmp_path
 ):
@@ -4367,10 +4551,14 @@ def test_fs_count_data_files_ignores_hidden_and_absent(spark, tmp_path):
 
 
 def test_table_has_data_semantics(spark, tmp_path):
-    """The round-13 gate guard: absent and hidden-only directories read
-    as data-less; a data file OR a partition SUBDIRECTORY (the
-    bucket-partitioned layouts, where no file sits at the root) counts
-    as data — the case fs_count_data_files is deliberately blind to."""
+    """The round-13 gate guard, hardened one level deeper in round 14
+    (round-13 ADVICE): absent and hidden-only directories read as
+    data-less; a data file counts as data; a partition SUBDIRECTORY
+    (the bucket-partitioned layouts, where no file sits at the root)
+    counts only if something non-hidden lives INSIDE it — a crash can
+    leave the partition dir itself empty, the same schema-inference
+    crash shape one level down. An empty partition dir must not mask a
+    populated sibling either."""
     import os as _os
 
     assert not sp.table_has_data(spark, str(tmp_path / "absent"))
@@ -4383,9 +4571,19 @@ def test_table_has_data_semantics(spark, tmp_path):
     flat.mkdir()
     (flat / "part-00000.parquet").write_bytes(b"x")
     assert sp.table_has_data(spark, str(flat))
+    # empty partition dir only: the mid-commit crash leftover — reads
+    # as an empty corpus, not a schema-inference crash
     parted = tmp_path / "thd_parted"
     _os.makedirs(parted / "doc_bucket=3")
     (parted / "_SUCCESS").write_bytes(b"")
+    assert not sp.table_has_data(spark, str(parted))
+    # a populated sibling makes the table data-bearing even when the
+    # crash leftover dir sorts first
+    _os.makedirs(parted / "doc_bucket=0")
+    (parted / "doc_bucket=0" / ".hidden.crc").write_bytes(b"c")
+    assert not sp.table_has_data(spark, str(parted))  # hidden-only inside
+    (parted / "doc_bucket=7").mkdir()
+    (parted / "doc_bucket=7" / "part-00000.parquet").write_bytes(b"x")
     assert sp.table_has_data(spark, str(parted))
 
 
