@@ -158,6 +158,20 @@ and per-micro-batch latency spread for the stateful/windowed operators
 over time-sliced sf event files — which the comparator diffs with the
 inverse normalization (rows/s scales inversely with session slowness).
 
+Round-14 plan change (the merged plane-wiring branch's scan widening):
+the REAL-codec decode queries (`multimodal_decode_real/_png/_jpeg/
+_webp/_audio`) now show `Exchange RoundRobinPartitioning` under the
+MapInPandas at sf0.01/sf0.1 — `_widen_for_cpu` repartitions to
+defaultParallelism ONLY when the parquet scan yields fewer splits than
+cores (the sf0.1 documents table is one 594 KB file -> ONE split, so
+the whole codec pass previously ran on 1 of 32 cores). That exchange
+is the documented INTENDED shape at test scale: the shuffled payload
+is the two projected columns, cheap next to per-row codec CPU. At
+production scale the scan has >= cores splits, the condition is false,
+and the plan reverts to the shuffle-free scan->MapInPandas shown in
+earlier rounds (payloads never leave the scanning executor). The
+FAKE-codec queries (features, frame_sample) stay unwidened by design.
+
 ## Semantics notes
 
 - `chargram_jaccard_pairs` computes jaccard over 32-bit md5-derived
