@@ -643,11 +643,22 @@ DEDUP_BAND_BUCKETS = 8
 # directory churn and per-file overhead dominate at micro-batch
 # granularity); at or above it, ``repartition(bucket)`` so buckets
 # write in parallel (a single writer task serializes a cluster-scale
-# append). 100k rows of ~KiB-scale docs is ~100 MiB — roughly a second
-# of single-task parquet encoding, the point where serialized write
-# time starts to outweigh the per-file overhead the narrow shape
-# exists to avoid. Explicit True/False still forces either shape.
-WIDE_WRITES_ROWS = 100_000
+# append). MEASURED, not reasoned (tools/bench_wide_writes.py ->
+# BENCH_wide_writes.json, interleaved 5-rep medians over the exact
+# append expression at 64 buckets / ~1 KiB docs): both shapes produce
+# the SAME one-file-per-touched-bucket layout (hash-partitioning on
+# the bucket column lands each bucket in one task), so the trade is
+# purely the wide shape's shuffle + stage boundary vs its parallel
+# encode — wide is 0.34x narrow's wall at 25k rows (0.47 vs 1.38 s)
+# and 0.32x at 100k, while at 5k both are sub-second and within
+# spread-overlap noise (0.88 vs 1.16 s, narrow max 2.57). The
+# threshold sits at the measured decisive-win point: below it the
+# append is sub-second either way and the narrow shape keeps the
+# micro-batch free of an extra shuffle stage (latency, not
+# throughput, is what matters there); at or above it the shuffled
+# bytes (~25 MB of ~KiB docs) are trivial next to 3x parallel-encode
+# wins in any regime. Explicit True/False still forces either shape.
+WIDE_WRITES_ROWS = 25_000
 
 
 def _resolve_wide(wide_writes: bool | None, n_rows: int) -> bool:
