@@ -39,6 +39,12 @@ MODES = [
     dict(use_lz77=False, cache_bits=0, cross_color=True, transform_bits=2),
     dict(use_lz77=True, cache_bits=4, subtract_green=True, predictor=True,
          cross_color=True, transform_bits=3),
+    # round 14: 2D distance plane codes (the wiring the r14 merge landed)
+    # join the shared matrix so every matrix-parameterized test and the
+    # hypothesis property cover them beside their dedicated tests
+    dict(use_lz77=True, cache_bits=0, plane_codes=True),
+    dict(use_lz77=True, cache_bits=4, subtract_green=True,
+         plane_codes=True),
 ]
 
 
