@@ -1594,7 +1594,7 @@ def mg_global_heavy_hitters(
 def _global_merge_pipeline(
     summaries: DataFrame, out_path: str, *, carry_schema: str,
     out_schema: str, output_mode: str, compact_every: int,
-    row_state, hydrate_state, carry_row, emit,
+    row_state, hydrate_state, carry_row, emit, rows_transform=None,
 ):
     """The shared skeleton of the live global-sketch pipelines
     (``write_global_quantiles`` / ``write_global_distinct`` /
@@ -1616,6 +1616,7 @@ def _global_merge_pipeline(
             hydrate_state=hydrate_state,
             carry_row=carry_row,
             emit=emit,
+            rows_transform=rows_transform,
         )
     )
 
@@ -1623,6 +1624,7 @@ def _global_merge_pipeline(
 def _global_merge_fn(
     out_path: str, *, carry_schema: str, out_schema: str,
     compact_every: int, row_state, hydrate_state, carry_row, emit,
+    rows_transform=None,
 ):
     """The foreachBatch function behind ``_global_merge_pipeline``.
     Per micro-batch: hydrate the per-shard carry from the
@@ -1638,6 +1640,12 @@ def _global_merge_fn(
     - ``hydrate_state(r)``: carry-sidecar row -> state tuple
     - ``carry_row(shard, state)``: state -> carry-sidecar row tuple
     - ``emit(batch_id, last_seen)``: merged output row tuples
+    - ``rows_transform(rows)`` (optional): reshape the collected batch
+      before the per-shard latest-state fold — for summary stages that
+      emit SEVERAL rows per shard per batch (the reservoir emits its k
+      sampled events as k rows), this groups them into one record per
+      shard carrying arrays, so the carry/merge choreography stays
+      one-row-per-shard like the scalar-summary sinks
 
     Restart semantics == a fresh call of this factory: all mutable
     state (hydration flag, carry cache, compaction counter) lives in
@@ -1662,9 +1670,12 @@ def _global_merge_fn(
             # compacts under frequent restarts — round-10 ADVICE)
             _swap_recover(spark, out_path)
             appends[0] = fs_count_data_files(spark, out_path)
-        rows = batch.collect()  # O(shards) summary rows, never events
+        rows = batch.collect()  # O(shards) summary rows (O(shards x k)
+        # for the reservoir's per-event rows), never the stream itself
         if not rows:
             return  # empty micro-batch: nothing changed, emit nothing
+        if rows_transform is not None:
+            rows = rows_transform(rows)
         for r in rows:
             if r.shard not in last_seen or r.shard_n > last_seen[r.shard][-1]:
                 last_seen[r.shard] = row_state(r)
@@ -2361,6 +2372,105 @@ def reservoir_merged(rows: list, k: int = RSV_CAPACITY) -> list[tuple]:
         )
     items = sorted(seen.items(), key=lambda kv: (kv[1][0], kv[0]), reverse=True)
     return [(e, u, v, p) for e, (p, u, v) in items[:k]]
+
+
+def write_global_reservoir(
+    samples: DataFrame, out_path: str, k: int = RSV_CAPACITY,
+    compact_every: int = 16,
+):
+    """Operationalize the reservoir merge as a LIVE pipeline — the
+    fifth member of the global-sketch sink family (quantiles /
+    distinct / freq / bloom / this): consume
+    ``streaming_reservoir_sample`` rows in foreachBatch, carry each
+    shard's latest reservoir across micro-batches (persisted to the
+    atomically-swapped ``<out>_carry`` sidecar written before each
+    series append and re-hydrated at stream start, so a quiet shard's
+    sampled events keep representing it across restarts — same
+    semantics and crash ordering as the other four), merge by top-k of
+    the union — which by the deterministic-priority identity
+    (``reservoir_merged``) IS the sample a single reservoir over the
+    whole stream would hold, zero added distributional error — and
+    append one row per sampled event per micro-batch to the parquet
+    time series. The latest batch_id group is the live global uniform
+    sample (eval carve-outs, drift inspection panels); the history is
+    how the sample evolved. n_total annotates every row.
+
+    The reservoir's summary stage emits k ROWS per shard per batch
+    (its sample), not one scalar-summary row — the skeleton's
+    ``rows_transform`` hook groups them into one array-carrying record
+    per shard, after which the carry/merge choreography (and the
+    crash-point fuzz that drives it) is identical to the scalar
+    sinks'."""
+    from collections import namedtuple
+
+    ShardRes = namedtuple(
+        "ShardRes", "shard eids pris uids vals shard_n"
+    )
+
+    def group_rows(rows: list) -> list:
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(int(r.shard), []).append(r)
+        out = []
+        for s, rs in by_shard.items():
+            # within one micro-batch a shard emits one reservoir; if a
+            # replayed frame ever carried two emissions, the larger
+            # shard_n is the later one — keep its rows only
+            n_max = max(int(r.shard_n) for r in rs)
+            rs = [r for r in rs if int(r.shard_n) == n_max]
+            out.append(ShardRes(
+                shard=s,
+                eids=[int(r.event_id) for r in rs],
+                pris=[float(r.priority) for r in rs],
+                uids=[int(r.user_id) for r in rs],
+                vals=[float(r.value) for r in rs],
+                shard_n=n_max,
+            ))
+        return out
+
+    def emit(batch_id: int, last_seen: dict) -> list[tuple]:
+        seen: dict[int, tuple] = {}
+        for eids, pris, uids, vals, _n in last_seen.values():
+            for e, p, u, v in zip(eids, pris, uids, vals):
+                # an event id lives in exactly one shard (shard =
+                # event_id % shards), so this dict never collides
+                # across shards; it exists for dict-shape symmetry
+                # with reservoir_merged, whose identity this emit
+                # reimplements over the carried arrays
+                seen[int(e)] = (float(p), int(u), float(v))
+        n_total = sum(v[-1] for v in last_seen.values())
+        items = sorted(
+            seen.items(), key=lambda kv: (kv[1][0], kv[0]), reverse=True
+        )[:k]
+        return [
+            (int(batch_id), int(e), int(u), float(v), float(p), int(n_total))
+            for e, (p, u, v) in items
+        ]
+
+    return _global_merge_pipeline(
+        samples, out_path,
+        carry_schema=(
+            "shard long, eids array<long>, pris array<double>, "
+            "uids array<long>, vals array<double>, shard_n long"
+        ),
+        out_schema=(
+            "batch_id long, event_id long, user_id long, value double, "
+            "priority double, n_total long"
+        ),
+        output_mode="update",
+        compact_every=compact_every,
+        row_state=lambda r: (r.eids, r.pris, r.uids, r.vals, r.shard_n),
+        hydrate_state=lambda r: (
+            list(r.eids), list(r.pris), list(r.uids), list(r.vals),
+            r.shard_n,
+        ),
+        carry_row=lambda s, v: (
+            int(s), list(v[0]), list(v[1]), list(v[2]), list(v[3]),
+            int(v[4]),
+        ),
+        emit=emit,
+        rows_transform=group_rows,
+    )
 
 
 # ------------------------------------------- exact dedup gate

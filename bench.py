@@ -392,6 +392,20 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         record("write_global_quantiles", q, t0)
 
+        # live global-reservoir pipeline (round 14): sample stream ->
+        # foreachBatch top-k-of-union merge -> parquet time series
+        stream = sp.read_events_stream(spark, src, max_files=STREAM_FILES_PER_TRIGGER)
+        t0 = time.perf_counter()
+        q = (
+            sp.write_global_reservoir(
+                sp.streaming_reservoir_sample(stream),
+                os.path.join(work, "gr_out"),
+            )
+            .option("checkpointLocation", os.path.join(work, "gr_ck"))
+            .start()
+        )
+        record("write_global_reservoir", q, t0)
+
         # dedup-gated ingestion streams DOCUMENTS (LSH check per batch via
         # foreachBatch, so it's started from its own writer)
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -2586,6 +2586,102 @@ def test_write_global_freq_live_pipeline_and_restart_carry(spark, sf_dir, tmp_pa
     assert t0 <= last2[top[0]] <= t0 + max(3 * g_bound, 1)
 
 
+def test_write_global_reservoir_live_pipeline_and_restart_carry(
+    spark, sf_dir, tmp_path
+):
+    """The reservoir live pipeline (the fifth global-sketch sink): per
+    micro-batch the series holds the global top-k-by-priority sample,
+    which the deterministic priority makes EXACTLY checkable — the last
+    batch's rows must equal the batch-computed top-k over every event
+    seen, element for element (the reservoir_merged identity, end to
+    end through the carry). n_total is monotone and ends at the stream
+    total; the file count obeys the compaction bound; a restart with a
+    shard-0-only tail file proves the persisted carry: the post-restart
+    sample still draws from every pre-restart shard's reservoir."""
+    import glob as _glob
+    import time as _time
+
+    import numpy as np
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_events
+
+    src = str(tmp_path / "gr_src")
+    out = str(tmp_path / "gr_out")
+    ck = str(tmp_path / "gr_ck")
+    _write_time_sliced(load_events(spark, sf_dir), src, 4)
+
+    def run():
+        ev = sp.read_events_stream(spark, src, max_files=1)
+        q = (
+            sp.write_global_reservoir(
+                sp.streaming_reservoir_sample(ev), out, compact_every=2
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)
+
+    def expected_topk(ids: np.ndarray) -> list[int]:
+        ids = np.unique(ids)
+        pri = sp._rsv_priority(ids)
+        keep = np.lexsort((ids, pri))[-sp.RSV_CAPACITY:]
+        order = sorted(
+            zip(pri[keep].tolist(), ids[keep].tolist()), reverse=True
+        )
+        return [e for _, e in order]
+
+    run()
+    series = spark.read.parquet(out).collect()
+    n_by_batch = sorted({(r.batch_id, r.n_total) for r in series})
+    assert [b for b, _ in n_by_batch] == list(range(4))
+    assert [n for _, n in n_by_batch] == sorted(n for _, n in n_by_batch)
+    all_ids = (
+        load_events(spark, sf_dir)
+        .select("event_id").toPandas()["event_id"].to_numpy(np.int64)
+    )
+    assert n_by_batch[-1][1] == len(np.unique(all_ids)) or (
+        n_by_batch[-1][1] == len(all_ids)
+    )  # shard_n counts arrivals; the sample itself keys on unique ids
+    last = sorted(
+        (r for r in series if r.batch_id == 3),
+        key=lambda r: (-r.priority, -r.event_id),
+    )
+    assert [r.event_id for r in last] == expected_topk(all_ids), (
+        "the live global sample diverged from the batch-computed "
+        "deterministic top-k — the merge identity broke end to end"
+    )
+    assert len(_glob.glob(os.path.join(out, "part-*"))) <= 3
+
+    # restart: a tail file touching ONLY reservoir shard 0 (event_id %
+    # RSV_SHARDS == 0) with ids engineered into the global top-k; a
+    # brand-new query object means fresh driver memory, so the other
+    # shards' sampled events can only come from the hydrated carry
+    tail_ids = [4 * i for i in range(1_000_000, 1_000_050)]
+    rows2 = [
+        (eid, 1_800_000_000_000_000_000 + i * 1_000_000_000,
+         7, "click", 1.0, "{}")
+        for i, eid in enumerate(tail_ids)
+    ]
+    _time.sleep(1.1)
+    spark.createDataFrame(rows2, sp.EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    series2 = spark.read.parquet(out).collect()
+    last_bid = max(r.batch_id for r in series2)
+    last2 = sorted(
+        (r for r in series2 if r.batch_id == last_bid),
+        key=lambda r: (-r.priority, -r.event_id),
+    )
+    want2 = expected_topk(np.concatenate([all_ids, np.array(tail_ids)]))
+    assert [r.event_id for r in last2] == want2, (
+        "post-restart sample diverged — pre-restart shards' reservoirs "
+        "missing from the merge (carry not hydrated?)"
+    )
+    # the non-shard-0 members of the expected sample prove the carry
+    assert any(e % sp.RSV_SHARDS != 0 for e in want2)
+
+
 def test_reservoir_kernel_identities_and_uniformity():
     """Spark-free reservoir kernel: the deterministic hash-priority
     design gives EXACT identities — folding A then B equals folding
@@ -4617,6 +4713,15 @@ _FUZZ_SINKS = {
         lambda ev: sp.streaming_seen_bloom(ev),
         lambda ev, out: sp.write_global_bloom(
             sp.streaming_seen_bloom(ev), out, [3, 7, 424242], compact_every=2
+        ),
+    ),
+    # round 14: the reservoir sink exercises the skeleton's
+    # rows_transform hook (k rows per shard per batch, grouped to one
+    # array-carrying record) through the same crash points
+    "reservoir": (
+        lambda ev: sp.streaming_reservoir_sample(ev),
+        lambda ev, out: sp.write_global_reservoir(
+            sp.streaming_reservoir_sample(ev), out, compact_every=2
         ),
     ),
 }
