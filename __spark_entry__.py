@@ -40,48 +40,52 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 _PRIORITY = [
     # flagship stays pinned in-window every round
     "npm_dependency_counts",
-    # round 14 slot arithmetic, executing the rotation plan recorded at
-    # the end of round 13 (verified against tools/evidence.json: age
-    # histogram entering round 14 is exactly r11:46, r12:50, r13:50 —
-    # plan and evidence agree): 50 slots = 1 flagship + ALL 46 r11-aged
-    # rows (no registry row may age past r12) — which by construction
-    # contain the whole multimodal family, seating every fingerprint
-    # the merged plane-wiring branch moved (webp.py plane codes + rev 3,
-    # the sixth webp query shape, the real-codec scan widening) at zero
-    # extra slot cost — + the 3 alphabetically-first r12-aged rows in
-    # the free slots. Demand checked green by `tools/driver_check.py
-    # --window-budget 14` before and after every edit.
-    # the 46 r11-aged rows, alphabetical
-    *["date_funcs", "dedup_exact_summary",
-      "dedup_normalized_hash", "doc_fingerprints",
-      "embedding_centroids", "events_hourly_gapfill",
-      "events_sessionize", "events_sliding_1h_30m",
-      "events_tumbling_1h", "grouped_median_pandas",
-      "json_corrupt_tolerant", "json_funcs",
-      "lang_id_heuristic", "map_funcs",
-      "math_funcs", "minhash_signatures",
-      "multimodal_decode_audio", "multimodal_decode_features",
-      "multimodal_decode_jpeg", "multimodal_decode_png",
-      "multimodal_decode_real", "multimodal_decode_webp",
-      "multimodal_frame_sample", "multimodal_metadata",
-      "multimodal_resize_plan", "npm_dependency_pagerank",
-      "npm_transitive_deps", "order_priority_by_quarter",
-      "pca_project_fixed_basis", "pii_redact",
-      "pii_scan", "price_histogram",
-      "price_outliers_iqr", "semdedup_keep_one",
-      "session_overlap_pairs", "set_except",
-      "set_union", "simhash_fingerprints",
-      "sql_api_revenue_by_nation", "stratified_sample",
-      "string_funcs", "text_normalize",
-      "text_quality_scores", "token_counts",
-      "udtf_sentences", "vocab_top_terms"],
-    # the 3 free slots: alphabetically-first r12-aged rows
-    "ann_recall_eval", "approx_sketches", "approx_sketches_exact",
-    # Round-15 rotation plan (recorded per standing practice): after
-    # round 14 the histogram is r12:47, r13:50, r14:50. Demand for r15
-    # = flagship + the 47 remaining r12-aged rows = 48, leaving 2 free
-    # slots for the alphabetically-first r13-aged rows (re-derive from
-    # evidence.json after round 14's --evidence-update). Fingerprint-
+    # round 15 slot arithmetic, staged on the r15-staging branch during
+    # round 14 (the proven rounds-13/14 two-phase pattern) and verified
+    # against tools/evidence.json after round 14's --evidence-update:
+    # age histogram entering round 15 is r12:46, r13:49, r14:50 (the
+    # round-14 plan comment's "r12:47" estimate was off by one — the
+    # recorded histogram governs, per standing practice re-derive from
+    # evidence.json). 50 slots = 1 flagship + the 2 NEW queries this
+    # branch adds (new rows are window-MANDATORY:
+    # containment_prefix_pairs, neardup_source_matrix — both
+    # driver-faithful green at sf0.01 AND value-multiset green at
+    # sf0.1 on this branch) + ALL 46 r12-aged rows (no registry row
+    # may age past r13) + the alphabetically-first r13-aged row in the
+    # one remaining free slot. Demand re-checked green by
+    # `tools/driver_check.py --window-budget 15` on this branch.
+    "containment_prefix_pairs", "neardup_source_matrix",
+    # the 46 r12-aged rows, alphabetical
+    *["array_funcs", "asof_cogroup_pandas",
+      "bracket_revenue", "customer_churn_full_outer",
+      "customer_order_counts", "customers_without_big_orders",
+      "distinct_aggs", "doc_perplexity_bigram",
+      "embedding_neardup_pairs", "embedding_pq_codes",
+      "embedding_quantize_int8", "events_error_context_5m",
+      "events_value_rolling_1h", "forecast_revenue",
+      "grouping_sets_qty", "idle_rich_customers",
+      "large_volume_customers", "late_shipment_suppliers",
+      "local_supplier_revenue", "nation_market_share",
+      "npm_reverse_dependency_counts", "order_gap_days",
+      "pack_sequences", "pivot_linestatus",
+      "pq_adc_topk", "priority_with_returns",
+      "product_profit_by_nation_year", "promo_revenue_ratio",
+      "quality_filter_composite", "repetition_signals",
+      "returned_item_customers", "running_quantity_by_supplier",
+      "skew_salted_join", "small_qty_part_revenue",
+      "split_leakage_audit", "stats_moments",
+      "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
+      "top_bigram_share", "top_orders_global",
+      "top_orders_per_customer", "top_revenue_suppliers",
+      "top_unshipped_orders", "topk_per_customer_agg",
+      "unpivot_part_metrics", "window_rank_variants"],
+    # the 1 free slot: alphabetically-first r13-aged row
+    "asof_purchase_signup",
+    # Round-16 rotation plan (recorded per standing practice): after
+    # round 15 the histogram is r13:48, r14:50, r15:50 -> r16 demand =
+    # flagship + the 48 remaining r13-aged rows = 49, leaving 1 free
+    # slot for the alphabetically-first r14-aged row (re-derive from
+    # evidence.json after round 15's --evidence-update). Fingerprint-
     # moving edits remain window-mandatory; other new work should land
     # as appended operator functions or streaming ops
     # (streaming/pipeline.py is outside queries() fingerprints —

@@ -706,3 +706,161 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.unpersist()
     return pairs
+
+
+# directional containment threshold: C(src->dst) = |S(src) ∩ S(dst)| /
+# |S(src)| — "src is substantially inside dst", the boilerplate /
+# quote / doc-in-doc signal symmetric jaccard misses (a short doc fully
+# contained in a long one has LOW jaccard, so the minhash-band family
+# never surfaces it)
+CONTAINMENT_T = 0.8
+
+
+@REG.add(
+    "containment_prefix_pairs",
+    f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_distinct({sql_base_hashes(sql_word_shingles('text'))}) AS hs
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+    df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+    ranked AS (
+      SELECT s.doc_id, s.h,
+             row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rk,
+             len(x.hs) AS n
+      FROM sh s JOIN df d USING (h) JOIN hs x ON x.doc_id = s.doc_id
+    ),
+    pfx AS (SELECT doc_id, h FROM ranked WHERE rk <= floor(n / 5) + 1),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS src_doc, s.doc_id AS dst_doc
+      FROM pfx p JOIN sh s USING (h) WHERE p.doc_id <> s.doc_id
+    )
+    SELECT src_doc, dst_doc,
+           len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs) AS containment
+    FROM cand JOIN hs a ON a.doc_id = src_doc
+              JOIN hs b ON b.doc_id = dst_doc
+    WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs)
+          >= {CONTAINMENT_T}
+    """,
+)
+def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional set-CONTAINMENT pairs via a prefix-filtered similarity
+    join (the PPJoin family's prefix principle, over hashed 3-word
+    shingle sets): emit (src_doc, dst_doc, containment) where at least
+    ``CONTAINMENT_T`` of src's shingles also appear in dst — the
+    boilerplate / quotation / doc-inside-doc duplication signal the
+    symmetric-jaccard family structurally misses (a short doc fully
+    contained in a long one has jaccard ~ |src|/|dst|, far below any
+    banding threshold).
+
+    Candidate generation is EXACT-recall by pigeonhole, not
+    probabilistic like minhash banding: each doc indexes only its
+    ``floor(n/5)+1`` globally-RAREST shingles (rank by document
+    frequency, hash as the tiebreak), and a qualifying pair can miss at
+    most ``(1-T)*n = n/5 < floor(n/5)+1`` of src's shingles — so at
+    least one prefix shingle of src must sit in dst, and the
+    prefix-vs-full equi-join on the shingle hash surfaces every true
+    pair. Rarest-first is also the anti-skew choice: the join keys are
+    each doc's LOWEST-df shingles, so hub keys (templated boilerplate
+    grams shared by half the corpus — the exact degeneration the
+    chargram docstring records for single-minhash blocking) are
+    structurally excluded from the probe side unless a doc consists of
+    nothing else. Scale shape (100 TB): df is one partial-agg shuffle
+    on the 8-byte shingle hash; ranking is a per-doc window over ~1e2
+    rows; the candidate join carries (doc_id, hash) pairs only; the
+    exact verify intersects int arrays on candidates only (the
+    ``chargram_jaccard_pairs`` int-verify idiom). The DuckDB oracle
+    replays the identical pipeline — same md5-derived hashes, same
+    (df, h) rank order, same floor arithmetic — so parity is exact.
+
+    Reference scope: beyond the 178-line reference (which has no dedup
+    at all); this is north-star training-data surface, SURVEY §8.4."""
+    from pyspark.sql import Window
+
+    d = load_scaled(spark, sf_dir, "documents")
+    sets_ = d.select(
+        "doc_id",
+        F.array_distinct(base_hashes(word_shingles(F.col("text")))).alias("hs"),
+    ).persist()
+    sh = sets_.select("doc_id", F.explode("hs").alias("h"))
+    df = sh.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df, "h")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+        .join(sets_.select("doc_id", F.size("hs").alias("n")), "doc_id")
+    )
+    pfx = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 5) + 1
+    ).select("doc_id", "h")
+    cand = (
+        pfx.alias("p")
+        .join(sh.alias("s"), "h")
+        .filter(F.col("p.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("src_doc"),
+            F.col("s.doc_id").alias("dst_doc"),
+        )
+        .distinct()
+    )
+    ix = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    cont = ix.cast("double") / F.size(F.col("sa.hs"))
+    pairs = (
+        cand.join(sets_.alias("sa"), F.col("src_doc") == F.col("sa.doc_id"))
+        .join(sets_.alias("sb"), F.col("dst_doc") == F.col("sb.doc_id"))
+        .select("src_doc", "dst_doc", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_T)
+        .transform(ckpt)
+    )
+    sets_.unpersist()
+    return pairs
+
+
+@REG.add(
+    "neardup_source_matrix",
+    f"""
+    WITH {_sql_lsh_ctes()}
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           count(*) AS n_pairs
+    FROM lshpairs p JOIN documents sa ON sa.doc_id = p.doc_a
+                    JOIN documents sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH SOURCES MIRROR EACH OTHER: the MinHash-LSH near-dup pairs
+    rolled up to an unordered source-pair matrix — the triage view a
+    corpus owner reads before deciding which feed to drop or
+    down-weight (cross-source duplicate mass is how mirrors, scrapes of
+    scrapes, and re-hosted dumps show up in practice; per-doc pair
+    lists answer "which doc", this answers "which FEED").
+
+    Composition: the verified pair set from ``minhash_lsh_neardup``
+    (banded candidates, exact-jaccard verify, the module's standard
+    cache discipline) joined twice against the two-column
+    (doc_id, source) projection, normalized to an unordered pair via
+    least/greatest so (srcA, srcB) and (srcB, srcA) collapse, then one
+    partial-aggregatable count. The pair frame is doc-id-only and tiny
+    relative to the corpus, so both source joins broadcast at any scale
+    where the documents dimension of (doc_id, source) fits the
+    broadcast threshold — and when it doesn't, they are uniform-keyed
+    equi-joins on doc_id. Output is |sources|^2-bounded, i.e. tiny."""
+    pairs = minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(src.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(src.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.source"), F.col("y.source")).alias("source_a"),
+            F.greatest(F.col("x.source"), F.col("y.source")).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -260,6 +260,10 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     # round-8 addition: the VP8L WebP decode (three bitstream shapes)
     "multimodal_decode_webp",
+    # round-15 additions (staged in round 14): prefix-filtered
+    # containment join + near-dup source matrix
+    "containment_prefix_pairs",
+    "neardup_source_matrix",
 ]
 
 

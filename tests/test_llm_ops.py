@@ -118,6 +118,8 @@ def test_lsh_queries_release_their_caches(spark, sf_dir):
         dedup.simhash_candidate_pairs,
         dedup.neardup_clusters,
         dedup.dedup_incremental,
+        dedup.containment_prefix_pairs,  # persists its hashed-set frame
+        dedup.neardup_source_matrix,  # composes the LSH pair query
         similarity.kmeans_clusters,  # kmeans_fit's cache-hygiene claim
     ):
         assert fn(spark, sf_dir).count() > 0
@@ -880,3 +882,85 @@ def test_doc_perplexity_bigram_mle_properties(spark, sf_dir):
         ) / len(gs)
         assert got[doc_id].cross_entropy == pytest.approx(ce, abs=5e-7)
         assert got[doc_id].n_bigrams == len(gs)
+
+
+def test_containment_prefix_pairs_exact_recall_vs_bruteforce(spark, sf_dir):
+    """The prefix filter's recall guarantee is a THEOREM (a pair at
+    containment >= T can miss at most (1-T)*n < floor(n/5)+1 of src's
+    shingles, so at least one of src's floor(n/5)+1 rarest shingles must
+    hit dst) — this pins the IMPLEMENTATION to it: against a brute-force
+    all-pairs containment join over the same hashed shingle sets, the
+    prefix-filtered query returns exactly the same (src, dst,
+    containment) rows. Also pins directionality: each qualifying
+    direction is its own row with its own denominator (|S(src)|), so
+    mutual pairs of unequal-size docs carry two DIFFERENT containment
+    values."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions.text import (
+        base_hashes,
+        word_shingles,
+    )
+
+    got = {
+        (r.src_doc, r.dst_doc): r.containment
+        for r in dedup.containment_prefix_pairs(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    sets_ = d.select(
+        "doc_id",
+        F.array_distinct(base_hashes(word_shingles(F.col("text")))).alias("hs"),
+    )
+    ix = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    brute = {
+        (r.src_doc, r.dst_doc): r.containment
+        for r in (
+            sets_.alias("a")
+            .crossJoin(sets_.alias("b"))  # test-only oracle; 500 docs
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("src_doc"),
+                F.col("b.doc_id").alias("dst_doc"),
+                (ix.cast("double") / F.size(F.col("a.hs"))).alias(
+                    "containment"
+                ),
+            )
+            .filter(F.col("containment") >= dedup.CONTAINMENT_T)
+            .collect()
+        )
+    }
+    assert got == brute
+    assert got, "sf corpus is known to contain contained docs"
+    # directionality: mutual pairs of unequal-size sets must report two
+    # different ratios (same intersection, different denominators); in
+    # this synthetic corpus every qualifying pair happens to be mutual
+    # at T=0.8, which is itself worth pinning — a regression to
+    # symmetric jaccard would also pass a mutual-only check, but not
+    # the per-direction value check below
+    diff = [
+        p for p in got
+        if (p[1], p[0]) in got and got[p] != got[(p[1], p[0])]
+    ]
+    assert diff, "expected a mutual pair with direction-dependent values"
+
+
+def test_neardup_source_matrix_consistent_with_pairs(spark, sf_dir):
+    """The source matrix is exactly the LSH pair set rolled up: total
+    n_pairs equals the pair count, every key is an unordered source
+    pair (source_a <= source_b), and each cell recounts its own pairs."""
+    pairs = dedup.minhash_lsh_neardup(spark, sf_dir).collect()
+    srcs = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    expected: dict[tuple[str, str], int] = {}
+    for p in pairs:
+        key = tuple(sorted((srcs[p.doc_a], srcs[p.doc_b])))
+        expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in dedup.neardup_source_matrix(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(a <= b for a, b in got)
+    assert sum(got.values()) == len(pairs)
