@@ -882,8 +882,11 @@ def write_dedup_gated(
         # dominates there. At cluster-scale batch sizes the append
         # repartitions on the bucket instead (round 14: auto-decided per
         # batch from the admitted count — a cached-scan job on the
-        # localCheckpoint above — unless the caller forced a shape).
-        wide = _resolve_wide(wide_writes, keep.count())
+        # localCheckpoint above — skipped entirely when the caller
+        # forced a shape, mirroring the exact gate's guard (r14 ADVICE).
+        wide = _resolve_wide(
+            wide_writes, keep.count() if wide_writes is None else 0
+        )
         kept_bands = nb.join(keep.select("doc_id"), "doc_id")
         shaped = (
             kept_bands.repartition("band_bucket") if wide
@@ -2980,7 +2983,14 @@ def write_decontaminated(
         that already counted the frame passes ``known_count`` so the
         quarantine path adds no job at all."""
         rows = rows.localCheckpoint()  # decide once: probe AND append
-        n = rows.count() if known_count is None else known_count
+        if known_count is not None:
+            n = known_count
+        elif wide_writes is not None:
+            # forced shape: only non-emptiness matters — a first-row
+            # probe, not a full cached-scan count (r14 ADVICE)
+            n = 1 if rows.take(1) else 0
+        else:
+            n = rows.count()
         if n == 0:
             # nothing to append: writing an empty frame to a NOT-YET-
             # EXISTING sink would create the file-less directory that
@@ -3043,6 +3053,21 @@ def write_decontaminated(
                 has_identity = "n_grams" in row.__fields__
                 if bench_err is not None and not has_identity:
                     raise bench_err  # pre-identity sidecar: must rebuild
+                if bench_err is not None and int(row.shingle_n) != n:
+                    # benchmark-independent consistency check (r14
+                    # ADVICE): the shingle-length comparison needs no
+                    # benchmark read, and a sidecar built over
+                    # different-length shingles can NEVER be trusted —
+                    # its probes would yield ~zero maybe-hits and admit
+                    # contaminated docs as "provably clean". Re-raise
+                    # the held read error instead of proceeding.
+                    raise ValueError(
+                        f"decon bloom sidecar {bloom_sidecar} was built "
+                        f"over {int(row.shingle_n)}-shingles but this "
+                        f"gate runs n={n}; refusing the trust-sidecar "
+                        f"restart while the benchmark at "
+                        f"{benchmark_grams} is unreadable"
+                    ) from bench_err
                 if bench_err is not None:
                     print(
                         f"WARNING [decon-gate] benchmark set at "

@@ -4052,6 +4052,80 @@ def test_decontamination_gate_restart_survives_unreadable_benchmark(
         q.stop()
 
 
+def test_decontamination_gate_unreadable_benchmark_shingle_mismatch(
+    spark, sf_dir, tmp_path
+):
+    """Round-14 ADVICE (medium): the trust-the-sidecar fallback for an
+    unreadable benchmark must still enforce the one consistency check
+    that needs NO benchmark read — ``shingle_n``. A gate restarted with
+    a different n during a benchmark outage would otherwise probe a
+    filter built over different-length shingles: ~zero maybe-hits, so
+    contaminated docs sail through as "provably clean" with no loud
+    failure (the exact confirm join only runs on suspects). The restart
+    must fail loudly instead of trusting the mismatched sidecar."""
+    import pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_path = str(tmp_path / "sm_bench")
+    out = str(tmp_path / "sm_out")
+    sp.write_benchmark_grams(
+        spark, d.filter(F.col("doc_id") < 10), bench_path, n=5
+    )
+
+    def clean_src(path, base):
+        spark.createDataFrame(
+            [(base + i, f"pp{i} qq{i} rr{i} ss{i} tt{i} uu{i}")
+             for i in range(10)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(path)
+        return path
+
+    def run(src, ck, n):
+        q = (
+            sp.write_decontaminated(
+                spark.readStream.schema(d.schema).parquet(src),
+                bench_path, out, n=n,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # instance 1 at n=5 installs the identity-carrying sidecar
+    run(clean_src(str(tmp_path / "sm_src1"), 700), "sm_ck1", 5)
+    assert sp.table_exists(spark, out + "_benchbloom")
+    # benchmark corrupted in place
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(bench_path, "part-*")):
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+    # restart at n=4: sidecar identity says n=5 — the fallback must
+    # refuse, not trust
+    src2 = clean_src(str(tmp_path / "sm_src2"), 800)
+    q = (
+        sp.write_decontaminated(
+            spark.readStream.schema(d.schema).parquet(src2),
+            bench_path, out, n=4,
+        )
+        .option("checkpointLocation", str(tmp_path / "sm_ck2"))
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException) as exc:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert "shingle" in str(exc.value).lower() or "refusing" in str(
+        exc.value
+    ), str(exc.value)[:500]
+
+
 def test_decontamination_gate_explicit_bits_mismatch_raises(
     spark, sf_dir, tmp_path
 ):
