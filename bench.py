@@ -268,11 +268,17 @@ HEADLINE = [
 
 
 # Streaming surface (round-7 verdict item #3): each stateful/windowed
-# operator timed once over the sf events fixture, sliced into time-ordered
-# files so several micro-batches run. One pass per op (a streaming run IS
-# a sequence of samples: the per-micro-batch durations give the spread).
+# operator timed over the sf events fixture, sliced into time-ordered
+# files so several micro-batches run. Round 15: STREAM_PASSES full
+# passes per op (was one) — the r13->r14 compare flagged six untouched
+# ops in BOTH directions on single-pass numbers, adjudicated ambient by
+# tools/ab_streaming_noise.py; median-of-3 kills that noise at the
+# source, and the recorded [min, median, max] rows_per_sec_band lets
+# tools/bench_compare.py suppress cross-session swings the way the
+# batch side's spread bands already do.
 STREAM_N_FILES = 6
 STREAM_FILES_PER_TRIGGER = 2
+STREAM_PASSES = 3
 STREAMING_OPS = [
     ("stateful_user_counts", "update"),
     ("streaming_heavy_hitters", "update"),
@@ -287,6 +293,25 @@ STREAMING_OPS = [
     ("dedup_within_watermark", "append"),
     ("tumbling_counts", "append"),
 ]
+
+
+def reduce_stream_passes(passes: list[dict]) -> dict:
+    """Median-of-passes reduction for the streaming surface: for each
+    op, keep the single-pass record whose rows/s is (closest to) the
+    cross-pass median, and annotate it with the [min, median, max]
+    ``rows_per_sec_band`` plus the pass count. The representative is a
+    REAL pass (its rows/batches/batch_ms stay internally consistent),
+    not a synthetic average."""
+    out: dict[str, dict] = {}
+    for op in passes[0]:
+        recs = [p[op] for p in passes if op in p]
+        rates = sorted((r.get("rows_per_sec") or 0) for r in recs)
+        med = statistics.median(rates)
+        rep = dict(min(recs, key=lambda r: abs((r.get("rows_per_sec") or 0) - med)))
+        rep["rows_per_sec_band"] = [rates[0], round(med), rates[-1]]
+        rep["passes"] = len(recs)
+        out[op] = rep
+    return out
 
 
 def _progress_stats(query) -> tuple[int, int, list[float]]:
@@ -308,7 +333,13 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     """Throughput/latency numbers for the streaming operators: rows/s over
     the whole run plus the per-micro-batch duration spread. Uses the noop
     sink (no memory-sink accumulation skewing the measurement) and
-    AvailableNow-style draining via processAllAvailable."""
+    AvailableNow-style draining via processAllAvailable.
+
+    Round 15: STREAM_PASSES full passes per op, reduced to the median
+    pass per ``reduce_stream_passes`` — the shared inputs (sliced event
+    files, sliced documents, benchmark grams) are built ONCE and read-
+    only; every checkpoint/output path is scoped to its pass directory
+    so each pass does identical work on fresh state."""
     import shutil
     import tempfile
 
@@ -319,7 +350,6 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     from akkastreamprocessnpmpackagedependencies_spark.streaming import pipeline as sp
 
     work = tempfile.mkdtemp(prefix="bench_stream_")
-    out: dict[str, dict] = {}
     try:
         # time-sliced event files -> STREAM_N_FILES micro-batch inputs,
         # strictly increasing mtimes so file order == event-time order
@@ -340,74 +370,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
                 .parquet(src)
             )
             time.sleep(0.05)
-
-        def record(name: str, q, t0: float) -> None:
-            q.processAllAvailable()
-            wall = time.perf_counter() - t0
-            rows, batches, durs = _progress_stats(q)
-            q.stop()
-            durs.sort()
-            out[name] = {
-                "rows": rows,
-                "wall_sec": round(wall, 3),
-                "rows_per_sec": round(rows / wall) if wall > 0 else None,
-                "batches": batches,
-                "batch_ms": [
-                    round(durs[0]),
-                    round(statistics.median(durs)),
-                    round(durs[-1]),
-                ]
-                if durs
-                else [],
-            }
-
-        def run(name: str, df, mode: str) -> None:
-            ck = os.path.join(work, f"ck_{name}")
-            t0 = time.perf_counter()
-            q = (
-                df.writeStream.format("noop")
-                .outputMode(mode)
-                .option("checkpointLocation", ck)
-                .start()
-            )
-            record(name, q, t0)
-
-        for name, mode in STREAMING_OPS:
-            stream = sp.read_events_stream(
-                spark, src, max_files=STREAM_FILES_PER_TRIGGER
-            )
-            run(name, getattr(sp, name)(stream), mode)
-
-        # live global-quantiles pipeline: summary stream -> foreachBatch
-        # GK merge -> parquet time series (its own writer)
-        stream = sp.read_events_stream(spark, src, max_files=STREAM_FILES_PER_TRIGGER)
-        t0 = time.perf_counter()
-        q = (
-            sp.write_global_quantiles(
-                sp.streaming_quantiles_gk_summary(stream),
-                os.path.join(work, "gq_out"),
-            )
-            .option("checkpointLocation", os.path.join(work, "gq_ck"))
-            .start()
-        )
-        record("write_global_quantiles", q, t0)
-
-        # live global-reservoir pipeline (round 14): sample stream ->
-        # foreachBatch top-k-of-union merge -> parquet time series
-        stream = sp.read_events_stream(spark, src, max_files=STREAM_FILES_PER_TRIGGER)
-        t0 = time.perf_counter()
-        q = (
-            sp.write_global_reservoir(
-                sp.streaming_reservoir_sample(stream),
-                os.path.join(work, "gr_out"),
-            )
-            .option("checkpointLocation", os.path.join(work, "gr_ck"))
-            .start()
-        )
-        record("write_global_reservoir", q, t0)
-
-        # dedup-gated ingestion streams DOCUMENTS (LSH check per batch via
-        # foreachBatch, so it's started from its own writer)
+        # sliced documents for the gate sinks (shared, read-only)
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         docs_src = os.path.join(work, "docs_src")
         for part in range(3):
@@ -417,67 +380,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
                 .write.mode("append")
                 .parquet(docs_src)
             )
-        corpus = os.path.join(work, "dg_corpus")
-        t0 = time.perf_counter()
-        q = (
-            sp.write_dedup_gated(
-                spark.readStream.schema(d.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(docs_src),
-                corpus,
-            )
-            .option("checkpointLocation", os.path.join(work, "dg_ck"))
-            .start()
-        )
-        record("write_dedup_gated", q, t0)
-
-        # exact-dedup gate over the same sliced documents (digest gate,
-        # self-indexing digest-bucket-partitioned corpus)
-        ecorpus = os.path.join(work, "eg_corpus")
-        t0 = time.perf_counter()
-        q = (
-            sp.write_exact_dedup_gated(
-                spark.readStream.schema(d.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(docs_src),
-                ecorpus,
-            )
-            .option("checkpointLocation", os.path.join(work, "eg_ck"))
-            .start()
-        )
-        record("write_exact_dedup_gated", q, t0)
-
-        # the bloom-prefiltered variant of the same gate (round 11; the
-        # round-11 "cost-neutral at this corpus size" claim was WRONG —
-        # adjudicated by interleaved A/B in round 12,
-        # BENCH_AB_bloom_gate.json): at this batch-sized corpus the
-        # adaptive skip keeps the arm within ~1.2x of plain (the
-        # residual is the crash-invariant-mandatory fold+persist); the
-        # two-sided economics live in BENCH_exact_gate_volume.json.
-        # Benching it per round catches overhead creep in the prefilter
-        # machinery itself
-        bcorpus = os.path.join(work, "egb_corpus")
-        t0 = time.perf_counter()
-        q = (
-            sp.write_exact_dedup_gated(
-                spark.readStream.schema(d.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(docs_src),
-                bcorpus,
-                bloom_prefilter=True,
-            )
-            .option("checkpointLocation", os.path.join(work, "egb_ck"))
-            .start()
-        )
-        record("write_exact_dedup_gated_bloom", q, t0)
-
-        # decontamination gate (round 13, joining its sibling gates in
-        # the regression record): benchmark n-grams from a small doc
-        # subset, ALL docs streamed through the static-Bloom prescreen —
-        # the benchmark docs themselves ride along as full-copy
-        # contamination, so every batch exercises prescreen + exact
-        # confirm + quarantine, the worst-case (contaminated) path; the
-        # suspect-free economics live in BENCH_decon_volume.json
+        # benchmark n-grams for the decon gate (shared, read-only)
         bench_grams = os.path.join(work, "dc_bench")
         sp.write_benchmark_grams(
             spark,
@@ -485,22 +388,166 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             bench_grams,
             n=5,
         )
-        dcorpus = os.path.join(work, "dc_out")
-        t0 = time.perf_counter()
-        q = (
-            sp.write_decontaminated(
-                spark.readStream.schema(d.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(docs_src),
-                bench_grams, dcorpus,
+
+        def one_pass(pdir: str) -> dict:
+            out: dict[str, dict] = {}
+
+            def record(name: str, q, t0: float) -> None:
+                q.processAllAvailable()
+                wall = time.perf_counter() - t0
+                rows, batches, durs = _progress_stats(q)
+                q.stop()
+                durs.sort()
+                out[name] = {
+                    "rows": rows,
+                    "wall_sec": round(wall, 3),
+                    "rows_per_sec": round(rows / wall) if wall > 0 else None,
+                    "batches": batches,
+                    "batch_ms": [
+                        round(durs[0]),
+                        round(statistics.median(durs)),
+                        round(durs[-1]),
+                    ]
+                    if durs
+                    else [],
+                }
+
+            def run(name: str, df, mode: str) -> None:
+                ck = os.path.join(pdir, f"ck_{name}")
+                t0 = time.perf_counter()
+                q = (
+                    df.writeStream.format("noop")
+                    .outputMode(mode)
+                    .option("checkpointLocation", ck)
+                    .start()
+                )
+                record(name, q, t0)
+
+            for name, mode in STREAMING_OPS:
+                stream = sp.read_events_stream(
+                    spark, src, max_files=STREAM_FILES_PER_TRIGGER
+                )
+                run(name, getattr(sp, name)(stream), mode)
+
+            # live global-quantiles pipeline: summary stream -> foreachBatch
+            # GK merge -> parquet time series (its own writer)
+            stream = sp.read_events_stream(spark, src, max_files=STREAM_FILES_PER_TRIGGER)
+            t0 = time.perf_counter()
+            q = (
+                sp.write_global_quantiles(
+                    sp.streaming_quantiles_gk_summary(stream),
+                    os.path.join(pdir, "gq_out"),
+                )
+                .option("checkpointLocation", os.path.join(pdir, "gq_ck"))
+                .start()
             )
-            .option("checkpointLocation", os.path.join(work, "dc_ck"))
-            .start()
-        )
-        record("write_decontaminated", q, t0)
+            record("write_global_quantiles", q, t0)
+
+            # live global-reservoir pipeline (round 14): sample stream ->
+            # foreachBatch top-k-of-union merge -> parquet time series
+            stream = sp.read_events_stream(spark, src, max_files=STREAM_FILES_PER_TRIGGER)
+            t0 = time.perf_counter()
+            q = (
+                sp.write_global_reservoir(
+                    sp.streaming_reservoir_sample(stream),
+                    os.path.join(pdir, "gr_out"),
+                )
+                .option("checkpointLocation", os.path.join(pdir, "gr_ck"))
+                .start()
+            )
+            record("write_global_reservoir", q, t0)
+
+            # dedup-gated ingestion streams DOCUMENTS (LSH check per batch via
+            # foreachBatch, so it's started from its own writer)
+            corpus = os.path.join(pdir, "dg_corpus")
+            t0 = time.perf_counter()
+            q = (
+                sp.write_dedup_gated(
+                    spark.readStream.schema(d.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(docs_src),
+                    corpus,
+                )
+                .option("checkpointLocation", os.path.join(pdir, "dg_ck"))
+                .start()
+            )
+            record("write_dedup_gated", q, t0)
+
+            # exact-dedup gate over the same sliced documents (digest gate,
+            # self-indexing digest-bucket-partitioned corpus)
+            ecorpus = os.path.join(pdir, "eg_corpus")
+            t0 = time.perf_counter()
+            q = (
+                sp.write_exact_dedup_gated(
+                    spark.readStream.schema(d.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(docs_src),
+                    ecorpus,
+                )
+                .option("checkpointLocation", os.path.join(pdir, "eg_ck"))
+                .start()
+            )
+            record("write_exact_dedup_gated", q, t0)
+
+            # the bloom-prefiltered variant of the same gate (round 11; the
+            # round-11 "cost-neutral at this corpus size" claim was WRONG —
+            # adjudicated by interleaved A/B in round 12,
+            # BENCH_AB_bloom_gate.json): at this batch-sized corpus the
+            # adaptive skip keeps the arm within ~1.2x of plain (the
+            # residual is the crash-invariant-mandatory fold+persist); the
+            # two-sided economics live in BENCH_exact_gate_volume.json.
+            # Benching it per round catches overhead creep in the prefilter
+            # machinery itself
+            bcorpus = os.path.join(pdir, "egb_corpus")
+            t0 = time.perf_counter()
+            q = (
+                sp.write_exact_dedup_gated(
+                    spark.readStream.schema(d.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(docs_src),
+                    bcorpus,
+                    bloom_prefilter=True,
+                )
+                .option("checkpointLocation", os.path.join(pdir, "egb_ck"))
+                .start()
+            )
+            record("write_exact_dedup_gated_bloom", q, t0)
+
+            # decontamination gate (round 13, joining its sibling gates in
+            # the regression record): benchmark n-grams from a small doc
+            # subset, ALL docs streamed through the static-Bloom prescreen —
+            # the benchmark docs themselves ride along as full-copy
+            # contamination, so every batch exercises prescreen + exact
+            # confirm + quarantine, the worst-case (contaminated) path; the
+            # suspect-free economics live in BENCH_decon_volume.json
+            dcorpus = os.path.join(pdir, "dc_out")
+            t0 = time.perf_counter()
+            q = (
+                sp.write_decontaminated(
+                    spark.readStream.schema(d.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(docs_src),
+                    bench_grams, dcorpus,
+                )
+                .option("checkpointLocation", os.path.join(pdir, "dc_ck"))
+                .start()
+            )
+            record("write_decontaminated", q, t0)
+            return out
+
+        passes = []
+        for i in range(STREAM_PASSES):
+            pdir = os.path.join(work, f"pass{i}")
+            os.makedirs(pdir, exist_ok=True)
+            passes.append(one_pass(pdir))
+            # reclaim pass state immediately: gate corpora/checkpoints are
+            # per-pass throwaways and three retained passes triple the
+            # scratch footprint for nothing
+            shutil.rmtree(pdir, ignore_errors=True)
+        result = reduce_stream_passes(passes)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out
+    return result
 
 
 KERNEL_RUNS = 3

@@ -543,3 +543,101 @@ def test_present_but_empty_tag_list_is_authoritative(tmp_path, capsys):
     *_, tags = bc.load(empty_tagged)
     assert tags == frozenset()
     assert "backfilled" not in capsys.readouterr().err
+
+
+def test_reduce_stream_passes_median_of_three():
+    """Round 15 (r14 verdict #2): the streaming surface is median-of-
+    STREAM_PASSES. The reducer keeps the REAL pass whose rows/s is the
+    cross-pass median (internally consistent rows/batches/batch_ms, not
+    a synthetic average) and annotates the [min, median, max] band."""
+    mk = lambda rate, wall: {  # noqa: E731
+        "rows": 6000, "wall_sec": wall, "rows_per_sec": rate,
+        "batches": 3, "batch_ms": [10, 20, 30],
+    }
+    passes = [
+        {"op_a": mk(10000, 0.6), "op_b": mk(500, 12.0)},
+        {"op_a": mk(30000, 0.2), "op_b": mk(900, 6.7)},
+        {"op_a": mk(20000, 0.3), "op_b": mk(700, 8.6)},
+    ]
+    out = bench.reduce_stream_passes(passes)
+    assert out["op_a"]["rows_per_sec"] == 20000  # the middle pass
+    assert out["op_a"]["wall_sec"] == 0.3        # ...kept whole
+    assert out["op_a"]["rows_per_sec_band"] == [10000, 20000, 30000]
+    assert out["op_a"]["passes"] == 3
+    assert out["op_b"]["rows_per_sec"] == 700
+    # an op missing from one pass (e.g. a skipped arm) still reduces
+    passes[1].pop("op_b")
+    out = bench.reduce_stream_passes(passes)
+    assert out["op_b"]["passes"] == 2
+    assert out["op_b"]["rows_per_sec_band"][0] == 500
+    assert out["op_b"]["rows_per_sec_band"][-1] == 700
+
+
+def test_compare_suppresses_stream_swing_inside_old_band(tmp_path, capsys):
+    """The r13->r14 failure mode this round retires at the source: a
+    ~2x one-shot rows/s swing on untouched code. With the old artifact
+    carrying a rows_per_sec_band that covers the new normalized rate,
+    the compare reports 'noise', not a flag."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "streaming": {"sink": {
+            "rows_per_sec": 20000,
+            "rows_per_sec_band": [9500, 20000, 21000],
+        }},
+    })
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0},
+        "streaming": {"sink": {
+            "rows_per_sec": 10000,
+            "rows_per_sec_band": [9800, 10000, 10400],
+        }},
+    })
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "noise  [stream] sink" in out
+    assert "streaming: 1 common ops, flagged >1.5x: 0; noise-suppressed: 1" in out
+
+
+def test_compare_flags_stream_swing_beyond_old_band(tmp_path, capsys):
+    """A genuine streaming regression — new rate far below the old
+    band — still flags, with both the delta and the old band printed."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "streaming": {"sink": {
+            "rows_per_sec": 20000,
+            "rows_per_sec_band": [19000, 20000, 21000],
+        }},
+    })
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0},
+        "streaming": {"sink": {"rows_per_sec": 10000,
+                               "rows_per_sec_band": [9800, 10000, 10400]}},
+    })
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "SLOWER [stream] sink" in out
+    assert "old band [19000,21000]" in out
+    assert "streaming: 1 common ops, flagged >1.5x: 1" in out
+
+
+def test_compare_stream_legacy_artifact_without_band_still_flags(
+    tmp_path, capsys
+):
+    """Pre-r15 artifacts carry no rows_per_sec_band: the comparison
+    degrades to the old flag-on-ratio behavior (no silent suppression
+    of a swing nobody banded)."""
+    old = _write(tmp_path, "old.json", {
+        "queries": {"q": 1.0},
+        "streaming": {"sink": {"rows_per_sec": 20000}},
+    })
+    new = _write(tmp_path, "new.json", {
+        "queries": {"q": 1.0},
+        "streaming": {"sink": {"rows_per_sec": 10000}},
+    })
+    sys.argv = ["bench_compare", old, new]
+    bc.main()
+    out = capsys.readouterr().out
+    assert "SLOWER [stream] sink" in out
+    assert "streaming: 1 common ops, flagged >1.5x: 1" in out

@@ -343,16 +343,40 @@ def main() -> None:
     # normalized the same way (rows/s scales INVERSELY with session
     # slowness, so multiply by norm)
     s_both = sorted(set(old_str) & set(new_str))
-    s_flagged = 0
+    s_flagged, s_suppressed = 0, 0
     for op in s_both:
         a = old_str[op].get("rows_per_sec") or 0
         b = (new_str[op].get("rows_per_sec") or 0) * norm
         if a and b and (a / b >= ratio or b / a >= ratio):
+            # round 15: bench.py now records a cross-pass
+            # rows_per_sec_band per op (median-of-STREAM_PASSES); the
+            # batch side's suppression rule applies unchanged — a swing
+            # whose normalized new rate still lies inside the OLD band
+            # is session noise, not a regression (the r13->r14 six-ops-
+            # both-directions signature tools/ab_streaming_noise.py
+            # adjudicated as ambient)
+            oband = old_str[op].get("rows_per_sec_band")
+            if oband and median_in_band(b, sorted(oband)):
+                s_suppressed += 1
+                print(
+                    f"noise  [stream] {op:27s} {a:8.0f} -> {b:8.0f} rows/s "
+                    f"norm'd rate inside old band "
+                    f"[{min(oband):.0f},{max(oband):.0f}] — not flagged"
+                )
+                continue
             s_flagged += 1
             tag = "SLOWER" if b < a else "faster"
-            print(f"{tag:6s} [stream] {op:27s} {a:8.0f} -> {b:8.0f} rows/s")
+            band = (
+                f"  old band [{min(oband):.0f},{max(oband):.0f}]"
+                if oband else ""
+            )
+            print(f"{tag:6s} [stream] {op:27s} {a:8.0f} -> {b:8.0f} rows/s{band}")
     if s_both:
-        print(f"streaming: {len(s_both)} common ops, flagged >{ratio}x: {s_flagged}")
+        print(
+            f"streaming: {len(s_both)} common ops, flagged >{ratio}x: "
+            f"{s_flagged}"
+            + (f"; noise-suppressed: {s_suppressed}" if s_suppressed else "")
+        )
     # kernel surface (BENCH_FULL round 10+): pure-numpy rows/s per
     # sketch kernel, normalized by the KERNEL calibration (the numpy
     # twin of the session calibration — Spark's JVM calibration can't
