@@ -47,8 +47,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SIZES = (5_000, 25_000, 100_000, 400_000)
+SIZES = (1_000, 2_500, 5_000, 10_000, 25_000, 100_000, 400_000)
 REPS = 5
+# round 15 (r14 verdict #4): the 5k rung showed wide 0.76x with NEARLY
+# separated spreads at 5 reps — re-measure the small rungs at triple
+# the rep count (and add 1k/2.5k/10k rungs) to decide whether the
+# threshold halves. Large rungs stay at REPS (their spreads were
+# already decisively separated and each rep is seconds long).
+REPS_SMALL = 15
+SMALL_CUTOFF = 25_000
 BUCKETS = 64  # DECON_BUCKETS == EXACT_DEDUP_BUCKETS
 TOKENS_PER_DOC = 120  # ~1 KiB of text per doc
 
@@ -98,8 +105,9 @@ def main() -> None:
                 )
                 .localCheckpoint()  # input build must not be timed
             )
+            reps = REPS_SMALL if size <= SMALL_CUTOFF else REPS
             samples: dict[str, list[float]] = {"narrow": [], "wide": []}
-            for rep in range(REPS):
+            for rep in range(reps):
                 for shape in ("narrow", "wide"):  # interleaved
                     out = os.path.join(work, f"o_{size}_{shape}_{rep}")
                     shaped = (
@@ -115,6 +123,7 @@ def main() -> None:
                 s: round(statistics.median(v), 3) for s, v in samples.items()
             }
             result["sizes"][str(size)] = {
+                "reps": reps,
                 "narrow_sec": med["narrow"],
                 "wide_sec": med["wide"],
                 "narrow_spread": [round(min(samples["narrow"]), 3),
