@@ -644,21 +644,20 @@ DEDUP_BAND_BUCKETS = 8
 # granularity); at or above it, ``repartition(bucket)`` so buckets
 # write in parallel (a single writer task serializes a cluster-scale
 # append). MEASURED, not reasoned (tools/bench_wide_writes.py ->
-# BENCH_wide_writes.json, interleaved 5-rep medians over the exact
-# append expression at 64 buckets / ~1 KiB docs): both shapes produce
-# the SAME one-file-per-touched-bucket layout (hash-partitioning on
-# the bucket column lands each bucket in one task), so the trade is
-# purely the wide shape's shuffle + stage boundary vs its parallel
-# encode — wide is 0.34x narrow's wall at 25k rows (0.47 vs 1.38 s)
-# and 0.32x at 100k, while at 5k both are sub-second and within
-# spread-overlap noise (0.88 vs 1.16 s, narrow max 2.57). The
-# threshold sits at the measured decisive-win point: below it the
-# append is sub-second either way and the narrow shape keeps the
-# micro-batch free of an extra shuffle stage (latency, not
-# throughput, is what matters there); at or above it the shuffled
-# bytes (~25 MB of ~KiB docs) are trivial next to 3x parallel-encode
-# wins in any regime. Explicit True/False still forces either shape.
-WIDE_WRITES_ROWS = 25_000
+# BENCH_wide_writes.json, interleaved medians over the exact append
+# expression at 64 buckets / ~1 KiB docs): both shapes produce the
+# SAME one-file-per-touched-bucket layout (hash-partitioning on the
+# bucket column lands each bucket in one task), so the trade is purely
+# the wide shape's shuffle + stage boundary vs its parallel encode.
+# Round 14's 5-rep study put the decisive-win point at 25k (the 5k
+# rung's spreads nearly overlapped); the round-15 re-measure at 15
+# reps with 1k/2.5k/10k rungs separates them fully: wide is 0.71x at
+# 5k (narrow [0.92, 1.06] vs wide [0.65, 0.82] — disjoint), 0.46x at
+# 10k, 0.31x at 25k, while at 1k-2.5k narrow keeps a ~1.04-1.06x edge
+# (the shuffle's stage-boundary latency with nothing to amortize it).
+# The threshold sits at the smallest measured decisive-win rung.
+# Explicit True/False still forces either shape.
+WIDE_WRITES_ROWS = 5_000
 
 
 def _resolve_wide(wide_writes: bool | None, n_rows: int) -> bool:
