@@ -43,6 +43,9 @@ SHOWCASE = [
     ("multimodal_decode_real", "real PPM decode through Arrow-batched mapInPandas"),
     ("multimodal_decode_webp", "VP8L WebP encode+decode fused in one Arrow-batched pass"),
     ("min_cost_supplier", "Q2 shape: correlated MIN as window-min — single fact scan"),
+    # round-15 additions (merged from r15-staging)
+    ("containment_prefix_pairs", "PPJoin prefix filter: rarest-shingle index equi-join -> exact containment verify"),
+    ("neardup_source_matrix", "LSH pair rollup to an unordered source-pair matrix"),
     ("dedup_incremental", "corpus-vs-delta banded LSH: cost scales with the delta"),
     ("token_rarity_scores", "df-weighted rarity stats: explode -> vocab agg -> term join -> doc agg"),
     ("bm25_topk_docs", "BM25: term filter before tf agg, broadcast df/stats, TakeOrdered top-k"),
