@@ -467,7 +467,12 @@ def _decode_block_tokens(
             ctx = 2
         if bd.get_bool(128):
             v = -v
-        out[_ZIGZAG[i]] = v * (dc_q if i == 0 else ac_q)
+        dq = v * (dc_q if i == 0 else ac_q)
+        # the reference decoder stores dequantized coefficients in
+        # int16; a syntactically valid but adversarial stream (cat6
+        # level x large quantizer) overflows it, and bit-exactness
+        # demands the same wrap here
+        out[_ZIGZAG[i]] = ((dq & 0xFFFF) ^ 0x8000) - 0x8000
         nnz += 1
         start = 0
         i += 1
