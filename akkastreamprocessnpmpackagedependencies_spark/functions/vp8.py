@@ -438,16 +438,57 @@ def _decode_block_tokens(
 ) -> tuple[np.ndarray, int]:
     """§13: one 4x4 block's DCT tokens -> dequantized coefficients in
     raster order. ``probs_tbl`` is coeff_probs[block_type]; ``first``
-    is 1 for Y blocks whose DC rides in Y2. Returns (coeffs, nnz)."""
-    out = np.zeros(16, dtype=np.int32)
+    is 1 for Y blocks whose DC rides in Y2. Returns (coeffs, nnz).
+
+    Hot path: the boolean decoder state is held in LOCALS for the whole
+    block (the per-bool method-call overhead dominated the profile) and
+    written back once; dequantized values reproduce the reference's
+    int16 coefficient wrap."""
+    out = [0] * 16
     nnz = 0
     i = first
     start = 0  # tree start node: 2 skips EOB after a ZERO token
     dc_q, ac_q = dqf
+    # localize decoder state (restored at every exit path)
+    d = bd._d
+    dn = bd._n
+    pos = bd._pos
+    value = bd.value
+    range_ = bd.range
+    bit_count = bd.bit_count
+    tree = _COEFF_TREE
+    bands = _BANDS
+    zigzag = _ZIGZAG
+    cat_probs = _t.CAT_PROBS
+    cat_base = _CAT_BASE
     while i < 16:
-        token = bd.get_tree(
-            _COEFF_TREE, probs_tbl[_BANDS[i]][ctx], start
-        )
+        row = probs_tbl[bands[i]][ctx]
+        # inline tree walk
+        j = start
+        while True:
+            p = row[j >> 1]
+            split = 1 + (((range_ - 1) * p) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                range_ -= split
+                value -= big
+            else:
+                bit = 0
+                range_ = split
+            while range_ < 128:
+                value <<= 1
+                range_ <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    if pos < dn:
+                        value |= d[pos]
+                    pos += 1
+            j = tree[j + bit]
+            if j <= 0:
+                token = -j
+                break
         if token == _EOB:
             break
         if token == _ZERO_TOKEN:
@@ -459,72 +500,123 @@ def _decode_block_tokens(
             v = token  # literal 1..4
             ctx = 1 if v == 1 else 2
         else:
-            cat = token - _CAT1
             extra = 0
-            for p in _t.CAT_PROBS[cat]:
-                extra = (extra << 1) | bd.get_bool(p)
-            v = _CAT_BASE[cat] + extra
+            for p in cat_probs[token - _CAT1]:
+                split = 1 + (((range_ - 1) * p) >> 8)
+                big = split << 8
+                if value >= big:
+                    extra = (extra << 1) | 1
+                    range_ -= split
+                    value -= big
+                else:
+                    extra <<= 1
+                    range_ = split
+                while range_ < 128:
+                    value <<= 1
+                    range_ <<= 1
+                    bit_count += 1
+                    if bit_count == 8:
+                        bit_count = 0
+                        if pos < dn:
+                            value |= d[pos]
+                        pos += 1
+            v = cat_base[token - _CAT1] + extra
             ctx = 2
-        if bd.get_bool(128):
+        # sign bool at prob 128
+        split = 1 + ((range_ - 1) >> 1)
+        big = split << 8
+        if value >= big:
             v = -v
+            range_ -= split
+            value -= big
+        else:
+            range_ = split
+        while range_ < 128:
+            value <<= 1
+            range_ <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                if pos < dn:
+                    value |= d[pos]
+                pos += 1
         dq = v * (dc_q if i == 0 else ac_q)
         # the reference decoder stores dequantized coefficients in
         # int16; a syntactically valid but adversarial stream (cat6
         # level x large quantizer) overflows it, and bit-exactness
         # demands the same wrap here
-        out[_ZIGZAG[i]] = ((dq & 0xFFFF) ^ 0x8000) - 0x8000
+        out[zigzag[i]] = ((dq & 0xFFFF) ^ 0x8000) - 0x8000
         nnz += 1
         start = 0
         i += 1
+    bd._pos = pos
+    bd.value = value
+    bd.range = range_
+    bd.bit_count = bit_count
     return out, nnz
 
 
 # ------------------------------------------------- inverse transforms
 
 
-def _iwht4x4(ip: np.ndarray) -> np.ndarray:
-    """§14.3 inverse Walsh-Hadamard (Y2 DC transform), exact integer."""
-    ip = ip.reshape(4, 4).astype(np.int64)
-    a1 = ip[0] + ip[3]
-    b1 = ip[1] + ip[2]
-    c1 = ip[1] - ip[2]
-    d1 = ip[0] - ip[3]
-    t = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1])
-    a1 = t[:, 0] + t[:, 3]
-    b1 = t[:, 1] + t[:, 2]
-    c1 = t[:, 1] - t[:, 2]
-    d1 = t[:, 0] - t[:, 3]
-    out = np.stack(
-        [(a1 + b1 + 3) >> 3, (c1 + d1 + 3) >> 3,
-         (a1 - b1 + 3) >> 3, (d1 - c1 + 3) >> 3], axis=1
-    )
-    return out.astype(np.int32)
+def _iwht4x4(ip) -> list:
+    """§14.3 inverse Walsh-Hadamard (Y2 DC transform), exact integer —
+    pure-int scalar arithmetic (a 4x4 is far below numpy's efficiency
+    floor; the profile showed the array path dominated by overhead)."""
+    o = [0] * 16
+    t = [0] * 16
+    for c in range(4):
+        a1 = ip[c] + ip[12 + c]
+        b1 = ip[4 + c] + ip[8 + c]
+        c1 = ip[4 + c] - ip[8 + c]
+        d1 = ip[c] - ip[12 + c]
+        t[c] = a1 + b1
+        t[4 + c] = c1 + d1
+        t[8 + c] = a1 - b1
+        t[12 + c] = d1 - c1
+    for r in range(0, 16, 4):
+        a1 = t[r] + t[r + 3]
+        b1 = t[r + 1] + t[r + 2]
+        c1 = t[r + 1] - t[r + 2]
+        d1 = t[r] - t[r + 3]
+        o[r] = (a1 + b1 + 3) >> 3
+        o[r + 1] = (c1 + d1 + 3) >> 3
+        o[r + 2] = (a1 - b1 + 3) >> 3
+        o[r + 3] = (d1 - c1 + 3) >> 3
+    return o  # flat 16, raster order: entry n = DC of Y block n
 
 
 _C1 = 20091  # cos(pi/8)*sqrt(2) - 1, Q16 (§14.4)
 _C2 = 35468  # sin(pi/8)*sqrt(2), Q16
 
 
-def _idct4x4(ip: np.ndarray) -> np.ndarray:
-    """§14.4 inverse DCT, exact integer (arithmetic shifts match C's
-    signed behavior because Python's >> floors)."""
-    ip = ip.reshape(4, 4).astype(np.int64)
-    # columns
-    a1 = ip[0] + ip[2]
-    b1 = ip[0] - ip[2]
-    c1 = ((ip[1] * _C2) >> 16) - (ip[3] + ((ip[3] * _C1) >> 16))
-    d1 = (ip[1] + ((ip[1] * _C1) >> 16)) + ((ip[3] * _C2) >> 16)
-    t = np.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1])
-    # rows
-    a1 = t[:, 0] + t[:, 2]
-    b1 = t[:, 0] - t[:, 2]
-    c1 = ((t[:, 1] * _C2) >> 16) - (t[:, 3] + ((t[:, 3] * _C1) >> 16))
-    d1 = (t[:, 1] + ((t[:, 1] * _C1) >> 16)) + ((t[:, 3] * _C2) >> 16)
-    out = np.stack(
-        [(a1 + d1 + 4) >> 3, (b1 + c1 + 4) >> 3,
-         (b1 - c1 + 4) >> 3, (a1 - d1 + 4) >> 3], axis=1
-    )
-    return out.astype(np.int32)
+def _idct4x4(ip) -> np.ndarray:
+    """§14.4 inverse DCT, exact integer (Python's >> floors, matching
+    C's signed arithmetic shift) — pure-int scalars for the same
+    efficiency-floor reason as _iwht4x4."""
+    t = [0] * 16
+    for c in range(4):
+        x1, x5, x9, x13 = ip[c], ip[4 + c], ip[8 + c], ip[12 + c]
+        a1 = x1 + x9
+        b1 = x1 - x9
+        c1 = ((x5 * _C2) >> 16) - (x13 + ((x13 * _C1) >> 16))
+        d1 = (x5 + ((x5 * _C1) >> 16)) + ((x13 * _C2) >> 16)
+        t[c] = a1 + d1
+        t[4 + c] = b1 + c1
+        t[8 + c] = b1 - c1
+        t[12 + c] = a1 - d1
+    o = [0] * 16
+    for r in range(0, 16, 4):
+        x0, x1, x2, x3 = t[r], t[r + 1], t[r + 2], t[r + 3]
+        a1 = x0 + x2
+        b1 = x0 - x2
+        c1 = ((x1 * _C2) >> 16) - (x3 + ((x3 * _C1) >> 16))
+        d1 = (x1 + ((x1 * _C1) >> 16)) + ((x3 * _C2) >> 16)
+        o[r] = (a1 + d1 + 4) >> 3
+        o[r + 1] = (b1 + c1 + 4) >> 3
+        o[r + 2] = (b1 - c1 + 4) >> 3
+        o[r + 3] = (a1 - d1 + 4) >> 3
+    return np.array(o, np.int32).reshape(4, 4)
 
 
 # ---------------------------------------------------- intra prediction
@@ -745,9 +837,9 @@ def _reconstruct(hdr: _FrameHeader, mbs, partitions):
                     # untouched for the next MB that has one (§13.3)
                     above_y2[mx] = left_y2 = 0
             else:
-                ycoefs = np.zeros((16, 16), np.int32)
-                ucoefs = np.zeros((4, 16), np.int32)
-                vcoefs = np.zeros((4, 16), np.int32)
+                ycoefs = [None] * 16
+                ucoefs = [None] * 4
+                vcoefs = [None] * 4
                 if not is_b:
                     ctx = above_y2[mx] + left_y2
                     y2c, nnz2 = _decode_block_tokens(
@@ -770,7 +862,8 @@ def _reconstruct(hdr: _FrameHeader, mbs, partitions):
                     total_nnz += nnz
                     ycoefs[sb] = coefs
                 if not is_b and y2out is not None:
-                    ycoefs[:, 0] = y2out.reshape(16)
+                    for sb in range(16):
+                        ycoefs[sb][0] = y2out[sb]
                 for plane_c, above_c, left_c, qf in (
                     (ucoefs, above_u[mx], left_u, q.uv),
                     (vcoefs, above_v[mx], left_v, q.uv),
@@ -801,14 +894,14 @@ def _reconstruct(hdr: _FrameHeader, mbs, partitions):
                     sub = _sub_neighborhood(Y, px, py, mb_w)
                     tr = _above_right4(Y, mx, my, r, c, mb_w)
                     pred = _pred4(sub, tr, mb.bmodes[sb])
-                    if ycoefs is not None and ycoefs[sb].any():
+                    if ycoefs is not None and any(ycoefs[sb]):
                         pred = pred + _idct4x4(ycoefs[sb])
                     Y[py : py + 4, px : px + 4] = _clip255(pred)
             else:
                 pred = _pred16_or_8(Y, x0, y0, 16, mb.ymode).copy()
                 if ycoefs is not None:
                     for sb in range(16):
-                        if ycoefs[sb].any():
+                        if any(ycoefs[sb]):
                             r, c = sb >> 2, sb & 3
                             pred[
                                 4 * r : 4 * r + 4, 4 * c : 4 * c + 4
@@ -819,7 +912,7 @@ def _reconstruct(hdr: _FrameHeader, mbs, partitions):
                 predc = _pred16_or_8(plane, cx0, cy0, 8, mb.uvmode).copy()
                 if coefs_c is not None:
                     for sb in range(4):
-                        if coefs_c[sb].any():
+                        if any(coefs_c[sb]):
                             r, c = sb >> 1, sb & 1
                             predc[
                                 4 * r : 4 * r + 4, 4 * c : 4 * c + 4
