@@ -99,13 +99,13 @@ _PRIORITY = [
       "snapshot_diff",
     ],
     # Round-17 rotation plan (recorded per standing practice): after
-    # round 16 the histogram is r13:3 (the displaced, promise-bound
-    # trio), r14:50, r15:50, r16:50 minus overlaps -> r17 demand =
-    # flagship + the 3 due promises + the 46 alphabetically-first
-    # r14-aged rows = 50, displacing the last 3 r14-aged rows with
-    # fresh --must-rotate 18 promises (the bow wave shrinks as r15's
-    # 2-new-query round already carries 2 rows of slack; re-derive
-    # from evidence.json after round 16's --evidence-update).
+    # round 16 the histogram is r13:4 (the displaced, promise-bound
+    # quartet), r14:50, r15:50, r16:50 minus overlaps -> r17 demand =
+    # flagship + the 4 due promises + the 45 alphabetically-first
+    # r14-aged rows = 50, displacing the last 4 r14-aged rows with
+    # fresh --must-rotate 18 promises (re-derive from evidence.json
+    # after round 16's --evidence-update; the bow wave amortizes as
+    # rounds add fewer fingerprint-moving edits).
     # Fingerprint-moving edits remain window-mandatory; other new work
     # should land as appended operator functions or streaming ops
     # (streaming/pipeline.py is outside queries() fingerprints —

@@ -54,6 +54,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
         lib.WebPDecodeYUV.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -64,6 +69,11 @@ def _load():
         ]
         lib.WebPEncodeRGB.restype = ctypes.c_size_t
         lib.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+        lib.WebPEncodeRGBA.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
         ]
@@ -108,6 +118,27 @@ def encode_rgb(arr: np.ndarray, quality: float = 75.0) -> bytes:
         lib.WebPFree(out)
 
 
+def encode_rgba(arr: np.ndarray, quality: float = 75.0) -> bytes:
+    """Encode an (h, w, 4) uint8 array; non-opaque alpha makes libwebp
+    emit a VP8X + ALPH container — the REAL-encoder fixture source for
+    functions/webpx.py's conformance tests."""
+    lib = _load()
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 4:
+        raise ValueError(f"need (h, w, 4) uint8, got {arr.dtype} {arr.shape}")
+    h, w = arr.shape[:2]
+    out = ctypes.c_void_p()
+    n = lib.WebPEncodeRGBA(
+        np.ascontiguousarray(arr).tobytes(), w, h, w * 4,
+        float(quality), ctypes.byref(out),
+    )
+    if n == 0 or not out.value:
+        raise ValueError(f"libwebp RGBA encode failed for {w}x{h}")
+    try:
+        return ctypes.string_at(out.value, n)
+    finally:
+        lib.WebPFree(out)
+
+
 def decode_rgb(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode any libwebp-supported WebP payload to (w, h, rgb array)."""
     lib = _load()
@@ -117,6 +148,21 @@ def decode_rgb(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("libwebp could not decode the payload")
     try:
         arr = np.ctypeslib.as_array(p, shape=(hd.value, wd.value, 3)).copy()
+    finally:
+        lib.WebPFree(ctypes.cast(p, ctypes.c_void_p))
+    return wd.value, hd.value, arr
+
+
+def decode_rgba(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode any libwebp-supported payload (incl. VP8X + ALPH) to
+    (w, h, rgba array) — the alpha-channel oracle for functions/webpx.py."""
+    lib = _load()
+    wd, hd = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(wd), ctypes.byref(hd))
+    if not p:
+        raise ValueError("libwebp could not decode the payload to RGBA")
+    try:
+        arr = np.ctypeslib.as_array(p, shape=(hd.value, wd.value, 4)).copy()
     finally:
         lib.WebPFree(ctypes.cast(p, ctypes.c_void_p))
     return wd.value, hd.value, arr

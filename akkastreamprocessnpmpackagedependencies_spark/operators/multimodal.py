@@ -195,6 +195,7 @@ def decode_image_real(df: DataFrame) -> DataFrame:
         from ..functions.ppm import decode_netpbm
         from ..functions.vp8 import decode_webp_vp8_rgb
         from ..functions.webp import decode_webp
+        from ..functions.webpx import decode_webp_extended
         from ..functions import webplib as _webplib
 
         _webplib_ok = _webplib.available()
@@ -263,13 +264,30 @@ def decode_image_real(df: DataFrame) -> DataFrame:
                             raise
                 if (
                     w is None
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WEBP"
+                    and b[12:16] == b"VP8X"
+                ):
+                    # extended VP8X still images decode in-container
+                    # (functions/webpx.py: ALPH raw/lossless alpha with
+                    # all three prediction filters + inner VP8/VP8L) —
+                    # shapes it rejects (animation, lossy-preprocessed
+                    # alpha) fall through to libwebp/PIL
+                    try:
+                        w, h, c, arr = decode_webp_extended(b)
+                        mean = float(int(arr.sum(dtype=np.int64))) / arr.size
+                    except ValueError:
+                        if _pil_image is None and not _webplib_ok:
+                            raise
+                if (
+                    w is None
                     and _webplib_ok
                     and b[:4] == b"RIFF"
                     and b[8:12] == b"WEBP"
                 ):
                     # system libwebp (ctypes, functions/webplib.py): the
-                    # in-container path for extended (VP8X) and other
-                    # wild WebP shapes outside pure-Python scope
+                    # in-container path for the remaining wild WebP
+                    # shapes outside pure-Python scope
                     try:
                         w, h, arr = _webplib.decode_rgb(b)
                         c = 3
