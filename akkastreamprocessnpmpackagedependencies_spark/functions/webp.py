@@ -65,7 +65,18 @@ from . import webp_transforms as _wt
 
 # ---------------------------------------------------------------- bits
 
-_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+# RFC 9649 kCodeLengthCodeOrder — NOTE symbol 16 sits NINTH, not last.
+# Round 15: the original transcription had 16 at the end; the shared
+# encoder/decoder constant kept every self-round-trip green for seven
+# rounds while making real-world interop silently impossible (streams
+# whose code-length code uses >8 order slots misparse in either
+# direction). Caught the first time an independent implementation was
+# available to test against (libwebp rejected our streams; its own
+# streams hit Kraft violations here), pinned by locating the constant
+# in the reference binary. The conformance tests in test_webp.py now
+# cross-validate both directions against libwebp whenever it is
+# present, so this class of bug cannot survive a round again.
+_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 _MAX_ALLOWED_CODE_LENGTH = 15
 
 

@@ -1079,3 +1079,46 @@ def test_real_codec_queries_widen_single_split_scans(spark, sf_dir):
         mm.multimodal_decode_features(spark, sf_dir).rdd.getNumPartitions()
         < target
     ), "fake codec should stay on the narrow scan"
+
+
+def test_decode_image_real_on_lossy_vp8_payloads(spark):
+    """Round 15: lossy WebP (VP8 keyframe) payloads decode in-container
+    through the pure RFC 6386 decoder; features must equal the numpy
+    ground truth computed from the SAME deterministic decode path
+    (YUV bit-exactness vs libwebp is test_vp8.py's job)."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions import vp8 as V
+    from akkastreamprocessnpmpackagedependencies_spark.functions import webplib as wl
+
+    if not wl.available():
+        pytest.skip("system libwebp not present to encode fixtures")
+    rng = np.random.default_rng(15)
+    rows, truth = [], {}
+    for doc_id, (w, h, q) in enumerate([(24, 16, 40), (33, 9, 80), (16, 16, 100)]):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        payload = wl.encode_rgb(img, q)
+        dw, dh, dc, arr = V.decode_webp_vp8_rgb(payload)
+        rows.append((doc_id, bytearray(payload)))
+        truth[doc_id] = (dw, dh, 3, float(int(arr.sum(dtype=np.int64))) / arr.size)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.mean_intensity)
+        for r in mm.decode_image_real(df).collect()
+    }
+    assert got == pytest.approx(truth)
+
+
+def test_multimodal_decode_vp8_query_all_exact(spark, sf_dir):
+    """The registered query's invariant at test scale: every document's
+    pure-Python decode agrees bit-exactly with libwebp, dims follow the
+    doc_id formulas."""
+    from akkastreamprocessnpmpackagedependencies_spark.functions import webplib as wl
+
+    if not wl.available():
+        pytest.skip("system libwebp not present")
+    rows = mm.multimodal_decode_vp8(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.yuv_exact == 1 for r in rows)
+    assert all(
+        (r.width, r.height) == (16 + r.doc_id % 33, 8 + r.doc_id % 17)
+        for r in rows
+    )

@@ -510,3 +510,70 @@ def test_fuzz_truncated_valid_streams_raise_value_error(seed, cut):
         return
     with pytest.raises(ValueError):
         decode_webp(good[:k])
+
+
+# ---------------------------------------------------------------------------
+# Round 15: TWO-WAY interop with the system libwebp — the independent
+# implementation the shared-author round trips could never substitute
+# for. The code-length-order transcription bug (symbol 16 ninth, not
+# last) survived seven rounds of self-round-trips and died the first
+# time these tests could exist; they are permanent so that class of
+# bug cannot return.
+
+def _libwebp_or_skip():
+    import pytest
+
+    from akkastreamprocessnpmpackagedependencies_spark.functions import webplib
+
+    if not webplib.available():
+        pytest.skip("system libwebp not present")
+    return webplib
+
+
+@pytest.mark.parametrize("mode_kwargs", MODES)
+def test_interop_my_encodes_decode_in_libwebp(mode_kwargs):
+    """Every encoder bitstream shape must be accepted BIT-EXACTLY by
+    libwebp's decoder."""
+    wl = _libwebp_or_skip()
+    rng = np.random.default_rng(53)
+    px = rng.integers(0, 256, (16, 20, 3)).astype(np.uint8)
+    data = encode_webp(20, 16, px.tobytes(), 3, **mode_kwargs)
+    rw, rh, ref = wl.decode_rgb(data)
+    assert (rw, rh) == (20, 16)
+    assert np.array_equal(ref, px)
+
+
+def test_interop_real_libwebp_streams_decode_here():
+    """Real libwebp lossless encodes (palette transforms, its own
+    predictor/cross-color choices, multi-group codes) must decode
+    BIT-EXACTLY in the pure decoder across content families."""
+    import ctypes
+
+    wl = _libwebp_or_skip()
+    lib = ctypes.CDLL("libwebp.so.7")
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        w = int(rng.integers(4, 70))
+        h = int(rng.integers(4, 70))
+        if i % 3 == 0:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif i % 3 == 1:
+            g = (np.indices((h, w)).sum(0) % 31 * 8).astype(np.uint8)
+            img = np.stack([g, g // 2, 255 - g], -1)
+        else:
+            img = rng.integers(0, 4, (h, w, 3)).astype(np.uint8) * 80
+        out = ctypes.c_void_p()
+        n = lib.WebPEncodeLosslessRGB(
+            np.ascontiguousarray(img).tobytes(), w, h, w * 3, ctypes.byref(out)
+        )
+        real = ctypes.string_at(out.value, n)
+        lib.WebPFree(out)
+        dw, dh, dc, arr = decode_webp(real)
+        assert (dw, dh) == (w, h), i
+        got = arr[:, :, :3] if dc == 4 else arr
+        assert np.array_equal(got, img), i
