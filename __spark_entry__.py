@@ -38,78 +38,48 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
 # row exists). Prior windows live in git history (this list is rewritten
 # every round).
 _PRIORITY = [
-    # flagship stays pinned in-window every round
+    # Round-16 window, built ON MAIN from the reconciled evidence ledger
+    # (the round-15 ledger was written against a window the driver never
+    # measured; tools/evidence.json now records exactly the 50 rows in
+    # CORRECTNESS_r15.json). Demand: flagship + 2 NEW queries
+    # (containment_prefix_pairs, neardup_source_matrix — round 15's
+    # additions, never driver-checked) + 1 fingerprint-moved query
+    # (multimodal_decode_webp — the VP8L code-length-order fix rewrote
+    # functions/webp.py after its last r14 row) + all 46 r12-aged rows
+    # = exactly 50. The 4 r13-aged rows (asof_purchase_signup +
+    # the trio source_mixing_weights/token_rarity_scores/
+    # zorder_bucket_profile) are displaced one round under machine
+    # promises: `driver_check.py --must-rotate 17` has been RUN and
+    # committed, so --evidence-update 17 refuses any window without them.
+    # Pre-handoff gate: `driver_check.py --handoff 16` must be green on
+    # the exact checkout the driver measures (main, nothing staged).
     "npm_dependency_counts",
-    # round 16 slot arithmetic, staged on the r16-staging branch during
-    # round 15 (the proven two-phase pattern, third consecutive round)
-    # and derived from the round-15 plan's recorded post-r15 histogram
-    # (r13:48, r14:50, r15:50 — re-verify against tools/evidence.json
-    # after round 15's --evidence-update lands). Demand this round is
-    # OVER-subscribed by 3: 1 flagship + 1 NEW query
-    # (multimodal_decode_vp8 — the lossy-VP8 conformance invariant,
-    # driver-faithful green at sf0.01 AND value-multiset green at sf0.1
-    # on this branch) + 3 fingerprint-moved queries
-    # (multimodal_decode_real/png/jpeg — the decode dispatch gained the
-    # in-container lossy-VP8 + libwebp paths) + all 48 r13-aged rows
-    # = 53. Resolution: the 3 alphabetically-LAST r13-aged rows
-    # (source_mixing_weights, token_rarity_scores,
-    # zorder_bucket_profile) are displaced ONE round with machine-
-    # enforced promises — AT MERGE TIME run
-    #   python tools/driver_check.py --must-rotate 17 \
-    #     source_mixing_weights token_rarity_scores zorder_bucket_profile
-    # and commit evidence.json, so --evidence-update 16 refuses any
-    # window that forgets them in r17. They reach age 4 once — the
-    # registry (148 rows) is near the 3x50 window capacity, so a
-    # 3-fingerprint edit cannot fit without a one-round bow wave; the
-    # hard staleness gate stays green throughout (their fingerprints
-    # are unchanged). NOTE: `--window-budget 16` run ON THIS BRANCH
-    # reports containment_prefix_pairs/neardup_source_matrix as
-    # missing mandatory rows — a branch-local false positive: the
-    # branch's evidence.json predates round 15, so the gate still sees
-    # them as new. After main's round-15 --evidence-update merges in,
-    # they carry r15 rows and the gate is green; re-run it at merge
-    # time to confirm.
-    "multimodal_decode_vp8",
-    "multimodal_decode_real", "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    # the alphabetically-first 45 of the 48 r13-aged rows
-    *[
-      "bigram_lm_probs", "bm25_topk_docs",
-      "case_bucketing", "chargram_jaccard_pairs",
-      "chunk_documents", "contamination_ngram_hits",
-      "corpus_budget_select", "corpus_pipeline_verdicts",
-      "cosine_topk_bruteforce", "cosine_topk_ivf",
-      "cosine_topk_lsh", "cube_qty",
-      "dataset_shuffle_order", "dataset_split_assign",
-      "dedup_exact_hash", "dedup_incremental",
-      "deterministic_sample", "dominant_part_suppliers",
-      "dq_expectations", "duplicate_ngram_overlap",
-      "embedding_covariance", "embedding_pca_project",
-      "equi_depth_deciles", "events_funnel_conversion",
-      "events_mad_outliers", "events_retention_cohorts",
-      "fuzzy_dedup_keep_one", "key_skew_profile",
-      "kmeans_assignments", "kmeans_clusters",
-      "length_weighted_sample", "min_cost_supplier",
-      "minhash_lsh_neardup", "nation_pair_trade",
-      "neardup_clusters", "part_supplier_variety",
-      "part_value_concentration", "pricing_summary",
-      "rollup_qty", "scd2_user_tiers",
-      "session_concurrency_hourly", "set_intersect",
-      "shipping_delay_priority", "simhash_candidate_pairs",
-      "snapshot_diff",
-    ],
-    # Round-17 rotation plan (recorded per standing practice): after
-    # round 16 the histogram is r13:4 (the displaced, promise-bound
-    # quartet), r14:50, r15:50, r16:50 minus overlaps -> r17 demand =
-    # flagship + the 4 due promises + the 45 alphabetically-first
-    # r14-aged rows = 50, displacing the last 4 r14-aged rows with
-    # fresh --must-rotate 18 promises (re-derive from evidence.json
-    # after round 16's --evidence-update; the bow wave amortizes as
-    # rounds add fewer fingerprint-moving edits).
-    # Fingerprint-moving edits remain window-mandatory; other new work
-    # should land as appended operator functions or streaming ops
-    # (streaming/pipeline.py is outside queries() fingerprints —
-    # verified empirically in rounds 9, 10, and 13).
+    "containment_prefix_pairs", "neardup_source_matrix",
+    "multimodal_decode_webp",
+    # the 46 r12-aged rows (entire r12 cohort rotates out this round)
+    "array_funcs", "asof_cogroup_pandas",
+    "bracket_revenue", "customer_churn_full_outer",
+    "customer_order_counts", "customers_without_big_orders",
+    "distinct_aggs", "doc_perplexity_bigram",
+    "embedding_neardup_pairs", "embedding_pq_codes",
+    "embedding_quantize_int8", "events_error_context_5m",
+    "events_value_rolling_1h", "forecast_revenue",
+    "grouping_sets_qty", "idle_rich_customers",
+    "large_volume_customers", "late_shipment_suppliers",
+    "local_supplier_revenue", "nation_market_share",
+    "npm_reverse_dependency_counts", "order_gap_days",
+    "pack_sequences", "pivot_linestatus",
+    "pq_adc_topk", "priority_with_returns",
+    "product_profit_by_nation_year", "promo_revenue_ratio",
+    "quality_filter_composite", "repetition_signals",
+    "returned_item_customers", "running_quantity_by_supplier",
+    "skew_salted_join", "small_qty_part_revenue",
+    "split_leakage_audit", "stats_moments",
+    "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
+    "top_bigram_share", "top_orders_global",
+    "top_orders_per_customer", "top_revenue_suppliers",
+    "top_unshipped_orders", "topk_per_customer_agg",
+    "unpivot_part_metrics", "window_rank_variants",
 ]
 
 
