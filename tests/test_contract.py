@@ -53,6 +53,45 @@ def test_no_stale_evidence_outside_driver_window():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_ledger_promise_matches_live_window():
+    """The round the ledger most recently stamped (--evidence-update N)
+    must promise EXACTLY the registry's first-50 on this checkout, with
+    fingerprints matching current code. This is the invariant the
+    round-15 handoff broke (the driver measured a staged branch whose
+    window the ledger never promised); `driver_check.py --handoff N`
+    re-checks it plus the git-state rules at round end, but this half is
+    git-free so plain pytest catches a drifted stamp mid-round too."""
+    import json
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        import driver_check as dc
+    finally:
+        sys.path.pop(0)
+
+    recorded = {
+        k: v for k, v in json.load(open(root / "tools" / "evidence.json")).items()
+        if not k.startswith("_")
+    }
+    latest = max(v["round"] for v in recorded.values())
+    stamped = {k for k, v in recorded.items() if v["round"] == latest}
+    names, cur = dc._current_fingerprints()
+    window = set(names[: dc.DRIVER_WINDOW])
+    assert stamped == window, (
+        f"round-{latest} stamp != live window: "
+        f"stamped-only={sorted(stamped - window)}, "
+        f"window-only={sorted(window - stamped)}"
+    )
+    moved = sorted(n for n in window if recorded[n]["fp"] != cur[n])
+    assert not moved, (
+        f"fingerprints moved since the round-{latest} stamp: {moved} "
+        f"(re-run --evidence-update {latest})"
+    )
+
+
 def test_entry_runs_and_is_stable(spark):
     out = entrymod.entry(spark)
     rows = out.collect()

@@ -22,6 +22,14 @@ Usage: python tools/driver_check.py [sf_dir] [name ...]
        python tools/driver_check.py --staleness
        python tools/driver_check.py --window-budget N
        python tools/driver_check.py --evidence-update N
+       python tools/driver_check.py --handoff N
+
+``--handoff N`` is the round-end gate (round-15 verdict: the driver
+measured a staged branch whose window the ledger never promised): it
+FAILS unless, on this exact checkout, main is the only branch and is
+clean, evidence.json's round-N stamp equals the live first-50 with
+current fingerprints, staleness/budget are green, and a green full
+oracle pass exists for this exact source content.
 
 ``--window-budget N`` is the mechanical slot-arithmetic gate: it FAILS
 when the round-N mandatory set (pinned flagship + new + fingerprint-
@@ -673,8 +681,128 @@ def must_rotate(round_no: int, names: list[str]) -> None:
     print(f"evidence.json: {len(names)} queries promised a fresh row by round {round_no}")
 
 
+def handoff_checks(round_no: int) -> list[str]:
+    """Pure core of --handoff: every machine-checkable invariant the
+    round-end handoff must satisfy ON THE EXACT CHECKOUT the driver will
+    measure. Returns a list of failures (empty = green). Split from the
+    CLI wrapper so tests can exercise it without exiting."""
+    import subprocess
+
+    failures: list[str] = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _git(*argv: str) -> str:
+        return subprocess.run(
+            ["git", "-C", root, *argv], capture_output=True, text=True, check=True
+        ).stdout.strip()
+
+    # 1. The measured branch is the ONLY branch, and it is main, clean.
+    #    (Round-15 failure mode: r16-staging left checked out at round end,
+    #    so the driver measured a window the ledger never promised.)
+    branch = _git("branch", "--show-current")
+    if branch != "main":
+        failures.append(f"checked-out branch is {branch!r}, not 'main'")
+    others = [
+        b.lstrip("* ").strip()
+        for b in _git("branch", "--list").splitlines()
+        if b.lstrip("* ").strip() != "main"
+    ]
+    if others:
+        failures.append(
+            f"staged branches still exist: {others} — merge or delete them; "
+            "nothing may be staged on a branch at round end"
+        )
+    dirty = _git("status", "--porcelain")
+    if dirty:
+        failures.append(f"worktree not clean:\n{dirty}")
+
+    # 2. The ledger's promise for this round is EXACTLY the registry's
+    #    first-50 on this checkout — what --evidence-update stamped must be
+    #    what the driver will measure here.
+    names, cur = _current_fingerprints()
+    recorded = _load_evidence()
+    stamped = {
+        n for n, rec in recorded.items()
+        if not n.startswith("_") and rec.get("round") == round_no
+    }
+    window = set(names[:DRIVER_WINDOW])
+    if stamped != window:
+        failures.append(
+            f"evidence.json round-{round_no} stamp != live first-{DRIVER_WINDOW}: "
+            f"stamped-not-in-window={sorted(stamped - window)}, "
+            f"in-window-unstamped={sorted(window - stamped)} "
+            f"(re-run --evidence-update {round_no} after any window edit)"
+        )
+    # ...and the stamped fingerprints are the CURRENT code's fingerprints.
+    moved = sorted(
+        n for n in (stamped & window)
+        if recorded[n]["fp"] != cur[n]
+    )
+    if moved:
+        failures.append(
+            f"fingerprints moved since the round-{round_no} stamp: {moved} "
+            f"(code changed after --evidence-update {round_no}; re-stamp)"
+        )
+
+    # 3. Staleness + slot budget, same predicates as the standalone gates.
+    stale = [
+        n for n in names
+        if (recorded.get(n) is None or recorded[n]["fp"] != cur[n])
+        and n not in window
+    ]
+    if stale:
+        failures.append(f"stale evidence outside the window: {stale}")
+    demand, over, outside = window_budget_demand(names, cur, recorded, round_no)
+    if over > 0:
+        failures.append(f"window over budget by {over}: mandatory {demand}")
+    if outside:
+        failures.append(f"mandatory queries outside the window: {outside}")
+
+    # 4. A green FULL oracle pass exists for this exact source content.
+    if not os.path.exists(PASS_FILE):
+        failures.append(
+            "no recorded green full pass (.last_full_pass.json missing) — "
+            "run `python tools/driver_check.py <sf_dir>` with zero failures"
+        )
+    else:
+        with open(PASS_FILE) as f:
+            rec_pass = json.load(f)
+        if "src" not in rec_pass:
+            failures.append("recorded full pass predates content digests — re-run it")
+        else:
+            cur_src = _source_digests()
+            changed = sorted(
+                {k for k in cur_src if cur_src[k] != rec_pass["src"].get(k)}
+                | (set(rec_pass["src"]) - set(cur_src))
+            )
+            if changed:
+                failures.append(
+                    "sources changed since the last green full pass: "
+                    f"{changed} — re-run the full oracle pass"
+                )
+    return failures
+
+
+def handoff(round_no: int) -> None:
+    """Round-end gate (round-15 verdict item 2): refuse the handoff unless
+    every invariant in handoff_checks() holds on this exact checkout."""
+    failures = handoff_checks(round_no)
+    if failures:
+        print(f"HANDOFF r{round_no}: NOT READY — {len(failures)} failure(s):")
+        for msg in failures:
+            print(f"  - {msg}")
+        sys.exit(1)
+    print(
+        f"handoff r{round_no} ok: main-only clean checkout, ledger promise == "
+        f"live window, fingerprints current, budget green, full pass green"
+    )
+    sys.exit(0)
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "--handoff":
+        handoff(int(args[1]))
     if args and args[0] == "--staleness":
         staleness()
     if args and args[0] == "--evidence-update":
