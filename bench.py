@@ -67,6 +67,7 @@ PYWORKER_QUERIES = frozenset({
     "multimodal_decode_jpeg",
     "multimodal_decode_png",
     "multimodal_decode_real",
+    "multimodal_decode_vp8",
     "multimodal_decode_webp",
     "multimodal_frame_sample",
     "pca_project_fixed_basis",
@@ -264,6 +265,9 @@ HEADLINE = [
     # containment join + near-dup source matrix
     "containment_prefix_pairs",
     "neardup_source_matrix",
+    # round-16 addition (round-15 verdict item 3): the lossy-VP8
+    # conformance decode, so the full decode family's cost is tracked
+    "multimodal_decode_vp8",
 ]
 
 
