@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from akkastreamprocessnpmpackagedependencies_spark.fixtures import FIXTURES_DIR
 from akkastreamprocessnpmpackagedependencies_spark.operators import npm
+from akkastreamprocessnpmpackagedependencies_spark.operators.advisor import REG as ADV
 from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import REG as DEDUP
 from akkastreamprocessnpmpackagedependencies_spark.operators.multimodal import REG as MM
 from akkastreamprocessnpmpackagedependencies_spark.operators.quality import REG as QUAL
@@ -26,7 +27,7 @@ from akkastreamprocessnpmpackagedependencies_spark.operators.textops import REG 
 from akkastreamprocessnpmpackagedependencies_spark.operators.timeseries import REG as TS
 from akkastreamprocessnpmpackagedependencies_spark.operators.udx import REG as UDX
 
-_MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX]
+_MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX, ADV]
 
 # The driver's correctness gate consumes registry entries IN ORDER (it
 # checks exactly the first 50), so ordering is evidence policy governed by
@@ -56,7 +57,11 @@ _PRIORITY = [
     "npm_dependency_counts",
     "containment_prefix_pairs", "neardup_source_matrix",
     "multimodal_decode_webp",
-    # the 46 r12-aged rows (entire r12 cohort rotates out this round)
+    # round-16 NEW operator (verdict item 4): the skew-aware join-strategy
+    # advisor. Its slot displaces window_rank_variants (alphabetically
+    # last of the 46 r12-aged) under a --must-rotate 17 promise.
+    "join_strategy_advisor",
+    # 45 of the 46 r12-aged rows (window_rank_variants promised r17)
     "array_funcs", "asof_cogroup_pandas",
     "bracket_revenue", "customer_churn_full_outer",
     "customer_order_counts", "customers_without_big_orders",
@@ -79,7 +84,7 @@ _PRIORITY = [
     "top_bigram_share", "top_orders_global",
     "top_orders_per_customer", "top_revenue_suppliers",
     "top_unshipped_orders", "topk_per_customer_agg",
-    "unpivot_part_metrics", "window_rank_variants",
+    "unpivot_part_metrics",
 ]
 
 

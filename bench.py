@@ -268,6 +268,8 @@ HEADLINE = [
     # round-16 addition (round-15 verdict item 3): the lossy-VP8
     # conformance decode, so the full decode family's cost is tracked
     "multimodal_decode_vp8",
+    # round-16 addition (verdict item 4): the join-strategy advisor
+    "join_strategy_advisor",
 ]
 
 

@@ -913,7 +913,7 @@ def test_stateful_user_counts_tws_matches_v1_or_names_missing_dep(spark, sf_dir,
         assert "google.protobuf" in str(ex)
         pytest.skip(
             "protobuf not in this container; operator guarded "
-            "(re-probed round 15, 2026-08-16: `import google.protobuf` "
+            "(re-probed round 16, 2026-08-16: `import google.protobuf` "
             "still raises ModuleNotFoundError)"
         )
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
