@@ -2524,6 +2524,7 @@ def write_exact_dedup_gated(
     bloom_expected_keys: int | None = None,
     bloom_min_ratio: float | None = None,
     wide_writes: bool | None = None,
+    ledger_path: str | None = None,
 ):
     """EXACT-duplicate streaming ingestion gate — the cheap front door a
     training pipeline runs BEFORE the near-dup LSH gate
@@ -2636,6 +2637,14 @@ def write_exact_dedup_gated(
     corpus directory present but FILE-LESS, where schema inference
     throws — such a directory now reads as an empty corpus, while a
     populated-but-drifted one still fails loudly through inference."""
+    # ``ledger_path`` (round 16) maintains the incremental SNAPSHOT
+    # LEDGER alongside the corpus: one cumulative (n_docs, digest-xor
+    # fingerprint, bytes) row per touched bucket per batch, so
+    # "what changed between ingest versions V1 and V2" is an O(buckets)
+    # ledger join (``snapshot_ledger_diff``) instead of a corpus-scale
+    # full-outer join — the grouping-aware incremental twin of the batch
+    # ``snapshot_diff`` operator (operators/relational.py:1815). See the
+    # ledger section below for schema, crash ordering, and healing.
     from ..functions.text import norm_expr
 
     if bloom_bits is None:
@@ -2654,6 +2663,7 @@ def write_exact_dedup_gated(
     bloom_sidecar = corpus_path.rstrip("/") + "_bloom"
     bloom_state: dict[str, object] = {"bits": None, "n_est": 0.0,
                                       "fill_warned": False}
+    ledger_state: dict[str, object] = {"reconciled": False, "appends": None}
 
     def _note_fill(where: str) -> None:
         """Refresh the fill-derived key estimate and fire the one-shot
@@ -2725,6 +2735,13 @@ def write_exact_dedup_gated(
         )
         wide = _resolve_wide(wide_writes, batch_rows)
         corpus_exists = table_has_data(spark, corpus_path)
+        if ledger_path is not None and not ledger_state["reconciled"]:
+            # FIRST batch of a (re)started stream, BEFORE this batch's
+            # append: heal the ledger's only crash window (corpus append
+            # landed, ledger append did not — a replay admits 0 rows, so
+            # without this the divergence would be permanent)
+            _ledger_reconcile(spark, corpus_path, ledger_path)
+            ledger_state["reconciled"] = True
         prefilter_active = False
         if bloom_prefilter:
             import numpy as np
@@ -2851,8 +2868,222 @@ def write_exact_dedup_gated(
         shaped.write.mode("append").partitionBy("dig_bucket").parquet(
             corpus_path
         )
+        if ledger_path is not None:
+            _ledger_append_batch(
+                spark, keep, ledger_path, int(batch_id), ledger_state
+            )
 
     return docs.writeStream.foreachBatch(_ingest)
+
+
+# ------------------------------------- incremental snapshot ledger
+
+LEDGER_COLS = ["dig_bucket", "version", "n_docs", "fp", "bytes_sum"]
+LEDGER_COMPACT_EVERY = 16
+
+
+def _ledger_partial(rows: DataFrame) -> DataFrame:
+    """Per-bucket abelian summary of a set of corpus rows: row count,
+    xor-fold of the digest hashes (order- and partition-independent),
+    and total text bytes. Every column is a commutative-group aggregate,
+    so a batch partial merges into the previous cumulative state by
+    (+, xor, +) without touching the corpus — the property the whole
+    incremental design leans on. The exact gate guarantees each digest
+    appears ONCE in the corpus, so the xor fingerprint is well-defined
+    (a multiset would let pairs cancel). dig_bucket is cast to long
+    explicitly: read back from the corpus it is an int32 PARTITION
+    column, in-flight it is xxhash64-derived int64, and mixed-width
+    ledger files fail the vectorized parquet reader."""
+    rows = rows.withColumn("dig_bucket", F.col("dig_bucket").cast("long"))
+    return rows.groupBy("dig_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.bit_xor(F.xxhash64("digest")).alias("fp"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long").alias("bytes_sum"),
+    )
+
+
+def ledger_recompute(
+    spark: SparkSession, corpus_path: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Ground-truth per-bucket state from the corpus itself — the "full
+    rebuild" side of the incremental-vs-rebuild validation the batch
+    ``snapshot_diff`` docstring describes. With ``buckets`` the read
+    partition-prunes to exactly those buckets (the corpus is
+    PARTITIONED BY dig_bucket), which is what makes healing grouping-
+    aware instead of corpus-scale."""
+    c = spark.read.parquet(corpus_path)
+    if buckets is not None:
+        c = c.filter(F.col("dig_bucket").isin([int(b) for b in buckets]))
+    return _ledger_partial(c)
+
+
+def snapshot_ledger_state(
+    spark: SparkSession, ledger_path: str, version: int | None = None
+) -> DataFrame:
+    """Corpus snapshot state AT ``version`` (latest when None): per
+    bucket, the ledger row with the highest version <= V — rows are
+    cumulative, so no fold over history is needed. O(ledger) work; the
+    ledger holds one row per (batch, touched bucket), never
+    corpus-proportional. The per-bucket row_number window partitions on
+    dig_bucket, so it parallelizes across buckets."""
+    from pyspark.sql.window import Window
+
+    led = spark.read.parquet(ledger_path)
+    if version is not None:
+        led = led.filter(F.col("version") <= int(version))
+    w = Window.partitionBy("dig_bucket").orderBy(F.col("version").desc())
+    return (
+        led.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def snapshot_ledger_diff(
+    spark: SparkSession, ledger_path: str, v_old: int,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Grouping-aware snapshot diff: what the corpus gained between
+    ingest versions ``v_old`` and ``v_new`` (latest when None), as one
+    row PER CHANGED BUCKET — untouched buckets never appear and never
+    cost I/O. Columns: dig_bucket, change_type ('new_bucket' | 'grown'),
+    n_added, bytes_added, fp_old, fp_new. The corpus is append-only
+    under the exact gate, so buckets only grow; a 'removed'/'changed'
+    classification (batch ``snapshot_diff``) cannot arise, and
+    fp_old != fp_new certifies the content actually changed rather than
+    merely the count. At 100 TB this is two O(buckets) ledger reads and
+    one bucket-keyed join — the corpus itself is never opened."""
+    old = snapshot_ledger_state(spark, ledger_path, v_old).select(
+        "dig_bucket", F.col("n_docs").alias("n_old"),
+        F.col("fp").alias("fp_old"), F.col("bytes_sum").alias("b_old"),
+    )
+    new = snapshot_ledger_state(spark, ledger_path, v_new).select(
+        "dig_bucket", F.col("n_docs").alias("n_new"),
+        F.col("fp").alias("fp_new"), F.col("bytes_sum").alias("b_new"),
+    )
+    j = new.join(old, "dig_bucket", "left_outer")
+    return (
+        j.filter(
+            F.col("n_old").isNull()
+            | (F.col("n_new") != F.col("n_old"))
+            | (F.col("fp_new") != F.col("fp_old"))
+        )
+        .select(
+            "dig_bucket",
+            F.when(F.col("n_old").isNull(), "new_bucket")
+            .otherwise("grown").alias("change_type"),
+            (F.col("n_new") - F.coalesce(F.col("n_old"), F.lit(0)))
+            .alias("n_added"),
+            (F.col("b_new") - F.coalesce(F.col("b_old"), F.lit(0)))
+            .alias("bytes_added"),
+            "fp_old", "fp_new",
+        )
+    )
+
+
+def _ledger_versions(spark: SparkSession, ledger_path: str) -> int:
+    """Highest version in the ledger, -1 when absent/empty."""
+    if not table_has_data(spark, ledger_path):
+        return -1
+    row = spark.read.parquet(ledger_path).agg(F.max("version")).first()
+    return -1 if row[0] is None else int(row[0])
+
+
+def _ledger_reconcile(
+    spark: SparkSession, corpus_path: str, ledger_path: str
+) -> None:
+    """Heal the ledger at stream (re)start, BEFORE the first batch's
+    corpus append — at that moment ledger and corpus must agree exactly,
+    so any divergence is the crash window (corpus append landed, ledger
+    append did not). Detection is cheap: per-bucket corpus row counts
+    (a scan of the partition column only) against the ledger state;
+    only divergent buckets are recomputed, partition-pruned. A missing
+    ledger over a populated corpus bootstraps via full recompute
+    (version 0), so the ledger can be adopted by a pre-existing corpus.
+    The reverse divergence — a ledger bucket the corpus lacks — cannot
+    arise from the gate's write ordering (corpus first) and is left to
+    fail loudly in validation rather than silently "healed"."""
+    corpus_live = table_has_data(spark, corpus_path)
+    if not table_has_data(spark, ledger_path):
+        if corpus_live:
+            rows = ledger_recompute(spark, corpus_path).withColumn(
+                "version", F.lit(0).cast("long")
+            )
+            rows.select(*LEDGER_COLS).coalesce(1).write.mode(
+                "append"
+            ).parquet(ledger_path)
+        return
+    if not corpus_live:
+        return
+    state = snapshot_ledger_state(spark, ledger_path)
+    counts = spark.read.parquet(corpus_path).groupBy("dig_bucket").count()
+    divergent = [
+        int(r.dig_bucket)
+        for r in counts.join(state, "dig_bucket", "left_outer")
+        .filter(F.col("n_docs").isNull() | (F.col("count") != F.col("n_docs")))
+        .select("dig_bucket")
+        .collect()  # O(buckets) control-plane read, never row-proportional
+    ]
+    if not divergent:
+        return
+    v = _ledger_versions(spark, ledger_path) + 1
+    corrected = ledger_recompute(spark, corpus_path, divergent).withColumn(
+        "version", F.lit(v).cast("long")
+    )
+    corrected.select(*LEDGER_COLS).coalesce(1).write.mode("append").parquet(
+        ledger_path
+    )
+
+
+def _ledger_append_batch(
+    spark: SparkSession, admitted: DataFrame, ledger_path: str,
+    batch_id: int, state: dict,
+) -> None:
+    """Fold one batch's admitted rows into the ledger: per touched
+    bucket, write a NEW CUMULATIVE row at a version strictly above every
+    existing one (``max(batch_id, current_max + 1)`` — batch ids restart
+    at 0 under a fresh checkpoint, so batch_id alone could collide). A
+    batch that admitted nothing writes nothing: the state carries
+    forward implicitly, keeping the ledger proportional to *useful*
+    ingestion. Runs AFTER the corpus append (the gate's only ordered
+    pair); the crash window between the two is healed by
+    ``_ledger_reconcile`` at next start. Appends compact through
+    ``_append_or_compact`` every LEDGER_COMPACT_EVERY batches, bounding
+    the file count across restarts (the counter seeds from the live
+    file count, same idiom as the global-sketch sinks)."""
+    partial = _ledger_partial(admitted).localCheckpoint()
+    if not partial.take(1):
+        return
+    cur_max = _ledger_versions(spark, ledger_path)
+    version = max(int(batch_id), cur_max + 1)
+    if cur_max >= 0:
+        prev = snapshot_ledger_state(spark, ledger_path).select(
+            "dig_bucket", F.col("n_docs").alias("n_prev"),
+            F.col("fp").alias("fp_prev"),
+            F.col("bytes_sum").alias("b_prev"),
+        )
+        merged = partial.join(prev, "dig_bucket", "left_outer").select(
+            "dig_bucket",
+            (F.col("n_docs") + F.coalesce(F.col("n_prev"), F.lit(0)))
+            .alias("n_docs"),
+            F.coalesce(F.col("fp_prev"), F.lit(0)).bitwiseXOR(F.col("fp"))
+            .alias("fp"),
+            (F.col("bytes_sum") + F.coalesce(F.col("b_prev"), F.lit(0)))
+            .alias("bytes_sum"),
+        )
+    else:
+        merged = partial
+    out = merged.withColumn("version", F.lit(version).cast("long")).select(
+        *LEDGER_COLS
+    )
+    if state.get("appends") is None:
+        state["appends"] = [max(fs_count_data_files(spark, ledger_path), 1)]
+    _append_or_compact(
+        out, ledger_path,
+        "dig_bucket long, version long, n_docs long, fp long, bytes_sum long",
+        state["appends"], LEDGER_COMPACT_EVERY,
+    )
 
 
 # ------------------------------------------- decontamination gate
