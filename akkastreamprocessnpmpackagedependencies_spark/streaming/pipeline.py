@@ -3102,6 +3102,101 @@ def _ledger_append_batch(
     )
 
 
+def _fs_list_dirs(spark: SparkSession, path: str, prefix: str) -> list[str]:
+    """Non-hidden directory names under ``path`` starting with ``prefix``
+    (empty when the path is absent) — the bucket census for compaction."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+
+
+def _compact_recover_corpus(spark: SparkSession, corpus_path: str) -> None:
+    """Heal an interrupted per-bucket compaction. The compaction order is
+    (1) write staging ``.compact_new_<dir>`` (hidden — Spark readers
+    ignore dot-prefixed entries, so staging INSIDE the table root is
+    invisible), (2) rename the live bucket dir to ``.compact_old_<dir>``,
+    (3) rename staging in as the live dir, (4) delete old. Crash
+    classification by what survives:
+
+    - staging + live both present (crash before (2)): the staging may be
+      stale relative to appends that happened since — delete staging;
+    - staging present, live missing (crash between (2) and (3)): the
+      staging was fully written before the swap began — install it,
+      then drop old;
+    - old present, live present (crash after (3)): drop old;
+    - old present, live missing, no staging (defensive; unreachable
+      through the ordering above): restore old."""
+    root = corpus_path.rstrip("/")
+    for name in _fs_list_dirs(spark, root, ".compact_new_"):
+        live = f"{root}/{name[len('.compact_new_'):]}"
+        if table_exists(spark, live):
+            fs_delete(spark, f"{root}/{name}")
+        else:
+            fs_rename(spark, f"{root}/{name}", live)
+    for name in _fs_list_dirs(spark, root, ".compact_old_"):
+        live = f"{root}/{name[len('.compact_old_'):]}"
+        if table_exists(spark, live):
+            fs_delete(spark, f"{root}/{name}")
+        else:
+            fs_rename(spark, f"{root}/{name}", live)
+
+
+def compact_bucketed_corpus(
+    spark: SparkSession, corpus_path: str, max_files_per_bucket: int = 4,
+    partition_col: str = "dig_bucket", target_files: int = 1,
+) -> list[tuple[str, int, int]]:
+    """Maintenance pass for a bucket-partitioned streaming corpus: every
+    micro-batch append leaves one small file per touched bucket, so a
+    long-lived ingestion accretes the classic small-files problem —
+    probe reads pay per-file open/footer costs that eventually dwarf the
+    data. This rewrites every bucket holding more than
+    ``max_files_per_bucket`` files down to ``target_files``, one bucket
+    at a time, each through the hidden-staging swap described in
+    ``_compact_recover_corpus`` (which runs first, healing any earlier
+    interruption). Returns (bucket_dir, files_before, files_after) per
+    compacted bucket.
+
+    Scale shape: the census is an O(buckets) listing; each rewrite reads
+    ONLY its bucket directory (physically partition-pruned — the path IS
+    the partition) and rewrites it without touching siblings, so the
+    pass costs O(oversized buckets' bytes), not O(corpus). Admission
+    content is untouched: the snapshot ledger's per-bucket (count,
+    digest-xor, bytes) state is invariant under compaction, which
+    ``ledger_recompute`` validates end-to-end in the tests. Run it while
+    the stream is stopped (or between batches from foreachBatch's
+    serial context): the swap assumes no concurrent appends to the
+    bucket being rewritten."""
+    root = corpus_path.rstrip("/")
+    _compact_recover_corpus(spark, root)
+    out: list[tuple[str, int, int]] = []
+    for name in sorted(_fs_list_dirs(spark, root, f"{partition_col}=")):
+        live = f"{root}/{name}"
+        n_files = fs_count_data_files(spark, live)
+        if n_files <= max_files_per_bucket:
+            continue
+        staging = f"{root}/.compact_new_{name}"
+        old = f"{root}/.compact_old_{name}"
+        fs_delete(spark, staging)
+        (
+            spark.read.parquet(live)
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        fs_rename(spark, live, old)
+        fs_rename(spark, staging, live)
+        fs_delete(spark, old)
+        out.append((name, n_files, fs_count_data_files(spark, live)))
+    return out
+
+
 # ------------------------------------------- decontamination gate
 
 DECON_BUCKETS = 64
