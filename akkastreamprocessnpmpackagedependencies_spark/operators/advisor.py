@@ -182,3 +182,109 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+class JoinPlan:
+    """The advisor's decision for one concrete join, with the stats it
+    was derived from — returned by ``plan_join`` so callers can log or
+    override before executing."""
+
+    __slots__ = ("strategy", "n_salts", "dim_rows", "dim_bytes_est",
+                 "n_keys", "max_cnt", "ceil_skew")
+
+    def __init__(self, strategy, n_salts, dim_rows, dim_bytes_est,
+                 n_keys, max_cnt, ceil_skew):
+        self.strategy = strategy
+        self.n_salts = n_salts
+        self.dim_rows = dim_rows
+        self.dim_bytes_est = dim_bytes_est
+        self.n_keys = n_keys
+        self.max_cnt = max_cnt
+        self.ceil_skew = ceil_skew
+
+    def __repr__(self):  # shows up in logs / notebooks
+        return (f"JoinPlan({self.strategy!r}, n_salts={self.n_salts}, "
+                f"dim_rows={self.dim_rows}, dim_bytes_est={self.dim_bytes_est}, "
+                f"ceil_skew={self.ceil_skew})")
+
+
+def _dim_bytes_expr(dim: DataFrame):
+    """Same per-row byte estimate the advisor query renders, derived from
+    the live schema instead of the baked table list: strings cost their
+    length, everything else 8 bytes."""
+    expr = None
+    for f in dim.schema.fields:
+        term = (
+            F.coalesce(F.length(F.col(f.name)), F.lit(0))
+            if f.dataType.typeName() == "string" else F.lit(8)
+        )
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def plan_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    broadcast_bytes: int = _BROADCAST_BYTES, skew_factor: int = _SKEW_FACTOR,
+) -> JoinPlan:
+    """Profile one concrete join the way ``join_strategy_advisor``
+    profiles the schema's edges — two 1-row control-plane reductions
+    (dim size estimate; fact per-key integer ceil-skew) — and return the
+    decision. The two profiling jobs are the price of the pre-flight;
+    at 100 TB they are column-pruned scans reduced map-side, and the
+    answer (broadcast vs salted vs shuffle) moves whole orders of
+    magnitude of shuffle I/O, which is why production planners (AQE
+    included) spend exactly this kind of statistics pass."""
+    drow = dim.agg(
+        F.count("*").cast("long").alias("rows"),
+        F.sum(_dim_bytes_expr(dim)).cast("long").alias("bytes"),
+    ).first()
+    frow = (
+        fact.groupBy(fact_key).agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.floor(
+                (F.max("cnt") * F.count("*") + F.sum("cnt") - F.lit(1))
+                / F.sum("cnt")
+            ).cast("long").alias("ceil_skew"),
+        ).first()
+    )
+    dim_bytes = int(drow.bytes or 0)
+    ceil_skew = int(frow.ceil_skew or 1)
+    if dim_bytes <= broadcast_bytes:
+        strategy, n_salts = "broadcast", 1
+    elif ceil_skew >= skew_factor:
+        strategy = "salted"
+        n_salts = 2
+        while n_salts < min(ceil_skew, 32):
+            n_salts *= 2
+    else:
+        strategy, n_salts = "shuffle", 1
+    return JoinPlan(strategy, n_salts, int(drow.rows), dim_bytes,
+                    int(frow.n_keys), int(frow.max_cnt), ceil_skew)
+
+
+def advised_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    how: str = "inner",
+    broadcast_bytes: int = _BROADCAST_BYTES, skew_factor: int = _SKEW_FACTOR,
+) -> DataFrame:
+    """Close the profile -> plan -> execute loop: run ``plan_join`` and
+    dispatch the equi-join through the chosen physical strategy —
+    ``F.broadcast`` hint, ``relational.salted_join`` with the planned
+    power-of-two salt count, or the plain shuffle join. Value-identical
+    across all three paths (the dispatch-equivalence test forces each
+    with threshold overrides and compares results); only the physical
+    distribution differs. The dim side is renamed to the fact key, so
+    the result carries one join column under ``fact_key`` — the
+    ``skew_salted_join`` convention."""
+    from .relational import salted_join
+
+    d = dim.withColumnRenamed(dim_key, fact_key) if dim_key != fact_key else dim
+    plan = plan_join(fact, d, fact_key, fact_key,
+                     broadcast_bytes=broadcast_bytes, skew_factor=skew_factor)
+    if plan.strategy == "broadcast":
+        return fact.join(F.broadcast(d), fact_key, how)
+    if plan.strategy == "salted":
+        return salted_join(fact, d, fact_key, n_salts=plan.n_salts, how=how)
+    return fact.join(d, fact_key, how)

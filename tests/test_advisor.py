@@ -50,3 +50,42 @@ def test_join_strategy_advisor_key_stats_match_ground_truth(spark, sf_dir):
     sup = load_table(spark, sf_dir, "supplier").toPandas()
     assert out.dim_rows == len(sup)
     assert out.dim_bytes_est == int(sup.s_name.str.len().sum()) + 8 * 3 * len(sup)
+
+
+def test_advised_join_dispatch_equivalence(spark, sf_dir):
+    """All three physical dispatches must be value-identical to the plain
+    join; thresholds force each path."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    want = sorted(
+        map(tuple, li.join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        ).collect())
+    )
+
+    # defaults at test scale: broadcast
+    plan = advisor.plan_join(li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+                             "l_orderkey", "l_orderkey")
+    assert plan.strategy == "broadcast" and plan.n_salts == 1
+    got_b = advisor.advised_join(li, o, "l_orderkey", "o_orderkey")
+    # broadcast_bytes=0 disables broadcast; skew_factor decides the rest
+    plan_s = advisor.plan_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", "l_orderkey", broadcast_bytes=0, skew_factor=1,
+    )
+    assert plan_s.strategy == "salted"
+    assert plan_s.n_salts >= 2 and (plan_s.n_salts & (plan_s.n_salts - 1)) == 0
+    got_s = advisor.advised_join(li, o, "l_orderkey", "o_orderkey",
+                                 broadcast_bytes=0, skew_factor=1)
+    plan_p = advisor.plan_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", "l_orderkey", broadcast_bytes=0, skew_factor=10**9,
+    )
+    assert plan_p.strategy == "shuffle" and plan_p.n_salts == 1
+    got_p = advisor.advised_join(li, o, "l_orderkey", "o_orderkey",
+                                 broadcast_bytes=0, skew_factor=10**9)
+    for got in (got_b, got_s, got_p):
+        assert got.columns == ["l_orderkey", "l_quantity", "o_orderpriority"]
+        assert sorted(map(tuple, got.collect())) == want
