@@ -78,6 +78,8 @@ SHOWCASE = [
     ("chunk_documents", "overlapping token chunking: generate+explode, zero exchanges"),
     ("bigram_lm_probs", "bigram LM stats: partial-agg counts, exact two-phase salted top-K"),
     ("corpus_budget_select", "token-budget selection: ckpt'd scores, bucketed distributed prefix sum"),
+    # round-16 addition
+    ("join_strategy_advisor", "join pre-flight: per-edge 1-row dim-size + ceil-skew reductions, O(edges) output"),
 ]
 
 PREAMBLE_NOTES = """\
