@@ -54,6 +54,11 @@ _PRIORITY = [
     # committed, so --evidence-update 17 refuses any window without them.
     # Pre-handoff gate: `driver_check.py --handoff 16` must be green on
     # the exact checkout the driver measures (main, nothing staged).
+    # Round-17 rotation, from the post-r16 ledger histogram (r12:1,
+    # r13:4 — all five promise-bound — r14:45, r15:49): flagship + the
+    # 5 due promises + 44 of the 45 r14-aged rows = 50, displacing the
+    # alphabetically-last r14 row under a fresh --must-rotate 18. The
+    # bow wave shrinks 5 -> 1.
     "npm_dependency_counts",
     "containment_prefix_pairs", "neardup_source_matrix",
     "multimodal_decode_webp",
