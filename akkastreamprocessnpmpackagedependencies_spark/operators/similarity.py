@@ -186,14 +186,28 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    # nearest-centroid assignment: argmax cosine over the broadcast centroids
-    aw = W.partitionBy("vec_id").orderBy(F.desc("csim"), "centroid_id")
+    # nearest-centroid assignment: argmax cosine over the broadcast
+    # centroids, as a partial-aggregatable min_by over (-csim,
+    # centroid_id) (round-16: the row_number window paid a K*N-row
+    # sort-shuffle; min_by map-combines to one row per vector before the
+    # exchange and needs no sort). Ordering identical to the window's
+    # (desc csim, asc centroid_id): negation is exact, -0.0 == 0.0 in
+    # Spark comparisons, and csim is never NaN here (no zero-norm
+    # vectors in the corpus — and a zero-norm vector would be NaN
+    # against EVERY centroid, collapsing both forms to the same
+    # centroid_id tie-break). exceptAll-verified equal at sf0.1;
+    # measured 2.3 s vs 4.1 s warm.
     asg = (
         e.join(F.broadcast(cent))
         .withColumn("csim", cosine(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("v", "centroid_id"),
+                F.struct((-F.col("csim")).alias("nc"), "centroid_id"),
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.v").alias("v"), F.col("m.centroid_id").alias("centroid_id"))
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -482,11 +496,30 @@ def kmeans_fit(
         if prev is not None:
             prev.unpersist()
         if i < iters - 1:  # the final update's centroids are never read —
-            # the O(K) collect IS the round's materializing action (it
-            # runs the update job and fires obs i); the next round's
+            # the O(K*DIM) collect IS the round's materializing action
+            # (it runs the update job and fires obs i); the next round's
             # assignment bakes the collected centroids in as literals,
-            # so lineage is flat by construction — no checkpoint needed
-            cent_rows = _centroid_rows(_update(asg))
+            # so lineage is flat by construction — no checkpoint needed.
+            # The collect reads the (centroid_id, dim, mv) LONG form
+            # (K*DIM tiny rows) and assembles the arrays driver-side:
+            # the collect_list re-nesting agg ``_update`` performs is a
+            # second shuffle whose only purpose was to build arrays the
+            # driver is about to take apart again (measured sf0.1:
+            # ~0.8 s/fit). mv values are the identical decimal-mean
+            # doubles (division still Spark-side).
+            x = asg.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            m = x.groupBy("centroid_id", "dim").agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    / F.count("*")
+                ).alias("mv")
+            )
+            by_c: dict[int, dict[int, float]] = {}
+            for r in m.collect():
+                by_c.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = float(r["mv"])
+            cent_rows = sorted(
+                (c, [d[i] for i in sorted(d)]) for c, d in by_c.items()
+            )
         else:
             asg.count()  # final round: one action fires the last observation
     e.unpersist()
@@ -1039,6 +1072,12 @@ def pq_fit(
         prev, asg = asg, _pq_assign(sv, books)
         if i < iters - 1:
             asg.persist()
+            # collect the (sub_id, code, dim, mv) LONG form (PQ_M * PQ_K
+            # * PQ_SUBDIM tiny rows — the kmeans_fit round-16 idiom) and
+            # assemble the codebooks driver-side: the collect_list
+            # re-nesting agg + checkpoint were a second shuffle + an
+            # extra job to build arrays the driver takes apart anyway.
+            # mv stays the identical Spark-side decimal-mean double.
             x = asg.select("sub_id", "code", F.posexplode("sv").alias("dim", "val"))
             m = x.groupBy("sub_id", "code", "dim").agg(
                 (
@@ -1046,17 +1085,29 @@ def pq_fit(
                     / F.count("*")
                 ).alias("mv")
             )
-            cent = m.groupBy("sub_id", "code").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                    lambda s: s["mv"],
-                ).alias("cv")
-            ).transform(ckpt)
-            # the O(PQ_M * PQ_K) collect doubles as the round's
-            # materializing read (the checkpoint above already ran the
-            # update job); the next assignment bakes the codebooks in as
-            # literals — no broadcast join, no argmin window
-            books = _pq_codebooks(cent)
+            by_sc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in m.collect():
+                by_sc.setdefault((int(r["sub_id"]), int(r["code"])), {})[
+                    int(r["dim"])
+                ] = float(r["mv"])
+            books = [
+                sorted(
+                    (code, [d[i] for i in sorted(d)])
+                    for (s, code), d in by_sc.items()
+                    if s == sub
+                )
+                for sub in sorted({s for s, _ in by_sc})
+            ]
+            # the returned codebook frame mirrors the collected rows
+            # exactly (Python floats round-trip binary64 losslessly)
+            cent = sv.sparkSession.createDataFrame(
+                [
+                    (sub, code, cv)
+                    for sub, book in enumerate(books)
+                    for code, cv in book
+                ],
+                "sub_id int, code long, cv array<double>",
+            )
         if prev is not None:
             prev.unpersist()
     sv.unpersist()

@@ -81,11 +81,18 @@ def test_cc_alternating_star_chain_converges_fast(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    labels, rounds = dedup.cc_alternating_star(pairs)
+    # driver_max_edges=0 forces the DISTRIBUTED path — this test exists
+    # to pin the alternating-star convergence bound, which the
+    # small-graph union-find fast path would otherwise intercept
+    labels, rounds = dedup.cc_alternating_star(pairs, driver_max_edges=0)
     rows = labels.collect()
     assert len(rows) == n
     assert all(r.lbl == 0 for r in rows)
-    assert rounds <= 16, f"chain took {rounds} rounds"
+    assert 1 <= rounds <= 16, f"chain took {rounds} rounds"
+    # the fast path (default gate) must produce the identical labels
+    fast, fast_rounds = dedup.cc_alternating_star(pairs)
+    assert fast_rounds == 0
+    assert {(r.id, r.lbl) for r in fast.collect()} == {(r.id, r.lbl) for r in rows}
 
 
 def test_cc_alternating_star_mixed_components(spark):

@@ -266,13 +266,17 @@ def test_dataset_split_has_zero_exchanges(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_duplicate_ngram_overlap_joins_on_gram_no_bnlj(spark, sf_dir):
-    """The cross-doc dup signal must be a gram-keyed equi-join (hash or
-    sort-merge), never a nested-loop/cartesian over documents."""
+def test_duplicate_ngram_overlap_single_gram_pass_no_bnlj(spark, sf_dir):
+    """The cross-doc dup signal must be gram-KEYED (window over the gram
+    hash after the round-16 rework — one derivation of the exploded gram
+    frame instead of the agg-then-join-back double scan), never a
+    nested-loop/cartesian over documents; and the document text must be
+    scanned exactly once."""
     from akkastreamprocessnpmpackagedependencies_spark.operators import textops
 
     plan = _plan(textops.duplicate_ngram_overlap(spark, sf_dir))
     assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 1
     assert "BroadcastNestedLoopJoin" not in plan
 
 

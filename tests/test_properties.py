@@ -177,9 +177,16 @@ def test_cc_alternating_star_matches_union_find(spark, edges):
         want[n] = comp_min[find(n)]
 
     pairs = spark.createDataFrame(real, "doc_a long, doc_b long")
-    labels, _ = cc_alternating_star(pairs)
+    # both execution paths must match the serial reference: the default
+    # gate routes these tiny graphs through the driver union-find fast
+    # path; driver_max_edges=0 forces the distributed alternating-star
+    labels, fast_rounds = cc_alternating_star(pairs)
+    assert fast_rounds == 0
     got = {r.id: r.lbl for r in labels.collect()}
     assert got == want
+    dist_labels, dist_rounds = cc_alternating_star(pairs, driver_max_edges=0)
+    assert dist_rounds >= 1
+    assert {r.id: r.lbl for r in dist_labels.collect()} == want
 
 
 # ---- event-sequence operators vs serial references ----------------------
