@@ -39,57 +39,57 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX, ADV]
 # row exists). Prior windows live in git history (this list is rewritten
 # every round).
 _PRIORITY = [
-    # Round-16 window, built ON MAIN from the reconciled evidence ledger
-    # (the round-15 ledger was written against a window the driver never
-    # measured; tools/evidence.json now records exactly the 50 rows in
-    # CORRECTNESS_r15.json). Demand: flagship + 2 NEW queries
-    # (containment_prefix_pairs, neardup_source_matrix — round 15's
-    # additions, never driver-checked) + 1 fingerprint-moved query
-    # (multimodal_decode_webp — the VP8L code-length-order fix rewrote
-    # functions/webp.py after its last r14 row) + all 46 r12-aged rows
-    # = exactly 50. The 4 r13-aged rows (asof_purchase_signup +
-    # the trio source_mixing_weights/token_rarity_scores/
-    # zorder_bucket_profile) are displaced one round under machine
-    # promises: `driver_check.py --must-rotate 17` has been RUN and
-    # committed, so --evidence-update 17 refuses any window without them.
-    # Pre-handoff gate: `driver_check.py --handoff 16` must be green on
-    # the exact checkout the driver measures (main, nothing staged).
-    # Round-17 rotation, from the post-r16 ledger histogram (r12:1,
-    # r13:4 — all five promise-bound — r14:45, r15:49): flagship + the
-    # 5 due promises + 44 of the 45 r14-aged rows = 50, displacing the
-    # alphabetically-last r14 row under a fresh --must-rotate 18. The
-    # bow wave shrinks 5 -> 1.
+    # Round-16 window, REBUILT after the round-16 OPTIMIZATION pass
+    # (OPTIMIZATION_r16.md): the pass moved 20 query fingerprints (the
+    # optimized dedup/kmeans/PQ/IVF/text operators, plus the collateral
+    # moves through function-local whole-module imports:
+    # dataset_shuffle_order and corpus_budget_select hash relational.py,
+    # split_leakage_audit hashes textops.py). Window demand: flagship +
+    # the 4 carried round-16 mandates (containment_prefix_pairs,
+    # neardup_source_matrix, multimodal_decode_webp — the r15 orphans —
+    # and the NEW join_strategy_advisor) + all 20 fingerprint-moved
+    # queries + 27 of the r12-aged remainder = exactly 50. The 14
+    # displaced unchanged r12-aged rows (alphabetically last of the
+    # non-mandatory 41) carry `--must-rotate 17` machine promises,
+    # joining the 5 already due (asof_purchase_signup,
+    # source_mixing_weights, token_rarity_scores, window_rank_variants,
+    # zorder_bucket_profile) — 19 promises + flagship lead the round-17
+    # window, well under the 50-slot budget.
+    # Pre-handoff gate: `driver_check.py --handoff 16` green on the
+    # exact checkout the driver measures (main, nothing staged).
     "npm_dependency_counts",
     "containment_prefix_pairs", "neardup_source_matrix",
     "multimodal_decode_webp",
-    # round-16 NEW operator (verdict item 4): the skew-aware join-strategy
-    # advisor. Its slot displaces window_rank_variants (alphabetically
-    # last of the 46 r12-aged) under a --must-rotate 17 promise.
     "join_strategy_advisor",
-    # 45 of the 46 r12-aged rows (window_rank_variants promised r17)
+    # the 14 fingerprint-moved queries previously outside the window
+    # (round-16 optimization targets + the two relational.py collaterals)
+    "minhash_lsh_neardup", "neardup_clusters",
+    "chargram_jaccard_pairs", "dedup_incremental",
+    "cosine_topk_ivf", "kmeans_assignments",
+    "kmeans_clusters", "ann_recall_eval",
+    "contamination_ngram_hits", "duplicate_ngram_overlap",
+    "dataset_shuffle_order", "fuzzy_dedup_keep_one",
+    "corpus_pipeline_verdicts", "corpus_budget_select",
+    # the 4 fingerprint-moved queries already holding window slots
+    "embedding_pq_codes", "late_shipment_suppliers",
+    "pq_adc_topk", "split_leakage_audit",
+    # 27 of the 41 unchanged r12-aged rows (alphabetical head; the
+    # alphabetical tail is displaced under --must-rotate 17)
     "array_funcs", "asof_cogroup_pandas",
     "bracket_revenue", "customer_churn_full_outer",
     "customer_order_counts", "customers_without_big_orders",
     "distinct_aggs", "doc_perplexity_bigram",
-    "embedding_neardup_pairs", "embedding_pq_codes",
+    "embedding_neardup_pairs",
     "embedding_quantize_int8", "events_error_context_5m",
     "events_value_rolling_1h", "forecast_revenue",
     "grouping_sets_qty", "idle_rich_customers",
-    "large_volume_customers", "late_shipment_suppliers",
+    "large_volume_customers",
     "local_supplier_revenue", "nation_market_share",
     "npm_reverse_dependency_counts", "order_gap_days",
     "pack_sequences", "pivot_linestatus",
-    "pq_adc_topk", "priority_with_returns",
+    "priority_with_returns",
     "product_profit_by_nation_year", "promo_revenue_ratio",
     "quality_filter_composite", "repetition_signals",
-    "returned_item_customers", "running_quantity_by_supplier",
-    "skew_salted_join", "small_qty_part_revenue",
-    "split_leakage_audit", "stats_moments",
-    "supplier_volume_by_nation", "tfidf_top_terms_per_doc",
-    "top_bigram_share", "top_orders_global",
-    "top_orders_per_customer", "top_revenue_suppliers",
-    "top_unshipped_orders", "topk_per_customer_agg",
-    "unpivot_part_metrics",
 ]
 
 

@@ -430,9 +430,14 @@ def _assign(e: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame
             c["centroid_id"].alias("centroid_id"),
         ),
     )
+    # best is staged as its OWN projection (the SPARK-36718 idiom used
+    # throughout quality.py): it is referenced twice below, and an
+    # inlined form would evaluate the whole K-centroid argmin fold TWICE
+    # per row (measured: the double evaluation cost more than the window
+    # this rework removed).
     best = F.array_min(scored)
-    return e.select(
-        "vec_id", "v", best["centroid_id"].alias("centroid_id"), best["d2"].alias("d2")
+    return e.select("vec_id", "v", best.alias("b")).select(
+        "vec_id", "v", F.col("b.centroid_id").alias("centroid_id"), F.col("b.d2").alias("d2")
     )
 
 
@@ -996,52 +1001,38 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codebooks(cent: DataFrame) -> list[list[tuple[int, list[float]]]]:
-    """Collect a (sub_id, code, cv) codebook frame to driver-side rows,
-    indexed [sub_id] -> sorted [(code, cv)] — the O(PQ_M * PQ_K)
-    control-plane read (the kmeans ``_centroid_rows`` sibling)."""
-    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in cent.collect():
-        by_sub.setdefault(int(r["sub_id"]), []).append(
-            (int(r["code"]), [float(x) for x in r["cv"]])
-        )
-    return [sorted(by_sub[s]) for s in range(len(by_sub))]
-
-
-def _pq_assign(sv: DataFrame, books: list[list[tuple[int, list[float]]]]) -> DataFrame:
-    """Nearest codebook entry per (vec_id, sub_id), computed ROW-LOCALLY
-    against the collected codebook literals (the kmeans ``_assign``
-    round-16 rework): element_at selects the row's sub_id codebook,
-    array_min over (d2, code) structs is the identical (d2, code)
-    lexicographic argmin the previous row_number window computed — same
-    dim-ascending d2 fold, bit-identical output (exceptAll-verified both
-    ways at sf0.1, 2.09 s -> 1.41 s warm per pass) — and the per-round
-    sort-shuffle of PQ_K * PQ_M * N rows is gone: ONE corpus pass
-    trains/encodes all PQ_M codebooks jointly with zero exchanges."""
-    allcb = F.array(*[
-        F.array(*[
-            F.struct(
-                F.lit(code).cast("long").alias("code"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            )
-            for code, cv in book
-        ])
-        for book in books
-    ])
-    scored = F.transform(
-        F.element_at(allcb, F.col("sub_id").cast("int") + 1),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("sv"), c["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            c["code"].alias("code"),
-        ),
+def _pq_assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub_id): broadcast equi-join
+    on sub_id (PQ_M * PQ_K tiny rows), squared-euclidean fold, then a
+    partial-aggregatable ``min_by`` over (d2, code) per (vec_id, sub_id)
+    (round-16 rework; the cosine_topk_ivf idiom): map-side combine
+    collapses the PQ_K joined rows back to one per subvector BEFORE the
+    exchange and needs no sort — the previous row_number window paid a
+    PQ_K * PQ_M * N-row sort-shuffle per Lloyd round. (d2, code) struct
+    ordering is the window's exact (d2 asc, code asc) tie-break; d2 is
+    the identical dim-ascending fold, so output is bit-for-bit the same
+    (exceptAll-verified both ways at sf0.1). A fully row-local literal
+    variant was also measured and REJECTED: interleaved A/B showed the
+    per-row codebook-literal argmin slower end-to-end than the
+    broadcast-join + min_by form here."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    best = F.array_min(scored)
-    return sv.select(
-        "vec_id", "sub_id", "sv", best["code"].alias("code"), best["d2"].alias("d2")
+    m = F.min_by(F.struct("sv", "code", "d2"), F.struct("d2", "code")).alias("m")
+    return (
+        sv.join(F.broadcast(cent), "sub_id")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "sub_id")
+        .agg(m)
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.sv").alias("sv"),
+            F.col("m.code").alias("code"),
+            F.col("m.d2").alias("d2"),
+        )
     )
 
 
@@ -1066,18 +1057,19 @@ def pq_fit(
     cent = sv.filter(F.col("vec_id") < PQ_K).select(
         "sub_id", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
-    books = _pq_codebooks(cent)
     asg = None
     for i in range(iters):
-        prev, asg = asg, _pq_assign(sv, books)
+        prev, asg = asg, _pq_assign(sv, cent)
         if i < iters - 1:
             asg.persist()
             # collect the (sub_id, code, dim, mv) LONG form (PQ_M * PQ_K
             # * PQ_SUBDIM tiny rows — the kmeans_fit round-16 idiom) and
             # assemble the codebooks driver-side: the collect_list
             # re-nesting agg + checkpoint were a second shuffle + an
-            # extra job to build arrays the driver takes apart anyway.
-            # mv stays the identical Spark-side decimal-mean double.
+            # extra job to build arrays only consumed as a broadcast
+            # build side. mv stays the identical Spark-side decimal-mean
+            # double; Python floats round-trip binary64 losslessly, so
+            # the rebuilt codebook frame is value-exact.
             x = asg.select("sub_id", "code", F.posexplode("sv").alias("dim", "val"))
             m = x.groupBy("sub_id", "code", "dim").agg(
                 (
@@ -1090,21 +1082,10 @@ def pq_fit(
                 by_sc.setdefault((int(r["sub_id"]), int(r["code"])), {})[
                     int(r["dim"])
                 ] = float(r["mv"])
-            books = [
-                sorted(
-                    (code, [d[i] for i in sorted(d)])
-                    for (s, code), d in by_sc.items()
-                    if s == sub
-                )
-                for sub in sorted({s for s, _ in by_sc})
-            ]
-            # the returned codebook frame mirrors the collected rows
-            # exactly (Python floats round-trip binary64 losslessly)
             cent = sv.sparkSession.createDataFrame(
                 [
-                    (sub, code, cv)
-                    for sub, book in enumerate(books)
-                    for code, cv in book
+                    (s, code, [d[i] for i in sorted(d)])
+                    for (s, code), d in sorted(by_sc.items())
                 ],
                 "sub_id int, code long, cv array<double>",
             )
