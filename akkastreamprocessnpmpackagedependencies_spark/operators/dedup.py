@@ -20,6 +20,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -840,8 +841,8 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chargram docstring records for single-minhash blocking) are
     structurally excluded from the probe side unless a doc consists of
     nothing else. Scale shape (100 TB): df is one partial-agg shuffle
-    on the shingle hash; ranking is one hash agg + a row-local sort of
-    each doc's ~1e2 structs; the candidate join carries (doc_id, hash) pairs only; the
+    on the shingle hash; ranking is a per-doc window over ~1e2 rows;
+    the candidate join carries (doc_id, hash) pairs only; the
     exact verify intersects int arrays on candidates only (the
     ``chargram_jaccard_pairs`` int-verify idiom). The DuckDB oracle
     replays the identical pipeline — same md5-derived hashes, same
@@ -861,29 +862,25 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     sh = sets_.select("doc_id", F.explode("hs").alias("h"))
     df = sh.groupBy("h").agg(F.count("*").alias("df"))
-    # Prefix selection as ONE hash aggregate + a row-local sort of each
-    # doc's ~1e2 (df, h) structs (round-16 optimization): the previous
-    # row_number window paid a full sort-shuffle of the exploded
-    # (doc_id, h, df, n) frame just to rank ~1e2 rows per doc, plus a
-    # second join to attach n. slice(array_sort(collect_list(struct(df,
-    # h))), 1, floor(n/5)+1) selects the exact same rarest-first prefix:
-    # (df, h) is unique within a doc, struct ordering is the same
-    # lexicographic (df, h) the window's orderBy used, and count(*) in
-    # the agg IS n (one row per distinct shingle hash). Measured sf0.1:
-    # prefix leg 2.7 s -> 2.0 s, value-identical.
-    pfx = (
+    # Prefix selection as a per-doc row_number window (round-17 REVERT of
+    # the round-16 collect_list/array_sort hash-agg form, which the
+    # driver measured 0.63x: buffering every doc's full (df, h)
+    # struct set in the aggregate cost more than the sort-shuffle it
+    # replaced — interleaved 4-variant A/B this round: agg form ~2.43 s
+    # vs window form ~1.84-2.11 s medians at sf0.1, the two dedup
+    # placements measured separately and both inside noise). n rides the
+    # SAME window partition as an unordered count(*) — no second join to
+    # attach it (one fewer operator than the r15 shape, zero extra
+    # exchange: both functions share the doc_id hash partitioning).
+    w_doc = W.partitionBy("doc_id")
+    ranked = (
         sh.join(df, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("df", "h"))),
-                1,
-                (F.floor(F.count("*") / 5) + 1).cast("int"),
-            ).alias("pfx")
-        )
-        .select("doc_id", F.explode("pfx").alias("x"))
-        .select("doc_id", F.col("x.h").alias("h"))
+        .withColumn("rk", F.row_number().over(w_doc.orderBy("df", "h")))
+        .withColumn("n", F.count("*").over(w_doc))
     )
+    pfx = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 5) + 1
+    ).select("doc_id", "h")
     # candidates stay raw; the (small) verified pair set dedupes after
     # the verify (the _banded_pairs round-16 rationale — measured ~3%
     # duplication at sf0.1: 308k raw vs 300k distinct candidates, and a

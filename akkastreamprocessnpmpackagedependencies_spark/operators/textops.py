@@ -25,7 +25,7 @@ from ..functions.text import (
     sql_word_shingles,
     word_shingles,
 )
-from ..session import ckpt, load_scaled, load_table
+from ..session import ckpt, load_scaled, load_table, table_bytes
 from .registry import Registry
 
 REG = Registry()
@@ -694,6 +694,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_K = 8  # gram width for the cross-document duplication signal
 
+# Input-size gate for duplicate_ngram_overlap's per-gram-count shape: at
+# or below this parquet footprint the single-derivation gram-key WINDOW
+# is both fastest (measured) and safe (a hot gram cannot exceed one
+# task's capacity on a corpus this small); above it the skew-immune
+# partial-agg + join-back shape runs instead — a window partition keyed
+# on gram frequency is unsplittable by AQE, and the boilerplate grams
+# this query exists to find are exactly the hot keys. 1 GiB is orders of
+# magnitude above every local SF and orders below any production corpus,
+# so the bench always measures the window and a cluster always gets the
+# bounded shape.
+DUP_WINDOW_MAX_BYTES = 1 << 30
+
 
 @REG.add(
     "duplicate_ngram_overlap",
@@ -724,15 +736,36 @@ def duplicate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle — bench sf0.1: 3.5 s string path -> int path), so
     the shuffle carries ~4 bytes per gram instead of an 8-word string;
     an in-doc hash collision (~1e-5/doc) shifts n_grams identically on
-    both engines. Shape (round-16 rework): explode -> per-gram count as
-    a WINDOW over the gram key -> per-doc agg; text never shuffles. The
-    previous agg-then-join-back form derived the exploded gram frame
-    TWICE (Spark shares no subplans: once for the count agg, once as the
-    join probe — two full text scans + shingle/md5 passes); the window
-    computes the same per-gram occupancy on ONE derivation with one
-    gram-keyed sort-shuffle (uniform md5-derived key, no hot partition).
-    Measured sf0.1: 2.7 s -> 2.1 s warm, value-identical (exceptAll both
-    ways)."""
+    both engines.
+
+    Shape is INPUT-SIZE-GATED (round 17, fixing the round-16 form's
+    skew story — the r16 docstring claimed the md5-derived gram key has
+    "no hot partition", which is wrong: hashing uniformizes key
+    PLACEMENT, not key FREQUENCY, and a boilerplate gram occurring in
+    half the corpus — the very phenomenon this query detects — lands
+    every one of its rows in ONE window partition, which AQE cannot
+    split for window functions):
+
+    - at or below ``DUP_WINDOW_MAX_BYTES`` of input, per-gram occupancy
+      is ``count(*) over (partition by gram)`` on ONE exploded
+      derivation — a single text scan + one gram-keyed sort-shuffle,
+      measured fastest at bench scale (interleaved r17 A/B at sf0.1:
+      window 1.94 s vs agg+join-back 2.24 s vs ckpt'd join-back
+      2.29 s medians) where a hot gram cannot exceed one task's
+      capacity anyway;
+    - above the gate, the skew-immune shape: per-gram counts via a
+      partial-aggregatable groupBy (hot grams combine map-side, so no
+      task ever holds a gram's full row set) joined back to the gram
+      frame — a shuffle join AQE's skew handling CAN split. The exploded
+      frame is derived twice (Spark shares no subplans), the price of
+      boundedness at scale.
+
+    The gate reads the parquet footprint from the filesystem
+    (control-plane, zero Spark jobs — the cc_alternating_star /
+    WIDE_WRITES_ROWS gating idiom) and keys on the INPUT, never on
+    runtime state, so both engines stay deterministic. Both shapes are
+    value-identical (exceptAll both ways at sf0.1, pinned by
+    tests/test_llm_ops.py)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
@@ -740,7 +773,11 @@ def duplicate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(base_hashes(word_shingles(F.col("text"), DUP_K)))
         ).alias("gram"),
     )
-    g = g.withColumn("n_docs", F.count("*").over(W.partitionBy("gram")))
+    if table_bytes(spark, sf_dir, "documents") <= DUP_WINDOW_MAX_BYTES:
+        g = g.withColumn("n_docs", F.count("*").over(W.partitionBy("gram")))
+    else:
+        per_gram = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
+        g = g.join(per_gram, "gram")
     is_shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
     return (
         g.groupBy("doc_id")

@@ -77,6 +77,20 @@ def load_scaled(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """On-disk footprint of a table's parquet directory, via the Hadoop
+    FileSystem API (works on s3a/hdfs/local alike; os.path would lie on
+    object stores). Control-plane metadata read — NO Spark job — used by
+    the input-size-gated operator shapes (the cc_alternating_star /
+    WIDE_WRITES_ROWS gating idiom): pick the micro-scale-fast plan under
+    the gate, the skew-/scale-safe plan above it, keyed deterministically
+    on the INPUT so repeated runs choose identically."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(os.path.join(sf_dir, f"{name}.parquet"))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(path).getLength())
+
+
 def load_events(spark: SparkSession, sf_dir: str):
     """Normalize ``ts`` to TimestampType regardless of how the driver
     generated the parquet. Two encodings have been observed across rounds:

@@ -407,6 +407,28 @@ def test_duplicate_ngram_overlap_matches_brute_force(spark, sf_dir):
         assert abs(out[doc_id].dup_share - n_shared / len(g)) < 1e-12
 
 
+def test_duplicate_ngram_overlap_gated_shapes_identical(spark, sf_dir):
+    """The round-17 input-size gate picks between the gram-key WINDOW
+    (micro scale) and the skew-immune partial-agg + join-back (above
+    DUP_WINDOW_MAX_BYTES). Both shapes must return the identical row
+    multiset, and the gate must actually switch the plan: the big-corpus
+    shape may contain NO window over the gram key (a hot boilerplate
+    gram would pin its whole row set to one unsplittable task)."""
+    win = textops.duplicate_ngram_overlap(spark, sf_dir)
+    old = textops.DUP_WINDOW_MAX_BYTES
+    textops.DUP_WINDOW_MAX_BYTES = 0  # force the above-gate shape
+    try:
+        agg = textops.duplicate_ngram_overlap(spark, sf_dir)
+        assert agg.exceptAll(win).isEmpty() and win.exceptAll(agg).isEmpty()
+        agg_plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "simple"
+        )
+        assert "Window" not in agg_plan
+        assert "partial_count" in agg_plan  # map-side combine on the gram key
+    finally:
+        textops.DUP_WINDOW_MAX_BYTES = old
+
+
 def test_dataset_split_assign_deterministic_and_partitioned(spark, sf_dir):
     """Split assignment is a pure function of doc_id (identical across two
     runs), covers every doc exactly once, and lands near the designed
