@@ -342,13 +342,28 @@ def cc_alternating_star(
     of tiny-job scheduling; the fast path ~0.4 s — overhead that
     repeated in every CC consumer (neardup_clusters,
     fuzzy_dedup_keep_one, corpus_pipeline_verdicts)."""
+    from pyspark.sql import Observation
+
+    # the edge count rides the checkpoint's own materializing action as a
+    # CollectMetrics observation (round 17, the kmeans-inertia idiom) —
+    # the previous standalone edges.count() was a whole extra Spark job
+    # per CC call just to read a number the checkpoint job already knew
+    n_obs = Observation("cc_n_edges")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(n_obs, F.count(F.lit(1)).alias("n"))
         .transform(ckpt)
     )
-    if edges.count() <= driver_max_edges:
+    from .. import session as _sess
+
+    if not _sess.CHECKPOINT_ENABLED:
+        # plan-capture mode: ckpt degraded to a LAZY persist, so nothing
+        # has materialized yet and the observation would block forever —
+        # fire it with the count the production path gets for free
+        edges.count()
+    if int(n_obs.get["n"]) <= driver_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -363,8 +378,14 @@ def cc_alternating_star(
         for n in parent:
             root = find(n)
             comp_min[root] = min(comp_min.get(root, n), n)
+        # label schema derived from the INPUT pair column type (round-17
+        # ADVICE fix: the hard-coded 'id long, lbl long' silently diverged
+        # from the distributed path, which inherits the caller's types —
+        # identical for every current caller, a latent trap for any other)
+        id_t = pairs.schema[0].dataType.simpleString()
         labels = pairs.sparkSession.createDataFrame(
-            sorted((n, comp_min[find(n)]) for n in parent), "id long, lbl long"
+            sorted((n, comp_min[find(n)]) for n in parent),
+            f"id {id_t}, lbl {id_t}",
         )
         return labels, 0
     nodes = (

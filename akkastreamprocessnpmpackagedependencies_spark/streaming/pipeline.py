@@ -2710,31 +2710,45 @@ def write_exact_dedup_gated(
         # vanished — neither admitted nor deduped. Folding NULL into ''
         # makes the gate total: NULL/empty docs dedup against each
         # other deterministically and the first one is admitted.
-        b = (
+        #
+        # Round 17 (guide §5 "fewer materializing actions"): digest,
+        # bucket, and the within-batch winner are ONE pass and ONE
+        # localCheckpoint. The previous shape paid two checkpoints (the
+        # digest frame, then a groupBy-min self-join against it); the
+        # min-per-digest window keeps the IDENTICAL multiset semantics —
+        # every row whose doc_id equals its digest group's minimum
+        # survives — with one digest-keyed shuffle and no self-join, and
+        # sha2 still runs exactly once per row.
+        from pyspark.sql.window import Window
+
+        keep = (
             batch.withColumn("digest", F.sha2(F.coalesce(basis, F.lit("")), 256))
             .withColumn(
                 "dig_bucket",
                 F.pmod(F.xxhash64("digest"), F.lit(EXACT_DEDUP_BUCKETS)),
             )
-            .localCheckpoint()  # digest ONCE; feeds the within-batch
-            # join, the bucket collect, and the append below (review
-            # finding: without this the sha2 + normalization regex
-            # re-ran per action, same rationale as write_dedup_gated)
+            .withColumn("_mn", F.min("doc_id").over(Window.partitionBy("digest")))
+            .filter(F.col("doc_id") == F.col("_mn"))
+            .drop("_mn")
+            .localCheckpoint()  # decide ONCE; feeds sizing, probe, appends
         )
-        # within-batch: smallest doc_id per digest wins (deterministic)
-        keep = b.join(
-            b.groupBy("digest").agg(F.min("doc_id").alias("doc_id")),
-            ["digest", "doc_id"],
-        ).localCheckpoint()  # decide ONCE; feeds the probe and the append
-        # within-batch-deduped size: drives the auto write-shape switch
-        # (see docstring) and, when the prefilter is on, its adaptive
-        # skip — a cheap cached-scan job on the localCheckpoint above,
-        # skipped entirely when neither consumer needs it
-        batch_rows = (
-            keep.count() if (wide_writes is None or bloom_prefilter) else 0
-        )
-        wide = _resolve_wide(wide_writes, batch_rows)
         corpus_exists = table_has_data(spark, corpus_path)
+        # one cached-scan job answers BOTH sizing questions (round 17):
+        # the per-bucket counts carry the admitted-row total (write-shape
+        # auto switch + bloom adaptive skip) AND the touched-bucket list
+        # (partition-pruned probe) — previously a count() job plus a
+        # separate distinct().collect() job per batch.
+        need_rows = wide_writes is None or bloom_prefilter
+        bucket_counts = (
+            {
+                int(r[0]): int(r[1])
+                for r in keep.groupBy("dig_bucket").count().collect()
+            }
+            if (need_rows or corpus_exists)
+            else {}
+        )
+        batch_rows = sum(bucket_counts.values())
+        wide = _resolve_wide(wide_writes, batch_rows)
         if ledger_path is not None and not ledger_state["reconciled"]:
             # FIRST batch of a (re)started stream, BEFORE this batch's
             # append: heal the ledger's only crash window (corpus append
@@ -2788,6 +2802,8 @@ def write_exact_dedup_gated(
                 >= bloom_min_ratio * max(batch_rows, 1)
             )
         if prefilter_active:
+            from pyspark.sql import Observation
+
             bits = bloom_state["bits"]
             bc = spark.sparkContext.broadcast(bytes(bits))
             nbits = bloom_bits
@@ -2804,22 +2820,38 @@ def write_exact_dedup_gated(
                 assert filt.size == nbits >> 3
                 for pdf in batches:
                     keys = pdf["dig_key"].to_numpy(dtype=np.int64)
-                    out = pdf[["digest", "doc_id"]].copy()
+                    out = pdf[["digest", "doc_id", "dig_bucket"]].copy()
                     out["maybe_seen"] = _bloom_query(filt, keys)
                     yield out
 
+            # round 17: dig_bucket rides along so the suspect frame IS the
+            # probe frame (the old shape re-joined keep to re-attach it),
+            # and the suspect count + touched-bucket set ride the
+            # checkpoint's own job as a CollectMetrics observation — two
+            # fewer Spark jobs per prefiltered batch (a count and a
+            # distinct-collect).
+            s_obs = Observation(f"bloom_suspects_{batch_id}")
             flags = (
                 keep.withColumn("dig_key", F.xxhash64("digest"))
-                .select("digest", "doc_id", "dig_key")
+                .select("digest", "doc_id", "dig_bucket", "dig_key")
                 .mapInPandas(
                     _maybe_seen,
-                    schema="digest string, doc_id long, maybe_seen boolean",
+                    schema=(
+                        "digest string, doc_id long, dig_bucket long, "
+                        "maybe_seen boolean"
+                    ),
                 )
                 .filter(F.col("maybe_seen"))
-                .select("digest", "doc_id")
+                .select("digest", "doc_id", "dig_bucket")
+                .observe(
+                    s_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set("dig_bucket").alias("buckets"),
+                )
                 .localCheckpoint()  # evaluate the broadcast probe ONCE
             )
-            n_suspect = flags.count()
+            n_suspect = int(s_obs.get["n"])
+            suspect_buckets = [int(b) for b in s_obs.get["buckets"]]
             bc.unpersist(blocking=False)  # flags materialized above
         # Explicit existence check (Hadoop-FS), same rationale as the
         # LSH gate: only the legitimate first-batch missing-path case
@@ -2827,17 +2859,16 @@ def write_exact_dedup_gated(
         # the prefilter, a batch with zero suspects skips the corpus
         # read outright — the bloom negative is definitive.
         if corpus_exists and not (prefilter_active and n_suspect == 0):
-            probe = keep.join(flags, ["digest", "doc_id"]) if prefilter_active else keep
-            buckets = [
-                r[0] for r in probe.select("dig_bucket").distinct().collect()
-            ]
+            buckets = (
+                suspect_buckets if prefilter_active else list(bucket_counts)
+            )
             seen = (
                 spark.read.parquet(corpus_path)
                 .filter(F.col("dig_bucket").isin(buckets))
                 .select("digest")
             )
             if prefilter_active:
-                dup = probe.join(seen, "digest").select("digest", "doc_id")
+                dup = flags.join(seen, "digest").select("digest", "doc_id")
                 keep = keep.join(dup, ["digest", "doc_id"], "left_anti")
             else:
                 keep = keep.join(seen, "digest", "left_anti")
@@ -2858,6 +2889,13 @@ def write_exact_dedup_gated(
                 "bits binary, last_batch long",
                 bloom_sidecar,
             )
+        elif ledger_path is not None and corpus_exists:
+            # round 17: freeze the post-probe frame once — without this
+            # the ledger's per-bucket partial collect AND the corpus
+            # append below EACH re-ran the anti-join probe (a second
+            # partition-pruned corpus read per batch). The bloom branch
+            # already checkpoints here for the fold.
+            keep = keep.localCheckpoint()
         # one writer task at micro-batch sizes (directory churn
         # dominates); one writer per bucket at cluster-scale batches —
         # auto-decided above unless the caller forced a shape
