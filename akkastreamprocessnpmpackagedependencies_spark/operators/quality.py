@@ -218,11 +218,18 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_flags(load_table(spark, sf_dir, "documents"))
 
 
-def quality_flags(d: DataFrame) -> DataFrame:
+def quality_flags(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Core of ``quality_filter_composite`` over any (doc_id, lang, text)
     frame — factored so the same gate applies to streaming micro-batches
     (see test_streaming_quality_gate_to_shard_export) as to the batch
-    table; pure column expressions either way."""
+    table; pure column expressions either way.
+
+    ``carry`` names EXISTING columns of ``d`` to ride through unchanged —
+    the round-17 fusion hook: quality_flags is a pure projection, so a
+    caller that already scans the text (the capstone's norm-hash/token
+    stage) can compute its own columns in the same pass and get the
+    audited quality verdict WITHOUT a second corpus scan + doc_id join.
+    Default () keeps every existing caller byte-identical."""
     ws = F.col("ws")
     n = F.size(ws)
     mean_len = F.when(
@@ -236,17 +243,19 @@ def quality_flags(d: DataFrame) -> DataFrame:
         F.filter(ws, lambda w: w.isin(_STOPWORDS))
     ).cast("bigint")
     metrics = (
-        d.select("doc_id", "lang", _ws().alias("ws"))
+        d.select("doc_id", "lang", _ws().alias("ws"), *carry)
         .select(
             "doc_id",
             "lang",
             n.alias("n_words"),
             mean_len.alias("mean_word_len"),
             stop_hits.alias("stopword_hits"),
+            *carry,
         )
     )
     flags = metrics.select(
         "doc_id",
+        *carry,
         "n_words",
         "mean_word_len",
         "stopword_hits",
@@ -519,18 +528,30 @@ def corpus_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
       kept           survives everything; gets train/val/test + n_tokens
 
     Every stage reuses an oracle-verified operator (text_normalize's
-    canonical form, quality_flags, fuzzy_dedup_keep_one's component
-    verdicts, contamination_ngram_hits, dataset_split_assign's hash
-    split), and each stage's verdict is computed over the FULL corpus —
-    verdicts are stable facts about a document, not survivor-order
-    artifacts, so stages can run (and be audited) independently; the
-    CASE only decides which reason reports first. Shape: four doc_id
-    equi-joins over per-doc frames (the heavy lifting — LSH banding,
-    connected components, gram joins — happens inside the reused
-    operators in their audited shapes); the exact-dup window
+    canonical form, quality_flags, neardup_clusters' component verdicts
+    — the exact frame fuzzy_dedup_keep_one left-joins, applied with the
+    identical coalesce rule — contamination_ngram_hits,
+    dataset_split_assign's hash split), and each stage's verdict is
+    computed over the FULL corpus — verdicts are stable facts about a
+    document, not survivor-order artifacts, so stages can run (and be
+    audited) independently; the CASE only decides which reason reports
+    first.
+
+    Shape (round 17, guide §2.4): the exact-dup hash, token count, and
+    quality verdict are ONE corpus scan — quality_flags is a pure
+    projection, so its audited expressions run in the same pass that
+    md5s the normalized text (``carry=``), where the previous shape
+    paid a second full scan plus a corpus x corpus doc_id sort-merge
+    join to reunite them. The near-dup stage joins the CLUSTER LABEL
+    frame directly (near-dup members only — a few percent of the
+    corpus, broadcast at any scale, exactly the frame and the
+    coalesce(is_keeper, true) rule inside fuzzy_dedup_keep_one) where
+    the previous shape joined fuzzy's corpus-sized all-docs output —
+    a second corpus x corpus sort-merge join gone. Contamination stays
+    a broadcast left join (hit docs only). The exact-dup window
     hash-partitions on norm_hash. The composition a real corpus run
-    executes nightly — and the closest thing this engine has to a second
-    flagship."""
+    executes nightly — and the closest thing this engine has to a
+    second flagship."""
     from ..functions.text import norm_expr
     from .textops import N_PROBE_DOCS, SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
     from .textops import contamination_ngram_hits
@@ -541,27 +562,32 @@ def corpus_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_normalized_hash use), so this stage cannot drift from the
     # audited dedup operators.
     norm = norm_expr(F.col("text"))
-    base = d.select(
-        "doc_id",
-        F.md5(norm).alias("norm_hash"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    base = quality_flags(
+        d.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.md5(norm).alias("norm_hash"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        ),
+        carry=("norm_hash", "n_tokens"),
+    ).select("doc_id", "norm_hash", "n_tokens", F.col("keep").alias("q_keep"))
     exact = base.withColumn(
         "exact_keeper", F.min("doc_id").over(W.partitionBy("norm_hash"))
     )
-    q = quality_flags(d).select("doc_id", F.col("keep").alias("q_keep"))
-    fz = fuzzy_dedup_keep_one(spark, sf_dir).select("doc_id", F.col("keep").alias("f_keep"))
+    fz = neardup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("is_keeper").alias("f_keep")
+    )
     c = contamination_ngram_hits(spark, sf_dir)
     j = (
-        exact.join(q, "doc_id")
-        .join(fz, "doc_id")
+        exact.join(fz, "doc_id", "left")
         .join(c, "doc_id", "left")
     )
     verdict = (
         F.when(F.col("doc_id") < N_PROBE_DOCS, "probe_holdout")
         .when(F.col("exact_keeper") != F.col("doc_id"), "exact_dup")
         .when(~F.col("q_keep"), "quality")
-        .when(~F.col("f_keep"), "near_dup")
+        .when(~F.coalesce(F.col("f_keep"), F.lit(True)), "near_dup")
         .when(F.coalesce(F.col("n_gram_hits"), F.lit(0)) > 0, "contaminated")
         .otherwise("kept")
     )

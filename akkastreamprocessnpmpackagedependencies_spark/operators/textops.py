@@ -444,11 +444,15 @@ def contamination_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select("doc_id", word_shingles(F.col("text"), CONTAM_K).alias("grams"))
+    # collect_set replaces distinct().agg(collect_list) (round 17): one
+    # partial-aggregatable collapse to the single probe row instead of a
+    # distinct exchange FOLLOWED by a single-partition list agg — one
+    # fewer exchange, and array_intersect is order- and
+    # duplicate-insensitive so the value is identical by construction.
     probe_arr = (
         g.filter(F.col("doc_id") < N_PROBE_DOCS)
         .select(F.explode("grams").alias("gram"))
-        .distinct()
-        .agg(F.collect_list("gram").alias("parr"))
+        .agg(F.collect_set("gram").alias("parr"))
     )
     return (
         g.filter(F.col("doc_id") >= N_PROBE_DOCS)
