@@ -177,6 +177,13 @@ def _banded_pairs(
     )
     if pin_partitions:
         cand = cand.repartition(pin_partitions, "doc_a")
+    # Named CollectMetrics on the raw candidate stream (round 17, wiring
+    # the regression signal the dedup-late trade above names): the raw
+    # candidate count rides the query's own execution — no extra job —
+    # and lands in QueryExecution.observedMetrics (SQL-tab visible), so
+    # verified-pairs/candidates is one division away for any caller or
+    # monitor. Pinned by tests/test_llm_ops.py.
+    cand = cand.observe("lsh_raw_candidates", F.count(F.lit(1)).alias("n"))
     return _verify_jaccard(cand, sig, set_col, threshold).dropDuplicates(
         ["doc_a", "doc_b"]
     )
@@ -787,6 +794,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbands.alias("d")
         .join(cbands.alias("c"), ["b", "bkey"])
         .select(F.col("d.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        # same regression-signal metric as _banded_pairs (round 17): raw
+        # candidates observable next to the verified output rowcount
+        .observe("lsh_raw_candidates", F.count(F.lit(1)).alias("n"))
     )
     pairs = (
         _verify_jaccard(cand, sig, "sh", JACCARD_THRESHOLD)

@@ -133,6 +133,32 @@ def test_lsh_queries_release_their_caches(spark, sf_dir):
         assert jcache.isEmpty(), f"{fn.__name__} left a cached frame behind"
 
 
+def test_lsh_raw_candidate_metric_is_observable(spark, sf_dir):
+    """The dedup-late trade in _banded_pairs names verified-pairs/raw-
+    candidates as the regression signal to monitor; round 17 wires it as
+    a named CollectMetrics riding the query's own execution (zero extra
+    jobs). The metric must be present, positive, and >= the verified
+    pair count (dedup-late can only shrink the stream)."""
+    from akkastreamprocessnpmpackagedependencies_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _banded_pairs,
+        _signatures,
+    )
+    from akkastreamprocessnpmpackagedependencies_spark.session import load_scaled
+
+    sig = _signatures(load_scaled(spark, sf_dir, "documents")).persist()
+    pairs = _banded_pairs(sig, "sh", JACCARD_THRESHOLD)
+    # collect() executes THIS frame's own QueryExecution — count() would
+    # plan (and attach the metric to) a different one
+    n_verified = len(pairs.collect())
+    m = pairs._jdf.queryExecution().observedMetrics()
+    row = m.get("lsh_raw_candidates")
+    assert not row.isEmpty(), "lsh_raw_candidates metric missing"
+    n_raw = row.get().apply(0)
+    sig.unpersist()
+    assert n_raw >= n_verified > 0
+
+
 def test_dedup_incremental_splits_sides(spark, sf_dir):
     """Incremental dedup pairs always go delta -> corpus: the left id is
     from the new batch (doc_id % 10 >= 8), the right from the indexed
