@@ -7,6 +7,35 @@ import pytest
 from akkastreamprocessnpmpackagedependencies_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Slow-tier gate (round 17, executing the round-16 verdict item 2): the
+# full suite outgrew the driver's verify budget (~37 min; the r16 driver
+# pytest was truncated mid-run), so multi-minute codec conformance/fuzz
+# and volume-study tests are marked ``slow`` and SKIPPED by default.
+# ``tools/verify_all.sh`` exports SPARK_GRAFT_RUN_SLOW=1 and still runs
+# everything; a bare ``pytest tests/`` (the driver's invocation) now
+# finishes well inside the budget with the slow tier visibly reported as
+# skipped, never silently dropped.
+RUN_SLOW = os.environ.get("SPARK_GRAFT_RUN_SLOW", "") not in ("", "0")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute codec conformance/fuzz or volume tests; "
+        "skipped unless SPARK_GRAFT_RUN_SLOW=1 (tools/verify_all.sh sets it)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set SPARK_GRAFT_RUN_SLOW=1 (tools/verify_all.sh)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
 

@@ -5,6 +5,8 @@ count / digest-xor / byte totals)."""
 
 from __future__ import annotations
 
+import pytest
+
 import time
 
 from pyspark.sql import functions as F
@@ -39,6 +41,7 @@ def _rows(spark, corpus):
     )
 
 
+@pytest.mark.slow
 def test_compaction_preserves_content_and_ledger(spark, sf_dir, tmp_path):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = str(tmp_path / "src")

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from akkastreamprocessnpmpackagedependencies_spark import fetch, fixtures
@@ -339,6 +341,7 @@ def test_streaming_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     assert again.count() == n_events
 
 
+@pytest.mark.slow
 def test_foreachbatch_dynamic_overwrite_idempotent(spark, sf_dir, tmp_path):
     """Replaying the stream from scratch into the same directory must not
     duplicate rows: each batch dynamically overwrites only the hour
@@ -1637,6 +1640,7 @@ def test_write_global_quantiles_carries_quiet_shard_summaries(spark, tmp_path):
     assert all(0.0 <= r.estimate <= 100.0 for r in final.values())
 
 
+@pytest.mark.slow
 def test_write_global_quantiles_carry_survives_restart(spark, tmp_path):
     """Round-9 verdict #2: the per-shard carry persists to a sidecar and
     re-hydrates at stream start, so a QUIET shard's pre-restart state
@@ -1734,6 +1738,7 @@ def test_write_global_distinct_carry_survives_restart(spark, tmp_path):
     assert abs(series[-1].estimate - true_global) / true_global <= tol
 
 
+@pytest.mark.slow
 def test_append_or_compact_swap_is_crash_recoverable(spark, tmp_path):
     """Round-9 ADVICE low: compaction must never hold the series only in
     driver memory while the on-disk copy is deleted. The rewrite keeps a
@@ -1780,6 +1785,7 @@ def test_append_or_compact_swap_is_crash_recoverable(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_write_global_quantiles_compaction_bounds_file_count(spark, sf_dir, tmp_path):
     """Round-8 verdict #7: a long-running stream must not accrete one
     parquet file per micro-batch forever — every ``compact_every``
@@ -1810,6 +1816,7 @@ def test_write_global_quantiles_compaction_bounds_file_count(spark, sf_dir, tmp_
     assert n_total[0.5] == load_events(spark, sf_dir).count()
 
 
+@pytest.mark.slow
 def test_compaction_bound_holds_across_restarts(spark, tmp_path):
     """Round-10 ADVICE low: the compaction counter used to reset to 0 at
     every (re)start, so a stream restarted every few batches NEVER
@@ -2298,6 +2305,7 @@ def test_hll_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         assert a[shard][2] == b[shard][2]
 
 
+@pytest.mark.slow
 def test_write_global_distinct_live_pipeline(spark, sf_dir, tmp_path):
     """The operationalized HLL merge: register stream -> foreachBatch
     union -> parquet time series. The last row's estimate must sit
@@ -2510,6 +2518,7 @@ def test_cms_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         assert a[shard][1] == b[shard][1]
 
 
+@pytest.mark.slow
 def test_write_global_freq_live_pipeline_and_restart_carry(spark, sf_dir, tmp_path):
     """The CMS live pipeline: per-batch global frequency rows for a
     fixed probe set, n_total monotone and ending at the full stream
@@ -2586,6 +2595,7 @@ def test_write_global_freq_live_pipeline_and_restart_carry(spark, sf_dir, tmp_pa
     assert t0 <= last2[top[0]] <= t0 + max(3 * g_bound, 1)
 
 
+@pytest.mark.slow
 def test_write_global_reservoir_live_pipeline_and_restart_carry(
     spark, sf_dir, tmp_path
 ):
@@ -3235,6 +3245,7 @@ def test_stream_stream_left_outer_join_semantics(spark, sf_dir, tmp_path):
     assert not (got_null & {m[0] for m in want_matched})
 
 
+@pytest.mark.slow
 def test_left_outer_join_terminal_flush_reaches_batch_parity(spark, sf_dir, tmp_path):
     """Round-10 verdict #5: the terminal-flush pattern. A bounded replay
     through the outer join normally holds the watermark-tail in state
@@ -3385,6 +3396,7 @@ def test_streaming_seen_bloom_matches_batch_and_merges_exactly(spark, sf_dir, tm
     assert ans[int(users[0])] is True
 
 
+@pytest.mark.slow
 def test_write_global_bloom_live_pipeline_and_restart_carry(spark, sf_dir, tmp_path):
     """The Bloom live pipeline on the shared skeleton: per-batch
     membership rows for a fixed probe set (present users True from
@@ -4897,6 +4909,7 @@ def _fuzz_harvest_batches(spark, src, tmp_path, sink, mode):
     return batches
 
 
+@_pytest_mod.mark.slow
 @_pytest_mod.mark.parametrize("sink", sorted(_FUZZ_SINKS))
 def test_global_sink_crash_point_fuzz(spark, tmp_path, monkeypatch, sink,
                                       _fuzz_src_dir):

@@ -6,8 +6,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 0/4 pytest + evidence staleness + window budget =="
-python -m pytest tests/ -x -q
+echo "== 0/4 pytest (FULL suite incl. slow tier) + evidence staleness + window budget =="
+# the driver runs the default tier (slow codec/fuzz tests skipped so its
+# verify budget holds — round-17 tiering); verify_all always runs ALL
+SPARK_GRAFT_RUN_SLOW=1 python -m pytest tests/ -x -q
 python tools/driver_check.py --staleness
 # window-budget gate for the UPCOMING round (highest recorded driver
 # round + 1): catches over-subscribed rotation demand mechanically
