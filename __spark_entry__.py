@@ -39,57 +39,48 @@ _MODULES = [REL, SCAL, TS, DEDUP, SIM, TXT, QUAL, MM, UDX, ADV]
 # row exists). Prior windows live in git history (this list is rewritten
 # every round).
 _PRIORITY = [
-    # Round-16 window, REBUILT after the round-16 OPTIMIZATION pass
-    # (OPTIMIZATION_r16.md): the pass moved 20 query fingerprints (the
-    # optimized dedup/kmeans/PQ/IVF/text operators, plus the collateral
-    # moves through function-local whole-module imports:
-    # dataset_shuffle_order and corpus_budget_select hash relational.py,
-    # split_leakage_audit hashes textops.py). Window demand: flagship +
-    # the 4 carried round-16 mandates (containment_prefix_pairs,
-    # neardup_source_matrix, multimodal_decode_webp — the r15 orphans —
-    # and the NEW join_strategy_advisor) + all 20 fingerprint-moved
-    # queries + 27 of the r12-aged remainder = exactly 50. The 14
-    # displaced unchanged r12-aged rows (alphabetically last of the
-    # non-mandatory 41) carry `--must-rotate 17` machine promises,
-    # joining the 5 already due (asof_purchase_signup,
-    # source_mixing_weights, token_rarity_scores, window_rank_variants,
-    # zorder_bucket_profile) — 19 promises + flagship lead the round-17
-    # window, well under the 50-slot budget.
-    # Pre-handoff gate: `driver_check.py --handoff 16` green on the
-    # exact checkout the driver measures (main, nothing staged).
+    # Round-17 window (rebuilt after the round-17 OPTIMIZATION pass,
+    # OPTIMIZATION_r17.md): demand = flagship + the 14 fingerprint-moved
+    # queries (the containment revert, dup-ngram gate, capstone fusion,
+    # contamination collect_set, the CC observe rippling through every
+    # LSH/CC consumer, quality_flags carry hook, split_leakage_audit's
+    # textops module hash, and the npm pagerank/transitive collaterals
+    # through session.py's new table_bytes) + ALL 19 must_rotate-17
+    # promises (the 14 r16-displaced rows + the 5 carried from r15) = 34,
+    # leaving 16 slots filled with the oldest (r14) aged rows in
+    # alphabetical order. The 26 still-displaced r14-aged rows carry
+    # `--must-rotate 18` machine promises (tools/evidence.json).
+    # Pre-handoff gate: `driver_check.py --handoff 17` green on the exact
+    # checkout the driver measures.
     "npm_dependency_counts",
+    # 14 fingerprint-moved
     "containment_prefix_pairs", "neardup_source_matrix",
-    "multimodal_decode_webp",
-    "join_strategy_advisor",
-    # the 14 fingerprint-moved queries previously outside the window
-    # (round-16 optimization targets + the two relational.py collaterals)
     "minhash_lsh_neardup", "neardup_clusters",
     "chargram_jaccard_pairs", "dedup_incremental",
-    "cosine_topk_ivf", "kmeans_assignments",
-    "kmeans_clusters", "ann_recall_eval",
     "contamination_ngram_hits", "duplicate_ngram_overlap",
-    "dataset_shuffle_order", "fuzzy_dedup_keep_one",
-    "corpus_pipeline_verdicts", "corpus_budget_select",
-    # the 4 fingerprint-moved queries already holding window slots
-    "embedding_pq_codes", "late_shipment_suppliers",
-    "pq_adc_topk", "split_leakage_audit",
-    # 27 of the 41 unchanged r12-aged rows (alphabetical head; the
-    # alphabetical tail is displaced under --must-rotate 17)
-    "array_funcs", "asof_cogroup_pandas",
-    "bracket_revenue", "customer_churn_full_outer",
-    "customer_order_counts", "customers_without_big_orders",
-    "distinct_aggs", "doc_perplexity_bigram",
-    "embedding_neardup_pairs",
-    "embedding_quantize_int8", "events_error_context_5m",
-    "events_value_rolling_1h", "forecast_revenue",
-    "grouping_sets_qty", "idle_rich_customers",
-    "large_volume_customers",
-    "local_supplier_revenue", "nation_market_share",
-    "npm_reverse_dependency_counts", "order_gap_days",
-    "pack_sequences", "pivot_linestatus",
-    "priority_with_returns",
-    "product_profit_by_nation_year", "promo_revenue_ratio",
-    "quality_filter_composite", "repetition_signals",
+    "fuzzy_dedup_keep_one", "corpus_pipeline_verdicts",
+    "split_leakage_audit", "quality_filter_composite",
+    "npm_dependency_pagerank", "npm_transitive_deps",
+    # 19 must_rotate-17 promises, all honored
+    "stats_moments", "top_unshipped_orders",
+    "supplier_volume_by_nation", "topk_per_customer_agg",
+    "top_orders_per_customer", "running_quantity_by_supplier",
+    "top_orders_global", "window_rank_variants",
+    "skew_salted_join", "top_revenue_suppliers",
+    "returned_item_customers", "small_qty_part_revenue",
+    "zorder_bucket_profile", "unpivot_part_metrics",
+    "asof_purchase_signup", "tfidf_top_terms_per_doc",
+    "token_rarity_scores", "source_mixing_weights",
+    "top_bigram_share",
+    # 16 oldest (r14) aged rows
+    "approx_sketches", "approx_sketches_exact",
+    "date_funcs", "dedup_exact_summary",
+    "dedup_normalized_hash", "doc_fingerprints",
+    "embedding_centroids", "events_hourly_gapfill",
+    "events_sessionize", "events_sliding_1h_30m",
+    "events_tumbling_1h", "grouped_median_pandas",
+    "json_corrupt_tolerant", "json_funcs",
+    "lang_id_heuristic", "map_funcs",
 ]
 
 
