@@ -25,14 +25,22 @@ def get_spark(
     app_name: str = "akkastream-npm-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cpus: int | str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned session.
 
     At 100 TB these same settings hold: AQE coalesces the post-shuffle
     partition count at runtime, the skew-join rule splits hot keys, and
     shuffle partitions become a function of cluster cores, not a constant.
+
+    ``cpus`` overrides the ``$SPARK_GRAFT_CPUS`` local-master width for
+    callers whose workload is NOT the benchmark contract — the pytest
+    fixture passes 8 here (tests/conftest.py, measured 2x: tiny-input
+    micro-batch jobs are scheduling-floor-bound at local[32]). bench.py
+    and every production entry point leave it None, so the driver's
+    core-count contract is untouched.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -39,9 +39,23 @@ def pytest_collection_modifyitems(config, items):
 FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
 
+# Test-session core count (round 17, closing the verify-budget item for
+# real): the suite runs thousands of tiny sf0.001 jobs whose cost is the
+# local[N] scheduling floor, not compute. Measured on the two dominant
+# modules (interleaved same-host runs): the heaviest streaming pair
+# 123.2 s @ local[32] -> 62.7 s @ local[8] (local[4]: 157 s — too narrow
+# for the genuinely parallel stages), the heaviest properties pair
+# 66.5 s @ local[16] -> 43.5 s @ local[8]. local[8] is the measured
+# sweet spot, so the TEST session pins it (override with
+# SPARK_GRAFT_TEST_CPUS). bench.py keeps the driver's $SPARK_GRAFT_CPUS
+# master contract — this knob exists precisely so the test suite stops
+# borrowing the benchmark's core count.
+TEST_CPUS = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+
+
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", shuffle_partitions=8)
+    s = get_spark("pytest", shuffle_partitions=8, cpus=TEST_CPUS)
     yield s
 
 
